@@ -1,0 +1,673 @@
+"""Declared query surface (SURVEY.md §2.9) — Spark implementation + DuckDB
+oracle SQL per query.
+
+Every entry here is part of the correctness contract: the driver runs the
+Spark callable and the oracle SQL side-by-side at sf0.01 and hash-compares
+canonicalized results. Conventions that make the hashes deterministic:
+
+  - **Money aggregates go through decimal.** ``SUM(double)`` is
+    order-dependent in the last ulps; ``SUM(decimal)`` is exact in both
+    engines, so every revenue-style aggregate casts to decimal first and
+    casts the final result to double. Identical values regardless of
+    partitioning / AQE / summation order.
+  - **Every aggregate/computed column is aliased identically** in Spark and
+    SQL (driver sorts columns by name before hashing).
+  - **Total order with a unique tiebreaker before any LIMIT**, and unique
+    window order keys, so top-k and window rows are deterministic.
+  - Window-function outputs cast to bigint (DuckDB emits int64).
+
+Scale notes (the 100 TB posture) are in each query's docstring; plans are
+checked in tests/test_plans.py (pushdown, broadcast, partial agg).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, oracle, fn.__doc__ or "")
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from etl_load_spark.session import read_table
+    return read_table(spark, sf_dir, name)
+
+
+def dec(col, p: int = 12, s: int = 2):
+    """Exact-arithmetic cast for money columns (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def dsum(col, alias: str, p: int = 12, s: int = 2):
+    return F.sum(dec(col, p, s)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.9 item 4)
+# ---------------------------------------------------------------------------
+
+@query("q01_pricing_summary", oracle="""
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(8,4)))
+             * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+    CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc,
+    COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge, sum_qty / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price,
+       sum_disc / count_order AS avg_disc, count_order
+FROM a ORDER BY l_returnflag, l_linestatus
+""")
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (sum/avg/count, group-by).
+
+    Scale: partial aggregation map-side, 6 groups — shuffle is 6 rows per
+    partition; scan prunes to 7 columns with the shipdate filter pushed to
+    parquet. Decimal sums keep results order-independent.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 8, 4))
+    charge = disc_price * (F.lit(1) + dec("l_tax", 8, 4))
+    agg = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(dec("l_discount", 8, 4)).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return (
+        agg.select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge",
+            (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+            (F.col("sum_disc") / F.col("count_order")).alias("avg_disc"),
+            "count_order")
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("q04_group_having", oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+ORDER BY o_custkey
+""")
+def q04_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + HAVING + min/max (§2.4). Min/max of doubles are exact
+    (no accumulation), so no decimal detour needed there."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice", "total_spent"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@query("q20_distinct_agg", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
+       CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + temporal min/max (§2.4). Scale: distinct agg
+    expands then re-aggregates (two-phase in Spark) — fine for bounded key
+    cardinality; approx_count_distinct is the unbounded-cardinality path
+    (q21, rows-only check)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_customers"),
+             F.min("o_orderdate").alias("first_order"),
+             F.max("o_orderdate").alias("last_order"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q21_approx_distinct")  # no oracle: approximate by design (±rsd)
+def q21_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for cardinality
+    (exact distinct on a 100 TB key column is a full shuffle; HLL sketches
+    merge map-side). Driver records rows-only; tests assert the estimate is
+    within rsd of exact."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (§2.9 item 3)
+# ---------------------------------------------------------------------------
+
+@query("q02_filter_predicates", oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderstatus IN ('O','F')
+  AND o_totalprice BETWEEN 1000 AND 150000
+  AND o_orderpriority LIKE '%HIGH%'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND (o_totalprice * 1.05 > 2000 OR o_custkey % 10 = 3)
+  AND o_custkey IS NOT NULL
+ORDER BY o_orderkey
+""")
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: IN/BETWEEN/LIKE/IS NULL/arith/boolean (P3).
+    All predicates are Catalyst expressions — comparison+IN push into the
+    parquet scan as PushedFilters."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000, 150000)
+            & F.col("o_orderpriority").like("%HIGH%")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & ((F.col("o_totalprice") * 1.05 > 2000) | (F.col("o_custkey") % 10 == 3))
+            & F.col("o_custkey").isNotNull())
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.9 item 5)
+# ---------------------------------------------------------------------------
+
+@query("q03_top_revenue", oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority: 3-way join + agg + top-k.
+
+    Scale: customer (filtered on segment) broadcasts — no shuffle of the
+    fact tables for that join; orders⋈lineitem shuffles on the shared
+    orderkey. Top-k = total order with unique tiebreaker + limit (AQE
+    executes as TakeOrderedAndProject: no global sort materialization).
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 8, 4))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q05_join_left_chain", oracle="""
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""")
+def q05_join_left_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-join dim chain customer→nation→region + agg. Scale: both dims
+    are small → broadcast; the fact never shuffles for the joins."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             dsum("c_acctbal", "total_balance"))
+        .orderBy("r_name")
+    )
+
+
+@query("q06_join_semi", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_totalprice > 100000)
+ORDER BY c_custkey
+""")
+def q06_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Scale: semi-join never duplicates the left
+    side, and the filter on the right shrinks the build side first."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query("q07_join_anti", oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""")
+def q07_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query("q08_join_range_equi", oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_fast_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q08_join_range_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with range residual (shipped within 30 days of order).
+    Scale: the equi key carries the shuffle; the range condition evaluates
+    as a post-join residual filter — no nested-loop."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter((F.col("l_shipdate") >= F.col("o_orderdate"))
+                & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_lines"), dsum("l_quantity", "sum_qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q09_join_range_theta", oracle="""
+SELECT s_suppkey, COUNT(*) AS n_close_customers
+FROM supplier JOIN customer
+  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+GROUP BY s_suppkey ORDER BY s_suppkey
+""")
+def q09_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (band) join — no equi key. Scale: Spark executes this as
+    broadcast-nested-loop with supplier broadcast (the small side). For two
+    large sides the strategy is banding: bucket both sides by
+    floor(acctbal/width) and equi-join on adjacent buckets — implemented in
+    operators.range_join for the scale path."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s),
+               (c.c_acctbal >= s.s_acctbal - 50) & (c.c_acctbal <= s.s_acctbal + 50))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.9 item 6)
+# ---------------------------------------------------------------------------
+
+@query("q10_window_rank", oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w2 AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w2 AS BIGINT) AS drnk,
+       lag(c_custkey) OVER w AS prev_custkey,
+       lead(c_custkey) OVER w AS next_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+       w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+ORDER BY c_nationkey, rn
+""")
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: row_number/rank/dense_rank/lag/lead (§2.5).
+    row_number/lag/lead use a unique order key (acctbal, custkey) so results
+    are deterministic; rank/dense_rank tolerate ties by construction.
+    Scale: one shuffle on the partition key; sort within partition."""
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w2 = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.select(
+            "c_custkey", "c_nationkey", "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w2).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w2).cast("bigint").alias("drnk"),
+            F.lag("c_custkey").over(w).alias("prev_custkey"),
+            F.lead("c_custkey").over(w).alias("next_custkey"))
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@query("q11_window_running", oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+            OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+            OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS qty_last5
+FROM lineitem WHERE l_suppkey <= 20
+ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+""")
+def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame windows: running total + 5-row moving sum (rows frames).
+    Decimal accumulator keeps the running sums exact → order-independent
+    comparison. Unique order key (shipdate, orderkey, linenumber)."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = W.partitionBy("l_suppkey").orderBy(*order)
+    return (
+        l.select(
+            "l_suppkey", "l_orderkey", "l_linenumber",
+            F.sum(dec("l_quantity")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow))
+             .cast("double").alias("running_qty"),
+            F.sum(dec("l_quantity")).over(w.rowsBetween(-4, W.currentRow))
+             .cast("double").alias("qty_last5"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets (§2.4)
+# ---------------------------------------------------------------------------
+
+@query("q12_rollup", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""")
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals. Scale: rollup expands grouping sets before
+    the shuffle; partial aggregation still applies per set."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@query("q13_cube", oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""")
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all grouping-set combinations)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.9 item 7)
+# ---------------------------------------------------------------------------
+
+@query("q14_union_distinct", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+ORDER BY o_custkey
+""")
+def q14_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct). Scale: union is metadata-only; the distinct is the
+    shuffle — one hash aggregation on the output key."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.union(b).distinct().orderBy("o_custkey")
+
+
+@query("q15_intersect", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+""")
+def q15_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both open and finished orders."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+@query("q16_except_all", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+""")
+def q16_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, preserves multiplicity)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (§2.9 item 8; F1-F6)
+# ---------------------------------------------------------------------------
+
+@query("q17_string_funcs", oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substring(p_name, 1, 5) AS name_prefix,
+       concat(p_brand, '/', p_type) AS brand_type,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+       trim(concat('  ', p_name, '  ')) AS name_trimmed,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part ORDER BY p_partkey
+""")
+def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library: upper/lower/substring/concat/length/regexp/replace/
+    trim/lpad (F1-F2 + §2.6 natives). All JVM-side codegen."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+            F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"))
+        .orderBy("p_partkey")
+    )
+
+
+@query("q18_date_funcs", oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(day(o_orderdate) AS BIGINT) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS days_since_epoch_start,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey
+""")
+def q18_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time library: year/month/day, trunc, datediff, interval
+    arithmetic, last_day (F3 + §2.6 natives)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+            F.trunc("o_orderdate", "month").alias("month_start"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+             .cast("bigint").alias("days_since_epoch_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query("q19_math_case", oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 0.1, 2) AS DOUBLE)
+         AS commission,
+       sqrt(l_quantity) AS qty_sqrt,
+       greatest(l_discount, l_tax) AS max_rate,
+       CASE WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 15 THEN 'mid'
+            ELSE 'small' END AS qty_tier
+FROM lineitem WHERE l_orderkey <= 500
+ORDER BY l_orderkey, l_linenumber
+""")
+def q19_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math library + CASE WHEN: abs/floor/ceil/mod/round/sqrt/greatest.
+    round() applies to an exact decimal (not a double) so both engines agree
+    on the half-up boundary."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return (
+        l.select(
+            "l_orderkey", "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.ceil("l_extendedprice").alias("price_ceil"),
+            (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+            F.round(dec("l_extendedprice") * F.lit(0.1).cast("decimal(2,1)"), 2)
+             .cast("double").alias("commission"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.when(F.col("l_quantity") >= 40, "bulk")
+             .when(F.col("l_quantity") >= 15, "mid")
+             .otherwise("small").alias("qty_tier"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query("q22_json_events", oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def q22_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON accessor functions over the events payload column (§2.6 natives:
+    get_json_object). Scale: JSON parsing is codegen'd JVM-side; for hot
+    paths, from_json once into a struct column beats repeated path reads."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "total_value"),
+             F.min(k).alias("min_k"),
+             F.max(k).alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+@query("q23_events_tumbling", oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q23_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over events in batch form — the same
+    plan Structured Streaming runs incrementally (streaming equivalence is
+    tested in tests/test_streaming.py with Trigger.AvailableNow)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "total_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value", "n_users")
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,120 @@
+"""Ordered step execution (U7) + status/metrics (U8, U9, A1-A3).
+
+The reference assembles VALIDATE_SOURCE → TRUNCATE_DESTINATION → LOAD →
+VALIDATE_LOAD → NOTIFY_* into a linear flow (etlModel.java:166-174,
+DynamicJobService.java:90-123, StepFactory.java:64-126). Here each step is a
+small function over the JobSpec; LOAD builds one DataFrame plan and performs
+one write action — Catalyst/AQE own everything between scan and sink.
+
+Status machine mirrors CoreLibInterfaces.java:115-139 (UNKNOWN … CANCELLED);
+notifications mirror NotifyTasklet.java:45-93 as a callback.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from etl_load_spark.operators.errors import JobFailedError, split_errors
+from etl_load_spark.plans.builder import build_plan
+from etl_load_spark.sources.registry import read_source, write_sink
+from etl_load_spark.spec import JobSpec
+
+log = logging.getLogger(__name__)
+
+DEFAULT_STEPS = ["VALIDATE_SOURCE", "LOAD", "VALIDATE_LOAD", "NOTIFY_SUCCESS"]
+
+
+@dataclass
+class JobResult:
+    job_id: str
+    status: str = "UNKNOWN"            # SUBMITTED RUNNING COMPLETED FAILED
+    records_read: int = 0
+    records_written: int = 0
+    records_failed: int = 0
+    duration_sec: float = 0.0
+    step_log: list = field(default_factory=list)
+    error: str | None = None
+
+
+def run_job(spark: SparkSession, spec: JobSpec,
+            notify=None) -> JobResult:
+    """Execute the spec's step list; returns the final JobResult."""
+    result = JobResult(job_id=spec.job_id, status="RUNNING")
+    t0 = time.monotonic()
+    steps = spec.steps or DEFAULT_STEPS
+    try:
+        for step in steps:
+            s = step.upper()
+            result.step_log.append(s)
+            if s == "VALIDATE_SOURCE":
+                # source must open and have a readable schema (etlModel.java:167)
+                df = read_source(spark, spec.source)
+                if not df.schema.fields:
+                    raise JobFailedError("source has no columns")
+            elif s == "TRUNCATE_DESTINATION":
+                # file sinks truncate via overwrite mode at write time (S10);
+                # JDBC sinks get truncate=true in their writer options
+                if spec.destination is not None:
+                    spec.destination.details.setdefault("mode", "overwrite")
+                    spec.destination.details.setdefault("truncate", True)
+            elif s == "LOAD":
+                _load(spark, spec, result)
+            elif s == "VALIDATE_LOAD":
+                # row-count integrity (etlModel.java:170, A3): written + failed
+                # must account for everything read
+                if result.records_written + result.records_failed < result.records_read:
+                    raise JobFailedError(
+                        f"validate_load: read={result.records_read} != "
+                        f"written={result.records_written} + failed={result.records_failed}")
+            elif s in ("NOTIFY_SUCCESS", "NOTIFY_FAILURE"):
+                pass  # emitted in the finally-style epilogue below
+            else:
+                raise ValueError(f"unknown step: {step}")
+        result.status = "COMPLETED"
+    except Exception as e:  # noqa: BLE001 — job boundary
+        result.status = "FAILED"
+        result.error = str(e)
+        log.error("job %s failed: %s", spec.job_id, e)
+    result.duration_sec = time.monotonic() - t0
+    wanted = {s.upper() for s in steps}
+    if notify and (("NOTIFY_SUCCESS" in wanted and result.status == "COMPLETED")
+                   or ("NOTIFY_FAILURE" in wanted and result.status == "FAILED")):
+        notify(result)
+    if result.status == "FAILED" and spec.error_handling.strategy == "FAIL_JOB" \
+            and result.error and notify is None:
+        pass
+    return result
+
+
+def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
+    """The LOAD step: plan → (optional error split) → single write action."""
+    # Every mapping job goes through error accounting: FAIL_JOB needs it to
+    # detect bad rows at all (casts are null-on-failure), the routing
+    # strategies need the good/bad split.
+    use_error_split = bool(spec.mappings) and spec.query is None
+    if use_error_split:
+        src_df = read_source(spark, spec.source)
+        source_is_line = spec.source.type.upper() in ("FILE_FIXED", "TEXT")
+        split = split_errors(src_df, spec, source_is_line)
+        df = split.good
+        if spec.order_by:
+            df = df.orderBy(*spec.order_by)
+        result.records_failed = split.error_count
+        result.records_read = split.error_count  # + good, added below
+    else:
+        df = build_plan(spark, spec)
+    if spec.destination is None:
+        # query-only job: materialize nothing; caller uses build_plan directly
+        n = df.count()
+        result.records_read += n
+        result.records_written = n
+        return
+    metrics = write_sink(df, spec.destination)
+    result.records_written = metrics.get("records_written", 0)
+    result.records_read += result.records_written
+    if use_error_split:
+        split.unpersist()

@@ -1,0 +1,87 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the config deliberately mirrors what we would
+set on a real cluster (AQE on, skew handling on, Arrow on, sane shuffle
+partition count) so plans exercised in tests are the plans we'd ship.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB these would come from the cluster profile; locally they are sized
+# for local[N] single-JVM runs (see SURVEY.md §6 / pyspark guide).
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "16g",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def get_spark(app_name: str = "etl_load_spark", master: str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    An already-active session is reused as-is (driver-owned sessions win).
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(master or f"local[{cpus}]").appName(app_name)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver testdata table, normalizing physical-type quirks.
+
+    The ``events`` table stores TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; we read it as int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
+    with integer division — the same µs truncation DuckDB applies, so oracle
+    comparisons stay exact.
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) -> dict:
+    """Read the driver testdata tables and register them as temp views."""
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

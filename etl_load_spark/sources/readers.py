@@ -1,0 +1,101 @@
+"""Source readers (SURVEY.md §2.1 S1-S6).
+
+Each reader takes (spark, details-dict) and returns a DataFrame. Details are
+the job-spec endpoint detail keys; schemas come from the mapping list (via
+``schema`` DDL string) or source inference, mirroring the reference's
+declared-schema-with-ResultSetMetaData-fallback model (§1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, d: dict) -> DataFrame:
+    return spark.read.parquet(d["path"])
+
+
+def read_csv(spark: SparkSession, d: dict) -> DataFrame:
+    """CSV scan (S5: ItemReaderFactory.java:170-224 semantics).
+
+    Default: comma delimiter, header on, UTF-8. With ``all_string=True`` the
+    reference's read-everything-as-string behavior applies
+    (ItemReaderFactory.java:212-221); typing then happens in the mapping cast.
+    """
+    reader = (spark.read
+              .option("sep", d.get("delimiter", ","))
+              .option("header", str(d.get("header", True)).lower())
+              .option("encoding", d.get("encoding", "UTF-8"))
+              .option("emptyValue", "")
+              .option("nullValue", d.get("null_value", "")))
+    if d.get("schema"):
+        reader = reader.schema(d["schema"])
+    elif not d.get("all_string", True):
+        reader = reader.option("inferSchema", "true")
+    # all_string default: columns arrive as strings (CSV has no types)
+    return reader.csv(d["path"])
+
+
+def read_json(spark: SparkSession, d: dict) -> DataFrame:
+    """Line-delimited JSON (S6 FILE_JSON, etlModel.java:187)."""
+    reader = spark.read
+    if d.get("schema"):
+        reader = reader.schema(d["schema"])
+    return reader.json(d["path"])
+
+
+def read_text(spark: SparkSession, d: dict) -> DataFrame:
+    """Fixed-width / raw text: one ``value`` column per line (S6 FILE_FIXED).
+
+    Field extraction happens in the mapping plan via ``fileColumnPosition``
+    substrings (plans.builder.mapping_column)."""
+    return spark.read.text(d["path"])
+
+
+def read_jdbc(spark: SparkSession, d: dict) -> DataFrame:
+    """JDBC scan (S1-S4): table or raw-query source, partitioned when bounds
+    are declared.
+
+    Mirrors ETLCoreJdbcReader.java:131-162's build-SQL-or-passthrough, with
+    Spark's partitioned read replacing the docx's paging design (S4). No
+    JDBC driver ships in this environment; the options dict is real and
+    tested for shape, execution requires a driver jar on the classpath.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", d["url"])
+              .option("fetchsize", str(d.get("fetch_size", 1000))))
+    if d.get("query"):
+        reader = reader.option("query", d["query"])  # S2 raw-query scan
+    else:
+        reader = reader.option("dbtable", d["table"])
+    for k in ("user", "password", "driver"):
+        if d.get(k):
+            reader = reader.option(k, d[k])
+    if d.get("partition_column"):  # S4: parallel range-partitioned scan
+        reader = (reader
+                  .option("partitionColumn", d["partition_column"])
+                  .option("lowerBound", str(d["lower_bound"]))
+                  .option("upperBound", str(d["upper_bound"]))
+                  .option("numPartitions", str(d.get("num_partitions", 8))))
+    return reader.load()
+
+
+def read_rest(spark: SparkSession, d: dict) -> DataFrame:
+    """API_REST source (S6): driver-side fetch → createDataFrame.
+
+    Control-plane-sized payloads only (the reference uses REST for job
+    submission, not bulk data). Network access may be absent in tests, so a
+    pre-fetched ``rows`` payload is accepted.
+    """
+    rows = d.get("rows")
+    if rows is None:
+        import json
+        import urllib.request
+        with urllib.request.urlopen(d["url"], timeout=d.get("timeout", 30)) as r:
+            rows = json.loads(r.read())
+    return spark.createDataFrame(rows, schema=d.get("schema"))
+
+
+def read_memory(spark: SparkSession, d: dict) -> DataFrame:
+    """Inline rows (tests / fixtures)."""
+    return spark.createDataFrame(d["rows"], schema=d.get("schema"))

@@ -1,0 +1,128 @@
+"""Sink writers (SURVEY.md §2.1 S7-S10).
+
+Each writer takes (df, details-dict), performs the write action, and returns
+a small metrics dict (records_written). Row counts come from ``df.observe``
+— no second scan (SURVEY.md §4, count-query row).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+
+def _observed(df: DataFrame):
+    obs = Observation(f"write_{uuid.uuid4().hex[:8]}")
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
+
+def _finish(obs) -> dict:
+    return {"records_written": obs.get["n"]}
+
+
+def _apply_layout(df: DataFrame, d: dict) -> DataFrame:
+    """Output layout knobs shared by file sinks.
+
+    ``single_file=True`` coalesces to one partition for deterministic small
+    exports (documented non-100TB path, SURVEY.md §7.5); ``partition_by``
+    produces hive-style partitioned layout for scale.
+    """
+    if d.get("repartition"):
+        df = df.repartition(int(d["repartition"]))
+    if d.get("single_file"):
+        df = df.coalesce(1)
+    return df
+
+
+def write_parquet(df: DataFrame, d: dict) -> dict:
+    df, obs = _observed(_apply_layout(df, d))
+    w = df.write.mode(d.get("mode", "overwrite"))
+    if d.get("partition_by"):
+        w = w.partitionBy(*d["partition_by"])
+    if d.get("compression"):
+        w = w.option("compression", d["compression"])
+    w.parquet(d["path"])
+    return _finish(obs)
+
+
+def write_csv(df: DataFrame, d: dict) -> dict:
+    """CSV sink (S8): header from dest names, RFC-4180 quoting, null→empty —
+    Spark's CSV writer natively matches ETLCoreCsvFileWriter.java:46-185."""
+    df, obs = _observed(_apply_layout(df, d))
+    (df.write.mode(d.get("mode", "overwrite"))
+       .option("header", str(d.get("header", True)).lower())
+       .option("sep", d.get("delimiter", ","))
+       .option("encoding", d.get("encoding", "UTF-8"))
+       .option("emptyValue", "")
+       .option("nullValue", "")
+       .csv(d["path"]))
+    return _finish(obs)
+
+
+def write_json(df: DataFrame, d: dict) -> dict:
+    df, obs = _observed(_apply_layout(df, d))
+    df.write.mode(d.get("mode", "overwrite")).json(d["path"])
+    return _finish(obs)
+
+
+def write_jdbc(df: DataFrame, d: dict) -> dict:
+    """JDBC batch-insert sink (S7) + truncate-before-load (S10).
+
+    ``truncate=True`` with overwrite mode issues TRUNCATE TABLE instead of
+    DROP (TruncateTasklet.java:54-111 semantics). ``batch_size`` maps to the
+    JDBC ``batchsize`` option (ItemWriterFactory.java batching)."""
+    df, obs = _observed(df)
+    w = (df.write.format("jdbc")
+         .option("url", d["url"])
+         .option("dbtable", d["table"])
+         .option("batchsize", str(d.get("batch_size", 1000)))
+         .mode(d.get("mode", "append")))
+    if d.get("truncate"):
+        w = w.option("truncate", "true").mode("overwrite")
+    for k in ("user", "password", "driver", "isolationLevel"):
+        if d.get(k):
+            w = w.option(k, d[k])
+    w.save()
+    return _finish(obs)
+
+
+def write_rest(df: DataFrame, d: dict) -> dict:
+    """API_REST sink (S9): per-partition batched HTTP POST.
+
+    Executor-side POSTs via foreachPartition — never a driver collect. The
+    HTTP call is injectable (``poster``) so tests run without a network.
+    """
+    url = d["url"]
+    batch = int(d.get("batch_size", 500))
+    poster = d.get("poster")  # injectable for tests
+
+    def send(rows_iter):
+        import itertools
+        import json as _json
+        import urllib.request
+        while True:
+            chunk = list(itertools.islice(rows_iter, batch))
+            if not chunk:
+                break
+            payload = _json.dumps([r.asDict(recursive=True) for r in chunk]).encode()
+            if poster is not None:
+                poster(url, payload)
+            else:
+                req = urllib.request.Request(
+                    url, data=payload, headers={"Content-Type": "application/json"})
+                urllib.request.urlopen(req, timeout=30)
+
+    df, obs = _observed(df)
+    df.foreachPartition(send)
+    return _finish(obs)
+
+
+_MEMORY_SINKS: dict[str, list] = {}
+
+
+def write_memory(df: DataFrame, d: dict) -> dict:
+    """Collect into a named in-memory buffer (tests only — not a scale path)."""
+    rows = df.collect()
+    _MEMORY_SINKS[d.get("name", "default")] = rows
+    return {"records_written": len(rows)}

@@ -1,0 +1,44 @@
+"""Gate every queries()/oracle_sql() pair against the DuckDB oracle locally
+— the same comparison the driver harness performs (CORRECTNESS_r{N}.json),
+run at sf0.001 for speed (set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+for the full tier)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_utils import compare, duckdb_connection
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema.fields
+
+
+def _oracle_params():
+    oracles = entry_mod.oracle_sql()
+    return sorted(oracles)
+
+
+@pytest.mark.parametrize("name", _oracle_params())
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    ok, msg = compare(q(spark, sf_dir), con, sql)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(entry_mod.queries())
+                                        - set(entry_mod.oracle_sql())))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = entry_mod.queries()[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.schema.fields
