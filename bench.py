@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the declared query surface at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes end-to-end into Spark's noop sink (full pipeline runs,
+nothing materializes on the driver) — the number measured is cluster-side
+work, which is what scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from etl_load_spark.session import get_spark
+    from etl_load_spark.queries import QUERIES
+
+    spark = get_spark("etl_load_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial plan so the first query isn't taxed
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        q = QUERIES[name]
+        t0 = time.monotonic()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — keep the bench row, mark failure
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "declared_query_surface_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()
