@@ -1,0 +1,96 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas stages.
+
+The container has no image/audio codecs, so the decode kernels are STUBS
+behind ``decoder=`` injection points (a deterministic fake is provided for
+tests); the Spark-side plumbing — schema, batch iteration, partitioning —
+is real. On a cluster with PIL/ffmpeg available, swap the decoder and
+nothing else changes.
+
+Design notes for 100 TB:
+  - binary payloads ride in their own column; metadata is a struct column so
+    filters on (modality, width, duration) prune without touching bytes.
+  - mapInPandas streams Arrow batches — bounded memory per task regardless
+    of payload count; spark.sql.execution.arrow.maxRecordsPerBatch caps
+    batch size for large blobs.
+  - derived features (embeddings, histograms) come back as array columns,
+    feeding the similarity operators directly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = ("media_id bigint, content binary, "
+                "meta struct<modality:string, format:string, width:int, "
+                "height:int, duration_ms:int>")
+
+FEATURE_SCHEMA = "media_id bigint, feature array<float>, feat_dim int"
+
+
+def fake_decode(content: bytes) -> list[float]:
+    """Deterministic stand-in for a real image/audio decoder: a 16-bin byte
+    histogram, normalized. Replace with a real kernel in production."""
+    if content is None:
+        return [0.0] * 16
+    hist = [0] * 16
+    for b in content:
+        hist[b >> 4] += 1
+    n = max(len(content), 1)
+    return [h / n for h in hist]
+
+
+def real_decode(content: bytes) -> list[float]:
+    """The production decode slot. Requires codec libraries not present in
+    this container."""
+    raise NotImplementedError(
+        "image/audio decode requires PIL/soundfile/ffmpeg — inject a decoder "
+        "or use fake_decode for plumbing tests")
+
+
+def extract_features(media: DataFrame,
+                     decoder: Callable[[bytes], list[float]] = fake_decode,
+                     content_col: str = "content",
+                     id_col: str = "media_id") -> DataFrame:
+    """binary content → feature vector via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[content_col].map(decoder)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "feature": feats,
+                "feat_dim": feats.map(len).astype("int32"),
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def attach_metadata(df: DataFrame, content_col: str = "content",
+                    modality: str = "image", fmt: str = "raw") -> DataFrame:
+    """Wrap a binary column with the typed metadata struct (dimensions
+    unknown until decode → null, filled by the decode stage in production)."""
+    return df.withColumn("meta", F.struct(
+        F.lit(modality).alias("modality"),
+        F.lit(fmt).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(F.col(content_col).isNotNull(),
+               F.length(content_col)).cast("int").alias("duration_ms")))
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024,
+                  content_col: str = "content",
+                  id_col: str = "media_id") -> DataFrame:
+    """Frame-sampling stub: emit one row per sampled offset (stands in for
+    video frame extraction; same explode-shaped output a real sampler has).
+    Spark-side: posexplode of an offset sequence — no Python."""
+    n_frames = F.greatest((F.length(content_col) / every_n_bytes).cast("int"), F.lit(1))
+    offsets = F.sequence(F.lit(0), n_frames - 1)
+    return (media.select(F.col(id_col), F.posexplode(offsets).alias("frame_no", "_i"))
+            .select(id_col, "frame_no",
+                    (F.col("_i") * every_n_bytes).alias("byte_offset")))

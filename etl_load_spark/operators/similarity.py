@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline; broadcast the query set and
+    score with built-in array expressions (zip_with + aggregate) — JVM-side,
+    no Python. Suitable whenever |queries| is broadcastable.
+  - LSH-bucketed top-k: random-hyperplane signatures (deterministic,
+    hash-derived planes) + multi-probe banding — the 100 TB path: candidate
+    generation is an equi-join on bucket keys, scoring touches only
+    candidates.
+
+An IVF variant (k-means coarse quantizer via pyspark.ml, probe nearest
+cells) is the third stage of this ladder; LSH covers the blocked-candidate
+pattern without an iterative fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision (float elements widen exactly)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself). Returns (q_id, n_id, cosine_sim, rank).
+
+    Determinism: ranking key is (round(sim, 6) desc, n_id) so float noise in
+    the last ulps cannot reorder results across engines/partitionings.
+    Scale: queries broadcast; corpus never shuffles. For large query sets
+    use lsh_topk.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    c = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
+    return (c.crossJoin(F.broadcast(q))
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", sim.alias("cosine_sim"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    from xxhash64(plane, dim) — no RNG state, reproducible everywhere."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (F.pmod(h, F.lit(2_000_003)).cast("double") / 1_000_001.5) - 1.0
+
+
+def rp_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) signature: bit p = sign of
+    ⟨vec, plane_p⟩. Returns bigint bucket key."""
+    acc = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = sum((vec[d].cast("double") * _plane_component(p, d)
+                    for d in range(1, dim)),
+                   vec[0].cast("double") * _plane_component(p, 0))
+        acc = acc + F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(0)
+    return acc
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_planes: int = 16, bands: int = 4) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane signature, banded
+    candidate join, exact re-scoring of candidates only.
+
+    The n_planes-bit signature splits into ``bands`` sub-keys; a candidate
+    is any corpus vector sharing at least one sub-key with the query
+    (multi-band OR — same construction as MinHash LSH). Recall rises with
+    bands; cost is one equi-join per the exploded band table.
+    """
+    r = n_planes // bands
+    mask = (1 << r) - 1
+
+    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        sig = rp_signature(F.col(vec_col), dim, n_planes)
+        d = df.select(F.col(id_col).alias(f"{prefix}_id"),
+                      F.col(vec_col).alias(f"_{prefix}v"), sig.alias("_sig"))
+        band_arr = F.array(*[
+            F.shiftrightunsigned(F.col("_sig"), r * b).bitwiseAND(F.lit(mask))
+            for b in range(bands)])
+        return d.select(f"{prefix}_id", f"_{prefix}v",
+                        F.posexplode(band_arr).alias("_band", "_key"))
+
+    qb = with_bands(queries, "q")
+    cb = with_bands(vectors, "n")
+    sim = F.round(cosine(F.col("_qv"), F.col("_nv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
+    return (qb.join(cb, ["_band", "_key"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .dropDuplicates(["q_id", "n_id"])
+            .select("q_id", "n_id", sim.alias("cosine_sim"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))
+
+
+def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             dim: int = 64, n_planes: int = 16,
+                             bands: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
+    with LSH band blocking — no all-pairs scan."""
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    sig = rp_signature(F.col(vec_col), dim, n_planes)
+    d = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                       sig.alias("_sig"))
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("_sig"), r * b).bitwiseAND(F.lit(mask))
+        for b in range(bands)])
+    e = d.select("_id", "_v", F.posexplode(band_arr).alias("_band", "_key"))
+    a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_key")
+    b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_key")
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (a.join(b, ["_band", "_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))

@@ -1,0 +1,141 @@
+"""Text-analysis operators for corpus pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Each operator exists in two synchronized forms: a Column expression (the
+engine) and a SQL-fragment generator (for DuckDB oracle parity) — both
+derived from the same constants, so the correctness harness can verify the
+exact formula the engine computes. Everything is built-in functions; no
+Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from etl_load_spark.operators.dedup import normalize_text, normalize_text_sql
+
+# language-ID marker words: tiny deterministic n-gram/stopword heuristic.
+# Order matters (tie-break = first in list).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count of the normalized text (bigint)."""
+    return F.size(F.split(normalize_text(text), " ")).cast("bigint")
+
+
+def token_count_sql(col: str, dialect: str = "spark") -> str:
+    norm = normalize_text_sql(col, dialect)
+    if dialect == "duckdb":
+        return f"CAST(len(string_split({norm}, ' ')) AS BIGINT)"
+    return f"CAST(size(split({norm}, ' ')) AS BIGINT)"
+
+
+def _count_occurrences(text: Column, word: str) -> Column:
+    """# of occurrences of ``word`` as a token, via padded-replace trick
+    (identical semantics in any SQL dialect)."""
+    padded = F.concat(F.lit(" "), normalize_text(text), F.lit(" "))
+    target = f" {word} "
+    # each removal shortens the string by len(word)+1 (one space retained)
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(target), F.lit(" "))))
+            / (len(word) + 1)).cast("bigint")
+
+
+def _count_occurrences_sql(col: str, word: str, dialect: str) -> str:
+    norm = normalize_text_sql(col, dialect)
+    padded = f"concat(' ', {norm}, ' ')"
+    return (f"CAST((length({padded}) - length(replace({padded}, ' {word} ', ' ')))"
+            f" / {len(word) + 1} AS BIGINT)")
+
+
+def stopword_count(text: Column) -> Column:
+    out = F.lit(0).cast("bigint")
+    for w in STOPWORDS:
+        out = out + _count_occurrences(text, w)
+    return out
+
+
+def stopword_count_sql(col: str, dialect: str = "spark") -> str:
+    return "(" + " + ".join(_count_occurrences_sql(col, w, dialect)
+                            for w in STOPWORDS) + ")"
+
+
+def punct_count(text: Column) -> Column:
+    """# of punctuation characters in the raw text."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+
+
+def punct_count_sql(col: str, dialect: str = "spark") -> str:
+    flags = ", 'g'" if dialect == "duckdb" else ""
+    return (f"CAST(length({col}) - length(regexp_replace({col}, '[.,!?;:]', ''{flags}))"
+            f" AS BIGINT)")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards stopword presence
+    (natural language) and mid-range length; penalizes punctuation soup.
+    score = 0.5·min(1, stop_ratio·5) + 0.3·min(1, n_tokens/100) +
+            0.2·(1 − min(1, punct_ratio·10))
+    """
+    n_tok = token_count(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    return (F.least(stop_ratio * 5, F.lit(1.0)) * 0.5
+            + F.least(n_tok / 100, F.lit(1.0)) * 0.3
+            + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2)
+
+
+def quality_score_sql(col: str, dialect: str = "spark") -> str:
+    n_tok = f"CAST({token_count_sql(col, dialect)} AS DOUBLE)"
+    stop = f"CAST({stopword_count_sql(col, dialect)} AS DOUBLE)"
+    punct = f"CAST({punct_count_sql(col, dialect)} AS DOUBLE)"
+    length = f"greatest(CAST(length({col}) AS DOUBLE), 1.0)"
+    return (f"(least({stop} / greatest({n_tok}, 1.0) * 5, 1.0) * 0.5"
+            f" + least({n_tok} / 100, 1.0) * 0.3"
+            f" + (1.0 - least({punct} / {length} * 10, 1.0)) * 0.2)")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: sum((_count_occurrences(text, w) for w in words[1:]),
+                      _count_occurrences(text, words[0]))
+            for lang, words in LANG_MARKERS.items()}
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over marker-word counts; 'und' (undetermined) when all zero.
+    Ties break by LANG_MARKERS order — mirrored exactly in the SQL form."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[g] for g in langs])
+    expr = F.when(best <= 0, F.lit("und"))
+    for g in langs:
+        expr = expr.when(scores[g] == best, F.lit(g))
+    return expr
+
+
+def predict_lang_sql(col: str, dialect: str = "spark") -> str:
+    scores = {g: "(" + " + ".join(_count_occurrences_sql(col, w, dialect)
+                                  for w in ws) + ")"
+              for g, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(scores[g] for g in langs) + ")"
+    whens = "".join(f" WHEN {scores[g]} = {best} THEN '{g}'" for g in langs)
+    return f"(CASE WHEN {best} <= 0 THEN 'und'{whens} END)"
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — identical across
+    engines, robust to whitespace/punctuation noise."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint_sql(col: str, dialect: str = "spark") -> str:
+    return f"md5({normalize_text_sql(col, dialect)})"

@@ -671,3 +671,277 @@ def q23_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events", "total_value", "n_users")
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mapping pipeline through the engine (§2.9 item 2: P1-P8, F1-F6)
+# ---------------------------------------------------------------------------
+
+@query("q24_mapping_pipeline", oracle="""
+SELECT o_orderkey AS order_id,
+       o_custkey AS customer_id,
+       lower(o_orderstatus) AS status,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       CAST(o_orderdate AS DATE) AS order_date,
+       trim(o_orderpriority) AS priority
+FROM orders
+WHERE o_totalprice > 5000 AND o_orderstatus <> 'P'
+ORDER BY order_id
+""")
+def q24_mapping_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical job shape (jobconfigex.json:24-31) run
+    through the engine itself: spec → plan builder → select/rename/cast/
+    rule/filter. This oracle-checks the engine's mapping semantics, not a
+    hand-written DataFrame."""
+    from etl_load_spark.plans.builder import build_plan
+    from etl_load_spark.spec import JobSpec
+
+    spec = JobSpec.from_dict({
+        "jobId": "mapping_parity",
+        "source": {"type": "PARQUET", "path": f"{sf_dir}/orders.parquet"},
+        "filter": "o_totalprice > 5000 AND o_orderstatus <> 'P'",
+        "mappings": [
+            {"sourceFieldName": "o_orderkey", "destinationFieldName": "order_id",
+             "sourceFieldType": "NUMBER", "destFieldType": "LONG"},
+            {"sourceFieldName": "o_custkey", "destinationFieldName": "customer_id",
+             "destFieldType": "LONG"},
+            {"sourceFieldName": "o_orderstatus", "destinationFieldName": "status",
+             "destFieldType": "STRING", "transformationRule": "LOWERCASE"},
+            {"sourceFieldName": "o_totalprice", "destinationFieldName": "total_price",
+             "destFieldType": "DOUBLE"},
+            {"sourceFieldName": "o_orderdate", "destinationFieldName": "order_date",
+             "destFieldType": "DATE"},
+            {"sourceFieldName": "o_orderpriority", "destinationFieldName": "priority",
+             "destFieldType": "STRING", "transformationRule": "TRIM"},
+        ],
+        "orderBy": ["order_id"],
+    })
+    return build_plan(spark, spec)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (north-star extension operators)
+# ---------------------------------------------------------------------------
+
+@query("q25_dedup_exact", oracle="""
+SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text ORDER BY doc_id
+""")
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic survivor (min doc_id) per distinct text.
+    Scale: single hash aggregation; at 100 TB group on md5(text) instead of
+    the raw payload to shrink shuffle width."""
+    from etl_load_spark.operators.dedup import exact_dedup
+    d = t(spark, sf_dir, "documents")
+    return (exact_dedup(d, ["text"], "doc_id")
+            .select("doc_id", "n_copies").orderBy("doc_id"))
+
+
+@query("q26_dedup_normalized")
+def q26_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized dedup: survivors after lowercase/punct-strip/ws-collapse.
+    Oracle registered dynamically (dialect-specific normalize), see
+    _ORACLE_EXTRAS below."""
+    from etl_load_spark.operators.dedup import exact_dedup, normalize_text
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text"))
+    return (exact_dedup(d, ["norm_text"], "doc_id")
+            .select("doc_id", "n_copies").orderBy("doc_id"))
+
+
+@query("q27_dedup_minhash")  # no oracle: LSH banding not SQL-expressible
+def q27_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (Jaccard ≥ 0.2 on 3-gram shingles).
+    Deterministic (fixed hash constants) → stable rows-only check; recall
+    quality is asserted against planted duplicates in tests/test_dedup.py."""
+    from etl_load_spark.operators.dedup import minhash_near_dup_pairs
+    d = t(spark, sf_dir, "documents")
+    return (minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+            .orderBy("id_a", "id_b"))
+
+
+@query("q28_dedup_simhash")  # no oracle: banded hamming join not SQL-expressible
+def q28_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming ≤ 10 on 64-bit signatures)."""
+    from etl_load_spark.operators.dedup import simhash_near_dup_pairs
+    d = t(spark, sf_dir, "documents")
+    return (simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=10)
+            .orderBy("id_a", "id_b"))
+
+
+@query("q29_ngram_jaccard")  # no oracle: shingle-set ops not portable SQL
+def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked on language (equi-join blocking
+    keeps this off the all-pairs path)."""
+    from etl_load_spark.operators.dedup import ngram_jaccard_pairs
+    d = t(spark, sf_dir, "documents")
+    return (ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.15,
+                                block_on="lang")
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star extension operators)
+# ---------------------------------------------------------------------------
+
+@query("q30_sim_topk", oracle="""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (SELECT q_id, n_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE q_id <> n_id),
+r AS (SELECT q_id, n_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rank
+      FROM s)
+SELECT q_id, n_id, cosine_sim, rank FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+""")
+def q30_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): 10 query vectors
+    vs the corpus. Ranking key is (round(sim,6) desc, id) so float noise
+    can't reorder. Scale: queries broadcast; corpus partition-local scoring;
+    LSH path is q31."""
+    from etl_load_spark.operators.similarity import cosine_topk
+    e = t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("q31_sim_topk_lsh")  # no oracle: approximate by design
+def q31_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane signatures, banded
+    candidate join). Recall vs q30 is asserted in tests/test_similarity.py."""
+    from etl_load_spark.operators.similarity import lsh_topk
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("q32_embedding_near_dup")  # no oracle: LSH blocking
+def q32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.8) with LSH band
+    blocking — no all-pairs scan."""
+    from etl_load_spark.operators.similarity import embedding_near_dup_pairs
+    e = t(spark, sf_dir, "embeddings")
+    return (embedding_near_dup_pairs(e, threshold=0.8)
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star extension operators)
+# ---------------------------------------------------------------------------
+
+@query("q33_text_stats")
+def q33_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token/stopword/punctuation counts + composite score.
+    Formula is shared between the Column form and the oracle SQL generator
+    (operators.text) so the oracle verifies the exact computation."""
+    from etl_load_spark.operators import text as tx
+    d = t(spark, sf_dir, "documents")
+    return (d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.stopword_count(F.col("text")).alias("n_stopwords"),
+        tx.punct_count(F.col("text")).cast("bigint").alias("n_punct"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"))
+        .orderBy("doc_id"))
+
+
+@query("q34_text_langid")
+def q34_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic n-gram heuristic), compared
+    with the declared lang column."""
+    from etl_load_spark.operators import text as tx
+    d = t(spark, sf_dir, "documents")
+    pred = tx.predict_lang(F.col("text"))
+    return (d.select("doc_id", F.col("lang").alias("declared_lang"),
+                     pred.alias("predicted_lang"),
+                     (F.col("lang") == pred).alias("is_match"))
+            .orderBy("doc_id"))
+
+
+@query("q35_text_fingerprint")
+def q35_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) + per-fingerprint
+    duplicate counts — the join key for cross-corpus dedup."""
+    from etl_load_spark.operators import text as tx
+    d = t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_with_fp"))
+    return (fp.join(counts, "fp").select("doc_id", "fp", "n_with_fp")
+            .orderBy("doc_id"))
+
+
+@query("q36_band_join", oracle="""
+SELECT s_suppkey, COUNT(*) AS n_close_customers
+FROM supplier JOIN customer
+  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+GROUP BY s_suppkey ORDER BY s_suppkey
+""")
+def q36_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded (bucketed) range-join rewrite of q09 — equi-join on
+    floor(val/width) buckets + residual filter instead of nested-loop.
+    Same oracle as q09 proves the rewrite is exact; this is the plan that
+    survives two large sides at 100 TB."""
+    from etl_load_spark.operators.range_join import band_join
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (band_join(s, c, "s_acctbal", "c_acctbal", 50.0)
+            .groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_close_customers"))
+            .orderBy("s_suppkey"))
+
+
+@query("q37_multimodal_features")  # no oracle: Arrow-batched UDF pipeline
+def q37_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column + metadata struct →
+    Arrow-batched feature extraction (deterministic fake decoder — codec
+    libs absent in this container; production swaps the decoder only)."""
+    from etl_load_spark.operators.multimodal import attach_metadata, extract_features
+    d = t(spark, sf_dir, "documents")
+    media = attach_metadata(
+        d.select(F.col("doc_id").alias("media_id"),
+                 F.col("text").cast("binary").alias("content")))
+    feats = extract_features(media)
+    return (feats.select("media_id", "feat_dim",
+                         F.round(F.element_at("feature", 1), 4).alias("f0"),
+                         F.round(F.element_at("feature", 16), 4).alias("f15"))
+            .orderBy("media_id"))
+
+
+# Dialect-aware oracles for the text operators (generated from the same
+# constants as the Column expressions — see operators/text.py).
+def _register_text_oracles() -> None:
+    from etl_load_spark.operators import text as tx
+    from etl_load_spark.operators.dedup import normalize_text_sql
+
+    d = "duckdb"
+    QUERIES["q26_dedup_normalized"].oracle = f"""
+WITH n AS (SELECT doc_id, {normalize_text_sql('text', d)} AS norm_text
+           FROM documents)
+SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM n GROUP BY norm_text ORDER BY doc_id
+"""
+    QUERIES["q33_text_stats"].oracle = f"""
+SELECT doc_id,
+       {tx.token_count_sql('text', d)} AS n_tokens,
+       {tx.stopword_count_sql('text', d)} AS n_stopwords,
+       {tx.punct_count_sql('text', d)} AS n_punct,
+       round({tx.quality_score_sql('text', d)}, 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+    QUERIES["q34_text_langid"].oracle = f"""
+SELECT doc_id, lang AS declared_lang,
+       {tx.predict_lang_sql('text', d)} AS predicted_lang,
+       (lang = {tx.predict_lang_sql('text', d)}) AS is_match
+FROM documents ORDER BY doc_id
+"""
+    QUERIES["q35_text_fingerprint"].oracle = f"""
+WITH fp AS (SELECT doc_id, {tx.fingerprint_sql('text', d)} AS fp FROM documents)
+SELECT doc_id, fp,
+       COUNT(*) OVER (PARTITION BY fp) AS n_with_fp
+FROM fp ORDER BY doc_id
+"""
+
+
+_register_text_oracles()

@@ -1,0 +1,81 @@
+"""Recall/precision checks for the dedup operators on planted duplicates —
+the quality evidence the rows-only driver check can't provide."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_load_spark.operators.dedup import (
+    exact_dedup, minhash_near_dup_pairs, ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill and the birds sing in the "
+        "green garden under a bright morning sun with soft wind")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 3 families of near-duplicates + unrelated filler
+    for fam in range(3):
+        words = BASE.split()
+        words[fam * 3] = f"variant{fam}"
+        text = " ".join(words)
+        rows.append((fam * 10, text))          # original-ish
+        words2 = list(words)
+        words2[-1] = "moon"                     # one-word change
+        rows.append((fam * 10 + 1, " ".join(words2)))
+    for i in range(20):
+        rows.append((1000 + i, " ".join(
+            f"tok{i}x{j}" for j in range(30))))  # disjoint vocab per doc
+    rows.append((2000, BASE))
+    rows.append((2001, BASE))                   # exact duplicate of 2000
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(corpus):
+    out = exact_dedup(corpus, ["text"], "doc_id")
+    kept = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert kept[2000] == 2          # survivor is min id with 2 copies
+    assert 2001 not in kept
+
+
+def test_minhash_finds_planted_pairs(corpus):
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_near_dup_pairs(corpus, "doc_id", "text",
+                                             threshold=0.5).collect()}
+    for fam in range(3):
+        assert (fam * 10, fam * 10 + 1) in pairs, f"family {fam} missed"
+    assert (2000, 2001) in pairs
+    # no unrelated filler docs should pair up
+    assert not any(a >= 1000 and a < 2000 for a, _ in pairs)
+
+
+def test_minhash_jaccard_is_exact(corpus):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_near_dup_pairs(corpus, "doc_id", "text",
+                                           threshold=0.5).collect()}
+    assert out[(2000, 2001)] == pytest.approx(1.0)
+
+
+def test_simhash_finds_planted_pairs(corpus):
+    pairs = {(r.id_a, r.id_b)
+             for r in simhash_near_dup_pairs(corpus, "doc_id", "text",
+                                             max_hamming=12).collect()}
+    assert (2000, 2001) in pairs
+    hams = {(r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(corpus, "doc_id", "text",
+                                            max_hamming=12).collect()}
+    assert hams[(2000, 2001)] == 0
+
+
+def test_ngram_jaccard_blocked(corpus):
+    blocked = corpus.withColumn("blk", F.lit(1))
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(blocked, "doc_id", "text",
+                                          threshold=0.5,
+                                          block_on="blk").collect()}
+    assert pairs[(2000, 2001)] == pytest.approx(1.0)
+    for fam in range(3):
+        assert (fam * 10, fam * 10 + 1) in pairs
