@@ -945,3 +945,58 @@ FROM fp ORDER BY doc_id
 
 
 _register_text_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Streaming operators in batch form (§2.9 item 9; incremental execution
+# equivalence is proven in tests/test_streaming.py via Trigger.AvailableNow)
+# ---------------------------------------------------------------------------
+
+@query("q38_session_windows", oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""")
+def q38_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute inactivity gap) per user — Spark's
+    session_window operator; the oracle is the classic gaps-and-islands
+    SQL, proving the operator's session semantics exactly. Streaming mode
+    runs the same expression with watermarked state."""
+    from etl_load_spark.streaming.windows import session_windows
+    e = t(spark, sf_dir, "events")
+    return (session_windows(e, gap="10 minutes")
+            .select("user_id", "session_start", "n_events")
+            .orderBy("user_id", "session_start"))
+
+
+@query("q39_sliding_windows", oracle="""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS bkt FROM events),
+x AS (
+  SELECT event_type, bkt AS window_start FROM b
+  UNION ALL
+  SELECT event_type, bkt - INTERVAL 30 MINUTE FROM b)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour window, 30-minute slide. The
+    oracle expands each event into its two member windows — semantics
+    identical to Spark's window(ts, '1 hour', '30 minutes')."""
+    from etl_load_spark.streaming.windows import sliding_counts
+    e = t(spark, sf_dir, "events")
+    return (sliding_counts(e, window="1 hour", slide="30 minutes")
+            .orderBy("window_start", "event_type"))

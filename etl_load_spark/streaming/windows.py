@@ -1,0 +1,123 @@
+"""Structured Streaming operators over event streams (SURVEY.md §2.7).
+
+The reference's Kafka/AQ layer moves job configs, not data (§1.4); these
+operators are the data-plane extension: watermarked event-time windows
+(tumbling / sliding / session), within-watermark dedup, and stateful
+sessionization — expressed so the *same* aggregation runs in batch mode for
+oracle checks and incrementally under a streaming trigger.
+
+Test strategy (§5.5): every streaming query here is executed with
+``Trigger.AvailableNow`` into a memory sink and must equal its batch
+formulation; session windows additionally match a gaps-and-islands SQL
+oracle (tests/test_streaming.py).
+
+Scale: streaming state is keyed by (window, group) — state store size is
+bounded by watermark horizon × key cardinality, not stream length; late
+data beyond the watermark is dropped deterministically.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def open_event_stream(spark: SparkSession, sf_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over the events parquet (schema fixed up like
+    session.read_table: int64-nanos ts → timestamp)."""
+    import os
+    import tempfile
+
+    # the file-stream source needs a directory; expose the single-file
+    # table through a symlinked temp dir (no data copy)
+    stream_dir = tempfile.mkdtemp(prefix="etl_events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet",
+               os.path.join(stream_dir, "events.parquet"))
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        static = spark.read.parquet(f"{sf_dir}/events.parquet")
+        reader = spark.readStream.schema(static.schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = reader.parquet(stream_dir)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked sliding (hopping) window counts."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events"))
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Works in both batch and streaming mode (session_window is
+    supported for both); the batch result equals the classic
+    gaps-and-islands SQL formulation."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within the
+    watermark horizon are dropped; state for old keys is evicted."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark) \
+                     .dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a memory
+    sink and return the final result as a batch DataFrame (test harness for
+    batch-equivalence; complete output mode so aggregates are final)."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream
+         .format("memory").queryName(name)
+         .outputMode("complete" if stream_df.isStreaming else "append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+def run_available_now_append(stream_df: DataFrame,
+                             query_name: str | None = None) -> DataFrame:
+    """Append-mode variant (for row-level streams like dedup)."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream
+         .format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,126 @@
+"""Streaming equivalence (SURVEY.md §5.5): every streaming query under
+Trigger.AvailableNow must equal its batch formulation; session windows also
+match the gaps-and-islands SQL oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_load_spark.session import read_table
+from etl_load_spark.streaming.windows import (
+    dedup_within_watermark, open_event_stream, run_available_now,
+    run_available_now_append, session_windows, sliding_counts,
+    tumbling_counts,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, sf_dir):
+    return open_event_stream(spark, sf_dir)
+
+
+def test_tumbling_stream_equals_batch(batch_events, stream_events):
+    batch = tumbling_counts(batch_events)
+    stream = run_available_now(tumbling_counts(stream_events))
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_sliding_stream_equals_batch(batch_events, stream_events):
+    batch = sliding_counts(batch_events)
+    stream = run_available_now(sliding_counts(stream_events))
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_session_stream_equals_batch(batch_events, stream_events):
+    batch = session_windows(batch_events, gap="10 minutes")
+    stream = run_available_now(session_windows(stream_events, gap="10 minutes"))
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_session_matches_gaps_and_islands_sql(spark, batch_events):
+    """session_window == classic SQL sessionization (lag + cumulative gap
+    count) — the portable formulation a DuckDB oracle can run."""
+    batch_events.createOrReplaceTempView("ev")
+    sql = spark.sql("""
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 10 MINUTES
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev),
+      s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+    """)
+    got = session_windows(batch_events, gap="10 minutes")
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(sql, cols)
+
+
+def test_dedup_within_watermark(spark, stream_events, batch_events):
+    stream = run_available_now_append(
+        dedup_within_watermark(stream_events, ["user_id", "event_type"]))
+    # every (user_id, event_type) appears exactly once
+    dups = (stream.groupBy("user_id", "event_type")
+            .count().filter(F.col("count") > 1).count())
+    assert dups == 0
+    assert stream.count() == (batch_events
+                              .select("user_id", "event_type")
+                              .distinct().count())
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Two micro-batches: the second delivers an event older than the
+    watermark horizon → it must be dropped from the aggregate."""
+    import time
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    chk = str(tmp_path / "chk")
+    from datetime import datetime
+    sch = "ts timestamp, k string"
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    b1 = spark.createDataFrame(
+        [(ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 12:00:00"), "a")], sch)
+    b1.write.mode("append").parquet(str(src_dir))
+    out_dir = str(tmp_path / "out")
+    stream = (spark.readStream.schema(b1.schema).parquet(str(src_dir))
+              .withWatermark("ts", "30 minutes")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("ws"), "k", "n"))
+
+    def run_once():
+        q = (stream.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # late event: 10:30 is older than max_ts(12:00) - 30min watermark
+    b2 = spark.createDataFrame([(ts("2024-01-01 10:30:00"), "a")], sch)
+    b2.write.mode("append").parquet(str(src_dir))
+    run_once()
+    time.sleep(1)
+    out = [(str(r["ws"]), r["k"], r["n"])
+           for r in spark.read.parquet(out_dir).collect()]
+    # the 10:00 window was finalized with exactly 1 event; the late 10:30
+    # event must not re-open it or create a second emission
+    assert out.count(("2024-01-01 10:00:00", "a", 1)) == 1
+    assert ("2024-01-01 10:00:00", "a", 2) not in out
