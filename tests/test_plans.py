@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the 100 TB posture checks (SURVEY.md §4).
+
+A query that returns correct rows through a bad plan fails here: filters
+must reach the parquet scan, column pruning must shrink ReadSchema, small
+dims must broadcast, aggregates must have a map-side partial phase, and the
+relational path must be Python-free (no BatchEvalPython / ArrowEvalPython).
+"""
+
+import pytest
+
+from etl_load_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str, execute: bool = False) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    if execute:
+        df.collect()  # finalize AQE so codegen stages appear
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_filter_predicates")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "In(o_orderstatus" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # lineitem has 11 columns; the scan must read only the 7 the query uses
+    import re
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+    assert len(read_cols) <= 7
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_join_left_chain")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_revenue_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_top_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_top_revenue")
+    assert "TakeOrderedAndProject" in plan, "limit+orderBy should not global-sort"
+
+
+def test_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # two-phase agg: partial_ functions before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_semi_join_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q06_join_semi")
+    assert "LeftSemi" in plan
+
+
+def test_no_python_in_relational_path(spark, sf_dir):
+    for name in ("q01_pricing_summary", "q03_top_revenue", "q10_window_rank",
+                 "q25_dedup_exact", "q33_text_stats", "q30_sim_topk",
+                 "q27_dedup_minhash"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+        assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses a UDF"
+
+
+def test_multimodal_uses_arrow_not_rowudf(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q37_multimodal_features")
+    assert "MapInPandas" in plan or "ArrowEval" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_band_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q36_band_join")
+    # the banded rewrite must produce a hash-based equi join on the bucket
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary", execute=True)
+    # codegen'd operators carry the *(stage) prefix in the final plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+@pytest.mark.parametrize("name", ["q27_dedup_minhash", "q28_dedup_simhash",
+                                  "q31_sim_topk_lsh", "q32_embedding_near_dup"])
+def test_lsh_ops_join_on_buckets(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} fell back to all-pairs"
+    assert "CartesianProduct" not in plan, f"{name} fell back to cartesian"
