@@ -1000,3 +1000,195 @@ def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (sliding_counts(e, window="1 hour", slide="30 minutes")
             .orderBy("window_start", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot / array functions (§2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+@query("q40_grouping_sets", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""")
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (the general form behind
+    rollup/cube)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+@query("q41_pivot", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation); the oracle is the portable conditional-
+    aggregation form — identical semantics."""
+    l = t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.sum(dec("l_quantity")).cast("double"))
+            .withColumnRenamed("O", "qty_O").withColumnRenamed("F", "qty_F")
+            .orderBy("l_returnflag"))
+
+
+@query("q42_array_explode", oracle="""
+SELECT p_partkey,
+       unnest(string_split(p_name, ' ')) AS word,
+       CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos
+FROM part ORDER BY p_partkey, pos
+""")
+def q42_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array constructor + posexplode (lateral view) — §2.6 array natives."""
+    p = t(spark, sf_dir, "part")
+    return (p.select("p_partkey",
+                     F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
+            .select("p_partkey", "word", F.col("pos").cast("int").alias("pos"))
+            .orderBy("p_partkey", "pos"))
+
+
+@query("q43_array_agg", oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""")
+def q43_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted array → string join (deterministic array agg).
+    Output is a scalar join-string so hashing is array-layout-agnostic."""
+    o = t(spark, sf_dir, "orders")
+    arr = F.sort_array(F.collect_set("o_orderstatus"))
+    return (o.groupBy("o_custkey")
+            .agg(F.concat_ws(",", arr).alias("statuses"),
+                 F.size(F.collect_set("o_orderstatus")).cast("int")
+                  .alias("n_statuses"))
+            .orderBy("o_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# Ingest/egress round trips through the engine connectors (§2.9 item 1)
+# ---------------------------------------------------------------------------
+
+def _roundtrip_dir(sf_dir: str, tag: str) -> str:
+    import tempfile
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{tempfile.gettempdir()}/etl_roundtrip_{tag}_{sf_tag}"
+
+
+@query("q44_csv_roundtrip", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS n_null_prio
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def q44_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S8 fidelity: orders → engine CSV writer (header, quoting,
+    null→empty) → engine CSV reader (declared schema, empty→null) →
+    aggregate must equal the oracle computed on the original parquet.
+    NULLs are injected into a string column to exercise the null↔empty
+    contract (ETLCoreCsvFileWriter.java:161-171)."""
+    from etl_load_spark.sources.registry import read_source, write_sink
+    from etl_load_spark.spec import EndpointConfig
+
+    path = _roundtrip_dir(sf_dir, "csv")
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    write_sink(src, EndpointConfig("FILE_CSV", {"path": path, "header": True}))
+    back = read_source(spark, EndpointConfig("FILE_CSV", {
+        "path": path, "header": True,
+        "schema": ("o_orderkey bigint, o_orderstatus string, "
+                   "o_totalprice double, o_orderpriority string")}))
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "total_price"),
+                 F.count_if(F.col("o_orderpriority").isNull())
+                  .alias("n_null_prio"))
+            .orderBy("o_orderstatus"))
+
+
+def _q44_oracle_fixup():
+    # the roundtrip injects nulls for o_orderkey % 7 == 0; mirror in oracle
+    QUERIES["q44_csv_roundtrip"].oracle = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_null_prio
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+_q44_oracle_fixup()
+
+
+@query("q45_json_roundtrip", oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def q45_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 FILE_JSON fidelity: events → line-delimited JSON writer → JSON
+    reader with declared schema → aggregate equals parquet-direct oracle
+    (timestamps excluded from the aggregate; JSON serializes them as
+    strings)."""
+    from etl_load_spark.sources.registry import read_source, write_sink
+    from etl_load_spark.spec import EndpointConfig
+
+    path = _roundtrip_dir(sf_dir, "json")
+    src = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    write_sink(src, EndpointConfig("FILE_JSON", {"path": path}))
+    back = read_source(spark, EndpointConfig("FILE_JSON", {
+        "path": path,
+        "schema": "event_id bigint, event_type string, value double"}))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", "total_value"))
+            .orderBy("event_type"))
+
+
+@query("q46_fixed_width", oracle="""
+SELECT n_nationkey AS nation_key, upper(trim(n_name)) AS nation,
+       n_regionkey AS region_key
+FROM nation ORDER BY nation_key
+""")
+def q46_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 FILE_FIXED end-to-end: nation rendered as fixed-width text lines,
+    read back through the engine's fileColumnPosition substring mappings
+    (etlModel.java:96-97) with casts and an UPPERCASE rule."""
+    from etl_load_spark.plans.builder import build_plan
+    from etl_load_spark.spec import JobSpec
+
+    path = _roundtrip_dir(sf_dir, "fixed")
+    n = t(spark, sf_dir, "nation")
+    lines = n.select(F.format_string("%-6d%-20s%-4d",
+                                     F.col("n_nationkey"), F.col("n_name"),
+                                     F.col("n_regionkey")).alias("value"))
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    spec = JobSpec.from_dict({
+        "jobId": "fixed_width_read",
+        "source": {"type": "FILE_FIXED", "path": path},
+        "mappings": [
+            {"source": "value", "dest": "nation_key", "destFieldType": "INTEGER",
+             "fileColumnPosition": "1-6"},
+            {"source": "value", "dest": "nation", "destFieldType": "STRING",
+             "fileColumnPosition": "7-26", "transformationRule": "UPPERCASE"},
+            {"source": "value", "dest": "region_key", "destFieldType": "INTEGER",
+             "fileColumnPosition": "27-30"},
+        ],
+        "orderBy": ["nation_key"],
+    })
+    return build_plan(spark, spec)
