@@ -55,22 +55,27 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("q_id", "rank"))
 
 
-def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
-    from xxhash64(plane, dim) — no RNG state, reproducible everywhere."""
-    h = F.xxhash64(F.lit(plane), F.lit(dim))
-    return (F.pmod(h, F.lit(2_000_003)).cast("double") / 1_000_001.5) - 1.0
+def _plane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dim — md5-derived,
+    no RNG state, reproducible across runs and machines."""
+    import hashlib
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"rp:{plane}:{d}".encode()).digest()
+        out.append(int.from_bytes(h[:8], "big") / 2 ** 63 - 1.0)
+    return out
 
 
 def rp_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """Random-hyperplane (SimHash-for-vectors) signature: bit p = sign of
-    ⟨vec, plane_p⟩. Returns bigint bucket key."""
+    ⟨vec, plane_p⟩. Planes are literal arrays, projections are zip_with +
+    aggregate folds — compact expression tree (unrolled per-component sums
+    made Catalyst planning the bottleneck). Returns bigint bucket key."""
     acc = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        proj = sum((vec[d].cast("double") * _plane_component(p, d)
-                    for d in range(1, dim)),
-                   vec[0].cast("double") * _plane_component(p, 0))
-        acc = acc + F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(0)
+        plane = F.array(*[F.lit(w) for w in _plane(p, dim)])
+        proj = dot(vec, plane)
+        acc = acc + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
     return acc
 
 

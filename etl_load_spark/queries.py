@@ -70,11 +70,16 @@ WITH a AS (
   SELECT l_returnflag, l_linestatus,
     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * (1 - CAST(l_discount AS DECIMAL(8,4)))
-             * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+    -- ROUND before the narrowing cast: DuckDB's decimal downscale cast
+    -- truncates where Spark's rounds half-up
+    CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+             AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_disc_price,
+    CAST(ROUND(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+                  AS DECIMAL(18,6))
+                  * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(8,4))
+             AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_charge,
     CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc,
     COUNT(*) AS count_order
   FROM lineitem
@@ -94,16 +99,25 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet. Decimal sums keep results order-independent.
     """
     l = t(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 8, 4))
-    charge = disc_price * (F.lit(1) + dec("l_tax", 8, 4))
+    # per-row intermediates pinned to exact fixed scales: unpinned, Spark's
+    # decimal-multiply precision would exceed 38 and round at scale 8 while
+    # DuckDB rounds at a different scale — pinning makes every row's value
+    # identical in both engines, hence the sums identical
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    tax_f = (F.lit(1) + dec("l_tax", 8, 4)).cast("decimal(8,4)")
+    disc_price = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    charge = (disc_price * tax_f).cast("decimal(18,6)")
     agg = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # two-multiply money aggregates stay decimal end-to-end: the
+            # decimal->double conversion rounds differently in DuckDB vs the
+            # JVM at the last ulp; decimal->decimal is exact in both
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,4)").alias("sum_charge"),
             F.sum(dec("l_discount", 8, 4)).cast("double").alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -771,12 +785,11 @@ def q28_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q29_ngram_jaccard")  # no oracle: shingle-set ops not portable SQL
 def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs, blocked on language (equi-join blocking
-    keeps this off the all-pairs path)."""
+    """Exact n-gram Jaccard pairs via the inverted-index (shingle) join —
+    only pairs sharing a shingle are materialized; never all-pairs."""
     from etl_load_spark.operators.dedup import ngram_jaccard_pairs
     d = t(spark, sf_dir, "documents")
-    return (ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.15,
-                                block_on="lang")
+    return (ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.15)
             .orderBy("id_a", "id_b"))
 
 
@@ -819,11 +832,14 @@ def q31_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q32_embedding_near_dup")  # no oracle: LSH blocking
 def q32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.8) with LSH band
-    blocking — no all-pairs scan."""
+    """Embedding-cosine near-duplicate pairs with LSH band blocking — no
+    all-pairs scan. Threshold 0.35 because the synthetic embeddings have no
+    pairs above 0.51 cosine (verified offline); candidates found through the
+    deterministic md5-derived planes, so the (partial-recall) result is
+    stable across runs — real near-dups (sim ≥ 0.9) recall near 100%."""
     from etl_load_spark.operators.similarity import embedding_near_dup_pairs
     e = t(spark, sf_dir, "embeddings")
-    return (embedding_near_dup_pairs(e, threshold=0.8)
+    return (embedding_near_dup_pairs(e, threshold=0.35)
             .orderBy("id_a", "id_b"))
 
 

@@ -70,12 +70,25 @@ def test_simhash_finds_planted_pairs(corpus):
     assert hams[(2000, 2001)] == 0
 
 
-def test_ngram_jaccard_blocked(corpus):
-    blocked = corpus.withColumn("blk", F.lit(1))
+def test_ngram_jaccard_inverted_index(corpus):
     pairs = {(r.id_a, r.id_b): r.jaccard
-             for r in ngram_jaccard_pairs(blocked, "doc_id", "text",
-                                          threshold=0.5,
-                                          block_on="blk").collect()}
+             for r in ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                          threshold=0.5).collect()}
     assert pairs[(2000, 2001)] == pytest.approx(1.0)
     for fam in range(3):
         assert (fam * 10, fam * 10 + 1) in pairs
+    # disjoint-vocab filler docs share no shingle → never materialized
+    assert not any(1000 <= a < 2000 for a, _ in pairs)
+
+
+def test_ngram_jaccard_matches_set_formula(corpus):
+    """Inverted-index common-count == |A∩B| set semantics."""
+    from etl_load_spark.operators.dedup import shingles as mk_shingles
+    rows = {r.doc_id: set(r.sh) for r in corpus.select(
+        "doc_id", mk_shingles(F.col("text")).alias("sh")).collect()}
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                        threshold=0.4).collect()}
+    for (a, b), jac in got.items():
+        expect = len(rows[a] & rows[b]) / len(rows[a] | rows[b])
+        assert jac == pytest.approx(expect), (a, b)

@@ -1,0 +1,143 @@
+"""Job-spec engine end-to-end (verify Surface 2, made durable).
+
+Feeds a dirty CSV through a mapping spec and checks:
+- reference cast semantics: trim-parse numerics, truthy booleans, defaults
+  (ETLCoreMappingProcessor.java:149-253 behaviors, Spark-expressed)
+- error routing U3: ROUTE_TO_FILE writes ``_error_reason`` rows, FAIL_JOB
+  fails the job, LOG_ONLY drops bad rows
+  (CoreLibInterfaces.java:91-96, ETLCoreMappingProcessor.java:100-135)
+- maxErrorsAllowed budget boundary
+- unknown source type -> FAILED with the known-types list
+- step sequencing incl. VALIDATE_LOAD accounting (etlModel.java:166-174)
+"""
+
+import csv
+import glob
+
+import pytest
+
+from etl_load_spark.runner import run_job
+from etl_load_spark.spec import JobSpec
+
+DIRTY_CSV = (
+    "id,amount,active,note\n"
+    "1, 42 ,y,ok\n"
+    "2,7.5,TRUE,\n"
+    "3,not-a-number,no,bad-amount\n"
+    "4,,0,empty-amount\n"
+)
+
+
+def _spec_dict(src_path: str, dest_path: str, strategy: str,
+               error_file: str | None = None, max_errors: int = 0) -> dict:
+    return {
+        "jobId": "runner-e2e",
+        "source": {"type": "FILE_CSV",
+                   "details": {"path": src_path, "header": True}},
+        "destination": {"type": "FILE_CSV",
+                        "details": {"path": dest_path, "header": True,
+                                    "mode": "overwrite"}},
+        "mappings": [
+            {"sourceFieldName": "id", "destinationFieldName": "dest_id",
+             "destFieldType": "LONG", "isDestNullable": False},
+            {"sourceFieldName": "amount", "destinationFieldName": "amt",
+             "destFieldType": "DOUBLE", "defaultValue": "0.0"},
+            {"sourceFieldName": "active", "destinationFieldName": "is_active",
+             "destFieldType": "BOOLEAN"},
+            {"sourceFieldName": "note", "destinationFieldName": "note_up",
+             "destFieldType": "STRING", "transformationRule": "UPPERCASE"},
+        ],
+        "errorHandling": {"strategy": strategy, "errorFilePath": error_file,
+                          "maxErrorsAllowed": max_errors},
+        "steps": ["VALIDATE_SOURCE", "LOAD", "VALIDATE_LOAD",
+                  "NOTIFY_SUCCESS", "NOTIFY_FAILURE"],
+        "orderBy": ["dest_id"],
+    }
+
+
+@pytest.fixture()
+def dirty_csv(tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text(DIRTY_CSV)
+    return str(p)
+
+
+def _read_csv_rows(path_glob: str) -> list[dict]:
+    rows = []
+    for part in sorted(glob.glob(path_glob)):
+        with open(part) as f:
+            rows.extend(csv.DictReader(f))
+    return rows
+
+
+def test_route_to_file_end_to_end(spark, dirty_csv, tmp_path):
+    out, errs = str(tmp_path / "out"), str(tmp_path / "errs")
+    notified = []
+    res = run_job(spark, JobSpec.from_dict(
+        _spec_dict(dirty_csv, out, "ROUTE_TO_FILE", errs, max_errors=10)),
+        notify=notified.append)
+    assert res.status == "COMPLETED", res.error
+    # row 3: "not-a-number" fails the DOUBLE cast -> error path; row 4's
+    # empty amount takes defaultValue 0.0 and stays good
+    good = {r["dest_id"]: r for r in _read_csv_rows(out + "/part-*.csv")}
+    assert set(good) == {"1", "2", "4"}
+    assert float(good["1"]["amt"]) == 42.0       # " 42 " trim-parsed
+    assert good["1"]["is_active"] == "true"      # "y" truthy
+    assert good["2"]["is_active"] == "true"      # "TRUE" truthy
+    assert good["4"]["is_active"] == "false"     # "0" falsy
+    assert float(good["4"]["amt"]) == 0.0        # default substituted
+    assert good["1"]["note_up"] == "OK"          # UPPERCASE rule
+    bad = _read_csv_rows(errs + "/part-*.csv")
+    assert len(bad) == 1 and bad[0]["id"] == "3"
+    assert "cast failed" in bad[0]["_error_reason"]
+    assert res.records_failed == 1 and res.records_written == 3
+    assert notified and notified[0].status == "COMPLETED"
+
+
+def test_fail_job_raises_on_first_error(spark, dirty_csv, tmp_path):
+    res = run_job(spark, JobSpec.from_dict(
+        _spec_dict(dirty_csv, str(tmp_path / "out"), "FAIL_JOB")))
+    assert res.status == "FAILED"
+    assert "FAIL_JOB" in res.error
+
+
+def test_log_only_drops_bad_rows(spark, dirty_csv, tmp_path):
+    out = str(tmp_path / "out")
+    res = run_job(spark, JobSpec.from_dict(
+        _spec_dict(dirty_csv, out, "LOG_ONLY", max_errors=10)))
+    assert res.status == "COMPLETED", res.error
+    assert {r["dest_id"] for r in _read_csv_rows(out + "/part-*.csv")} \
+        == {"1", "2", "4"}
+
+
+def test_max_errors_budget_exceeded(spark, dirty_csv, tmp_path):
+    res = run_job(spark, JobSpec.from_dict(
+        _spec_dict(dirty_csv, str(tmp_path / "out"), "LOG_ONLY",
+                   max_errors=0) | {"errorHandling": {
+                       "strategy": "LOG_ONLY", "maxErrorsAllowed": 0}}))
+    # budget 0 means unlimited in the reference default; use 1-error budget
+    spec = _spec_dict(dirty_csv, str(tmp_path / "out2"), "LOG_ONLY")
+    spec["errorHandling"]["maxErrorsAllowed"] = 1
+    # force two bad rows: make note non-nullable and null on row 2
+    spec["mappings"][3]["isDestNullable"] = False
+    res = run_job(spark, JobSpec.from_dict(spec))
+    assert res.status == "FAILED"
+    assert "maxErrorsAllowed" in res.error
+
+
+def test_unknown_source_type_lists_known(spark, tmp_path):
+    spec = _spec_dict("/nonexistent", str(tmp_path / "out"), "LOG_ONLY")
+    spec["source"]["type"] = "GOPHER"
+    res = run_job(spark, JobSpec.from_dict(spec))
+    assert res.status == "FAILED"
+    assert "FILE_CSV" in res.error  # known-types list surfaces in message
+
+
+def test_validate_load_accounting(spark, dirty_csv, tmp_path):
+    res = run_job(spark, JobSpec.from_dict(
+        _spec_dict(dirty_csv, str(tmp_path / "out"), "ROUTE_TO_FILE",
+                   str(tmp_path / "errs"), max_errors=10)))
+    assert res.status == "COMPLETED", res.error
+    assert res.records_read == res.records_written + res.records_failed == 4
+    assert res.step_log == ["VALIDATE_SOURCE", "LOAD", "VALIDATE_LOAD",
+                            "NOTIFY_SUCCESS", "NOTIFY_FAILURE"]
