@@ -116,6 +116,67 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("q_id", "rank"))
 
 
+def fit_centroids(vectors: DataFrame, vec_col: str = "embedding",
+                  n_cells: int = 16, seed: int = 42,
+                  max_iter: int = 20) -> list[list[float]]:
+    """IVF coarse quantizer: k-means cell centers via pyspark.ml.
+
+    At corpus scale, fit on a bounded sample (k-means quality needs only
+    O(cells · dim) information); assignment is a full-corpus map-side pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    data = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(data)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def nearest_cells(vec: Column, centroids: list[list[float]],
+                  n_probe: int = 1) -> Column:
+    """The ``n_probe`` nearest centroid ids for ``vec`` (array<int>), by
+    squared L2. Centroids ride as literal arrays — evaluated JVM-side per
+    row, no shuffle, no Python."""
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scored = F.transform(
+        cent,
+        lambda c, i: F.struct(
+            F.aggregate(F.zip_with(vec, c,
+                                   lambda x, y: (x.cast("double") - y) ** 2),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            i.alias("cell")))
+    return F.transform(F.slice(F.array_sort(scored), 1, n_probe),
+                       lambda s: s["cell"])
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 16, n_probe: int = 4,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, probe the n_probe
+    nearest cells per query, exact cosine re-scoring of cell members only.
+
+    The scale path when the corpus outgrows broadcast: corpus partitioned
+    (and pre-partitionable/bucketable) by cell id; each query touches
+    n_probe/n_cells of the data. Recall rises with n_probe (n_probe =
+    n_cells degrades gracefully to exact brute force)."""
+    cents = centroids or fit_centroids(vectors, vec_col, n_cells)
+    c = vectors.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"),
+        F.element_at(nearest_cells(F.col(vec_col), cents, 1), 1).alias("_cell"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
+        F.explode(nearest_cells(F.col(vec_col), cents, n_probe)).alias("_cell"))
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
+    return (c.join(F.broadcast(q), "_cell")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", sim.alias("cosine_sim"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 64, n_planes: int = 16,
@@ -130,7 +191,10 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     band_arr = F.array(*[
         F.shiftrightunsigned(F.col("_sig"), r * b).bitwiseAND(F.lit(mask))
         for b in range(bands)])
-    e = d.select("_id", "_v", F.posexplode(band_arr).alias("_band", "_key"))
+    e = (d.select("_id", "_v", F.posexplode(band_arr).alias("_band", "_key"))
+         # shared Exchange for both join sides (ReusedExchange) — the
+         # signature projection runs once, not twice
+         .repartition("_band", "_key"))
     a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_key")
     b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_key")
     sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)

@@ -39,6 +39,24 @@ def token_count_sql(col: str, dialect: str = "spark") -> str:
     return f"CAST(size(split({norm}, ' ')) AS BIGINT)"
 
 
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count over the raw text: letter runs, digit runs, and
+    individual punctuation marks each count as one token — the pre-merge
+    word-split shape BPE tokenizers start from. RE2-safe pattern (no
+    lookahead) so the same regex runs in Spark and DuckDB."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))) \
+        .cast("bigint")
+
+
+def token_count_bpe_sql(col: str, dialect: str = "spark") -> str:
+    if dialect == "duckdb":
+        return f"CAST(len(regexp_extract_all({col}, '{BPE_TOKEN_RE}')) AS BIGINT)"
+    return f"CAST(size(regexp_extract_all({col}, '{BPE_TOKEN_RE}', 0)) AS BIGINT)"
+
+
 def _count_occurrences(text: Column, word: str) -> Column:
     """# of occurrences of ``word`` as a token, via padded-replace trick
     (identical semantics in any SQL dialect)."""

@@ -785,11 +785,15 @@ def q28_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q29_ngram_jaccard")  # no oracle: shingle-set ops not portable SQL
 def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs via the inverted-index (shingle) join —
-    only pairs sharing a shingle are materialized; never all-pairs."""
+    """n-gram Jaccard pairs via the inverted-index (shingle) join — only
+    pairs sharing a shingle are materialized; never all-pairs. Shingles in
+    >100 documents are dropped from the index (hot-key defense: a stop-
+    shingle in d docs costs d² join rows; pairs connected solely through
+    ubiquitous shingles sit far below any useful threshold)."""
     from etl_load_spark.operators.dedup import ngram_jaccard_pairs
     d = t(spark, sf_dir, "documents")
-    return (ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.15)
+    return (ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.15,
+                                max_shingle_df=100)
             .orderBy("id_a", "id_b"))
 
 
@@ -830,6 +834,18 @@ def q31_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+@query("q47_sim_topk_ivf")  # no oracle: approximate by design (IVF probes)
+def q47_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (pyspark.ml, fixed
+    seed), probe the 4 nearest of 8 cells per query, exact cosine re-score
+    of cell members only — the ANN path when the corpus outgrows broadcast.
+    Recall vs the exact baseline is asserted in tests/test_similarity.py."""
+    from etl_load_spark.operators.similarity import ivf_topk
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5,
+                    n_cells=8, n_probe=4)
+
+
 @query("q32_embedding_near_dup")  # no oracle: LSH blocking
 def q32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with LSH band blocking — no
@@ -857,6 +873,7 @@ def q33_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
         tx.stopword_count(F.col("text")).alias("n_stopwords"),
         tx.punct_count(F.col("text")).cast("bigint").alias("n_punct"),
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"))
@@ -869,11 +886,14 @@ def q34_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the declared lang column."""
     from etl_load_spark.operators import text as tx
     d = t(spark, sf_dir, "documents")
-    pred = tx.predict_lang(F.col("text"))
-    return (d.select("doc_id", F.col("lang").alias("declared_lang"),
-                     pred.alias("predicted_lang"),
-                     (F.col("lang") == pred).alias("is_match"))
-            .orderBy("doc_id"))
+    # bind the (expensive) marker-count expression to its own projection so
+    # the is_match comparison reuses it instead of recomputing all counts
+    scored = d.select("doc_id", F.col("lang").alias("declared_lang"),
+                      tx.predict_lang(F.col("text")).alias("predicted_lang"))
+    return (scored.select(
+        "doc_id", "declared_lang", "predicted_lang",
+        (F.col("declared_lang") == F.col("predicted_lang")).alias("is_match"))
+        .orderBy("doc_id"))
 
 
 @query("q35_text_fingerprint")
@@ -941,6 +961,7 @@ FROM n GROUP BY norm_text ORDER BY doc_id
     QUERIES["q33_text_stats"].oracle = f"""
 SELECT doc_id,
        {tx.token_count_sql('text', d)} AS n_tokens,
+       {tx.token_count_bpe_sql('text', d)} AS n_tokens_bpe,
        {tx.stopword_count_sql('text', d)} AS n_stopwords,
        {tx.punct_count_sql('text', d)} AS n_punct,
        round({tx.quality_score_sql('text', d)}, 6) AS quality
@@ -995,6 +1016,33 @@ def q38_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (session_windows(e, gap="10 minutes")
             .select("user_id", "session_start", "n_events")
             .orderBy("user_id", "session_start"))
+
+
+@query("q48_stateful_stats", oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micros,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def q48_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, Σ, max) state across triggers, run here under
+    Trigger.AvailableNow. Totals accumulate as integer micro-units so the
+    result is order-independent and hash-comparable to the SQL oracle —
+    this is the one streaming query the oracle CAN check exactly."""
+    from etl_load_spark.streaming.stateful import stateful_user_stats
+    from etl_load_spark.streaming.windows import (
+        open_event_stream, run_available_now_append,
+    )
+    out = run_available_now_append(
+        stateful_user_stats(open_event_stream(spark, sf_dir)))
+    # one emission per key per trigger; n_events is monotone, so the final
+    # state is the row with the max count per user
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_events", "total_micros", "max_value")
+            .orderBy("user_id"))
 
 
 @query("q39_sliding_windows", oracle="""

@@ -61,3 +61,27 @@ def test_embedding_near_dup_finds_planted(spark, vectors):
              for r in embedding_near_dup_pairs(vectors, threshold=0.99,
                                                dim=16).collect()}
     assert (0, 900) in pairs
+
+
+def test_ivf_recall_vs_exact(spark, vectors):
+    from etl_load_spark.operators.similarity import ivf_topk
+    queries = vectors.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id)
+             for r in cosine_topk(vectors, queries, k=3).collect()}
+    approx = {(r.q_id, r.n_id)
+              for r in ivf_topk(vectors, queries, k=3,
+                                n_cells=4, n_probe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, vectors):
+    """n_probe = n_cells degrades to exact brute force."""
+    from etl_load_spark.operators.similarity import ivf_topk
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = [(r.q_id, r.n_id, r.cosine_sim)
+             for r in cosine_topk(vectors, queries, k=3).collect()]
+    full = [(r.q_id, r.n_id, r.cosine_sim)
+            for r in ivf_topk(vectors, queries, k=3,
+                              n_cells=4, n_probe=4).collect()]
+    assert exact == full

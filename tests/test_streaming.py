@@ -124,3 +124,20 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     # event must not re-open it or create a second emission
     assert out.count(("2024-01-01 10:00:00", "a", 1)) == 1
     assert ("2024-01-01 10:00:00", "a", 2) not in out
+
+
+def test_stateful_stats_stream_equals_batch(spark, batch_events, stream_events):
+    """applyInPandasWithState final emissions == batch aggregate (exact:
+    totals ride as integer micro-units, order-independent)."""
+    from pyspark.sql import Window as W
+    from etl_load_spark.streaming.stateful import stateful_user_stats
+
+    out = run_available_now_append(stateful_user_stats(stream_events))
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (out.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("user_id", "n_events", "total_micros", "max_value"))
+    batch = stateful_user_stats(batch_events)
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
