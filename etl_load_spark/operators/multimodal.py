@@ -34,14 +34,16 @@ FEATURE_SCHEMA = "media_id bigint, feature array<float>, feat_dim int"
 
 def fake_decode(content: bytes) -> list[float]:
     """Deterministic stand-in for a real image/audio decoder: a 16-bin byte
-    histogram, normalized. Replace with a real kernel in production."""
+    histogram, normalized. Vectorized (numpy) — a per-byte Python loop made
+    the decode stage the pipeline bottleneck. Replace with a real kernel in
+    production."""
     if content is None:
         return [0.0] * 16
-    hist = [0] * 16
-    for b in content:
-        hist[b >> 4] += 1
-    n = max(len(content), 1)
-    return [h / n for h in hist]
+    import numpy as np
+    arr = np.frombuffer(content, dtype=np.uint8)
+    n = max(len(arr), 1)
+    hist = np.bincount(arr >> 4, minlength=16)[:16]
+    return (hist / n).tolist()
 
 
 def real_decode(content: bytes) -> list[float]:
@@ -55,8 +57,15 @@ def real_decode(content: bytes) -> list[float]:
 def extract_features(media: DataFrame,
                      decoder: Callable[[bytes], list[float]] = fake_decode,
                      content_col: str = "content",
-                     id_col: str = "media_id") -> DataFrame:
-    """binary content → feature vector via Arrow-batched mapInPandas."""
+                     id_col: str = "media_id",
+                     min_parallelism: int | None = None) -> DataFrame:
+    """binary content → feature vector via Arrow-batched mapInPandas.
+
+    Decode is CPU-bound Python: parallelism equals partition count, and a
+    small/compacted source can arrive as one partition — repartition up to
+    the cluster's default parallelism first (a corpus-linear shuffle buys
+    N-way decode; at 100 TB the source is already many partitions and this
+    is a no-op)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -67,6 +76,10 @@ def extract_features(media: DataFrame,
                 "feat_dim": feats.map(len).astype("int32"),
             })
 
+    sc = media.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if media.rdd.getNumPartitions() < target:
+        media = media.repartition(target)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

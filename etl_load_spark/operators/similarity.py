@@ -68,15 +68,45 @@ def _plane(plane: int, dim: int) -> list[float]:
 
 def rp_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """Random-hyperplane (SimHash-for-vectors) signature: bit p = sign of
-    ⟨vec, plane_p⟩. Planes are literal arrays, projections are zip_with +
-    aggregate folds — compact expression tree (unrolled per-component sums
-    made Catalyst planning the bottleneck). Returns bigint bucket key."""
+    ⟨vec, plane_p⟩. Returns bigint bucket key. Convenience Column form —
+    hot paths use ``rp_signatures`` (HOF folds are interpreted per element)."""
     acc = F.lit(0).cast("bigint")
     for p in range(n_planes):
         plane = F.array(*[F.lit(w) for w in _plane(p, dim)])
         proj = dot(vec, plane)
         acc = acc + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
     return acc
+
+
+def rp_signatures(vectors: DataFrame, id_col: str, vec_col: str,
+                  dim: int, n_planes: int = 16) -> DataFrame:
+    """(_id, _sig) random-hyperplane signatures via posexplode + n_planes
+    codegen'd sum-aggregates — the throughput form of ``rp_signature``
+    (zip_with/aggregate folds are interpreted per element; explode + sum()
+    stays in whole-stage codegen with map-side partial aggregation)."""
+    ex = vectors.select(F.col(id_col).alias("_id"),
+                        F.posexplode(F.col(vec_col)).alias("_d", "_x"))
+    aggs = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in _plane(p, dim)])
+        aggs.append(F.sum(F.col("_x").cast("double")
+                          * F.element_at(plane, F.col("_d") + 1))
+                    .alias(f"_pr{p}"))
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        sig = sig + F.when(F.col(f"_pr{p}") > 0,
+                           F.lit(1 << p).cast("bigint")).otherwise(0)
+    return ex.groupBy("_id").agg(*aggs).select("_id", sig.alias("_sig"))
+
+
+def _with_sig(df: DataFrame, id_col: str, vec_col: str, prefix: str,
+              dim: int, n_planes: int) -> DataFrame:
+    """(prefix_id, _prefixv, _sig): vectors joined with their signatures."""
+    sigs = rp_signatures(df, id_col, vec_col, dim, n_planes)
+    return (df.select(F.col(id_col).alias(f"{prefix}_id"),
+                      F.col(vec_col).alias(f"_{prefix}v"))
+            .join(sigs.withColumnRenamed("_id", f"{prefix}_id"),
+                  f"{prefix}_id"))
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -93,18 +123,24 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     r = n_planes // bands
     mask = (1 << r) - 1
 
-    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
-        sig = rp_signature(F.col(vec_col), dim, n_planes)
-        d = df.select(F.col(id_col).alias(f"{prefix}_id"),
-                      F.col(vec_col).alias(f"_{prefix}v"), sig.alias("_sig"))
+    def with_bands(df: DataFrame, prefix: str, small: bool) -> DataFrame:
+        if small:
+            # query side is broadcast-small by contract: the inline Column
+            # signature avoids an aggregation+join round trip
+            d = df.select(F.col(id_col).alias(f"{prefix}_id"),
+                          F.col(vec_col).alias(f"_{prefix}v"),
+                          rp_signature(F.col(vec_col), dim, n_planes)
+                          .alias("_sig"))
+        else:
+            d = _with_sig(df, id_col, vec_col, prefix, dim, n_planes)
         band_arr = F.array(*[
             F.shiftrightunsigned(F.col("_sig"), r * b).bitwiseAND(F.lit(mask))
             for b in range(bands)])
         return d.select(f"{prefix}_id", f"_{prefix}v",
                         F.posexplode(band_arr).alias("_band", "_key"))
 
-    qb = with_bands(queries, "q")
-    cb = with_bands(vectors, "n")
+    qb = with_bands(queries, "q", small=True)
+    cb = with_bands(vectors, "n", small=False)
     sim = F.round(cosine(F.col("_qv"), F.col("_nv")), 6)
     w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
     return (qb.join(cb, ["_band", "_key"])
@@ -185,9 +221,8 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     with LSH band blocking — no all-pairs scan."""
     r = n_planes // bands
     mask = (1 << r) - 1
-    sig = rp_signature(F.col(vec_col), dim, n_planes)
-    d = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                       sig.alias("_sig"))
+    d = (_with_sig(vectors, id_col, vec_col, "x", dim, n_planes)
+         .select(F.col("x_id").alias("_id"), F.col("_xv").alias("_v"), "_sig"))
     band_arr = F.array(*[
         F.shiftrightunsigned(F.col("_sig"), r * b).bitwiseAND(F.lit(mask))
         for b in range(bands)])

@@ -67,10 +67,42 @@ def read_source(spark: SparkSession, ep: EndpointConfig) -> DataFrame:
     return fn(spark, ep.details)
 
 
-def write_sink(df: DataFrame, ep: EndpointConfig) -> dict:
+#: transient failure markers retried by write_sink — the Spark-visible
+#: analogues of the reference's IOException / SQLTransientException filter
+#: (ETLCoreMainJobExecution.java:229-249). Spark already retries *task*
+#: failures (spark.task.maxFailures); this guards whole-action failures
+#: (sink connection drops, commit races).
+_TRANSIENT_MARKERS = ("IOException", "SQLTransientException",
+                      "SQLRecoverableException", "Connection refused",
+                      "timed out", "TimeoutException")
+
+
+def _is_transient(err: Exception) -> bool:
+    s = repr(err)
+    return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+def write_sink(df: DataFrame, ep: EndpointConfig, max_attempts: int = 3,
+               backoff_sec: float = 1.0) -> dict:
+    """Write with the reference's retry policy (U4): ``max_attempts`` tries,
+    exponential backoff, transient errors only
+    (ETLCoreMainJobExecution.java:184-221). File sinks commit atomically
+    (Spark's commit protocol), so a retried attempt never double-writes;
+    JDBC appends should use staging tables or idempotent keys (SURVEY §7.5.4).
+    """
+    import time as _time
+
     try:
         fn = _WRITERS[ep.type.upper()]
     except KeyError:
         raise ValueError(f"Unsupported destination type: {ep.type!r} "
                          f"(known: {sorted(_WRITERS)})") from None
-    return fn(df, ep.details)
+    attempt = 0
+    while True:
+        try:
+            return fn(df, ep.details)
+        except Exception as e:  # noqa: BLE001 — filtered below
+            attempt += 1
+            if attempt >= max_attempts or not _is_transient(e):
+                raise
+            _time.sleep(backoff_sec * 2 ** (attempt - 1))

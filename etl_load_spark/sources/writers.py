@@ -36,12 +36,31 @@ def _apply_layout(df: DataFrame, d: dict) -> DataFrame:
 
 
 def write_parquet(df: DataFrame, d: dict) -> dict:
+    """Parquet sink. Layout knobs for scale:
+
+    - ``partition_by``: hive-style directory partitioning (partition
+      pruning on read).
+    - ``bucket_by`` (+ ``n_buckets``, optional ``sort_by``, requires
+      ``table``): pre-shuffled bucketed table — equi-joins and aggregations
+      on the bucket key then run with NO exchange (co-located join), the
+      pattern that keeps a repeated 100 TB join from re-shuffling the fact
+      table every query. Bucketed writes go through the catalog
+      (``saveAsTable``), as Spark requires.
+    """
     df, obs = _observed(_apply_layout(df, d))
     w = df.write.mode(d.get("mode", "overwrite"))
-    if d.get("partition_by"):
-        w = w.partitionBy(*d["partition_by"])
     if d.get("compression"):
         w = w.option("compression", d["compression"])
+    if d.get("bucket_by"):
+        w = w.bucketBy(int(d.get("n_buckets", 8)), *d["bucket_by"])
+        if d.get("sort_by"):
+            w = w.sortBy(*d["sort_by"])
+        if d.get("path"):
+            w = w.option("path", d["path"])
+        w.format("parquet").saveAsTable(d["table"])
+        return _finish(obs)
+    if d.get("partition_by"):
+        w = w.partitionBy(*d["partition_by"])
     w.parquet(d["path"])
     return _finish(obs)
 

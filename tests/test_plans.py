@@ -96,3 +96,27 @@ def test_lsh_ops_join_on_buckets(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} fell back to all-pairs"
     assert "CartesianProduct" not in plan, f"{name} fell back to cartesian"
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """bucket_by sinks produce co-located tables: an equi-join on the bucket
+    key plans with NO Exchange on either side (the 100 TB repeated-join
+    pattern — pre-shuffled once at write time)."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.sources.registry import write_sink
+    from etl_load_spark.spec import EndpointConfig
+
+    orders = spark.range(0, 1000).selectExpr("id AS o_key", "id % 7 AS o_val")
+    items = spark.range(0, 3000).selectExpr("id % 1000 AS i_key", "id AS i_val")
+    for name, df, key in (("t_bkt_orders", orders, "o_key"),
+                          ("t_bkt_items", items, "i_key")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_sink(df, EndpointConfig("PARQUET", {
+            "table": name, "bucket_by": [key], "n_buckets": 4,
+            "sort_by": [key], "path": str(tmp_path / name)}))
+    joined = (spark.table("t_bkt_orders").hint("merge")
+              .join(spark.table("t_bkt_items"),
+                    F.col("o_key") == F.col("i_key")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 3000

@@ -141,3 +141,30 @@ def test_validate_load_accounting(spark, dirty_csv, tmp_path):
     assert res.records_read == res.records_written + res.records_failed == 4
     assert res.step_log == ["VALIDATE_SOURCE", "LOAD", "VALIDATE_LOAD",
                             "NOTIFY_SUCCESS", "NOTIFY_FAILURE"]
+
+
+def test_write_retry_transient_only(spark, tmp_path):
+    """U4: transient sink failures retry with backoff; permanent ones don't."""
+    from etl_load_spark.sources.registry import register_writer, write_sink
+    from etl_load_spark.spec import EndpointConfig
+
+    calls = {"flaky": 0, "broken": 0}
+
+    def flaky(df, details):
+        calls["flaky"] += 1
+        if calls["flaky"] < 3:
+            raise RuntimeError("java.io.IOException: Connection refused")
+        return {"records_written": df.count()}
+
+    def broken(df, details):
+        calls["broken"] += 1
+        raise ValueError("schema mismatch")  # permanent
+
+    register_writer("FLAKY", flaky)
+    register_writer("BROKEN", broken)
+    df = spark.range(5)
+    out = write_sink(df, EndpointConfig("FLAKY", {}), backoff_sec=0.01)
+    assert out == {"records_written": 5} and calls["flaky"] == 3
+    with pytest.raises(ValueError):
+        write_sink(df, EndpointConfig("BROKEN", {}), backoff_sec=0.01)
+    assert calls["broken"] == 1  # no retry on permanent errors
