@@ -1,0 +1,80 @@
+"""Control-plane entry point (SURVEY.md §2.1 S11).
+
+The reference triggers jobs via Kafka messages, Oracle AQ, REST POST, or a
+shell script wrapping curl (wfqueuelistener.java:130-155,504-558,
+OracleAQListener.java:39-111, jobtrigger.sh:72-95) — all carrying the same
+JSON job config. Here the control plane is a thin CLI over the same spec:
+
+    python -m etl_load_spark run path/to/job.json [--json]
+    python -m etl_load_spark validate path/to/job.json
+
+``run`` executes the spec through the step runner and prints the JobResult;
+``validate`` parses the spec and checks endpoint types against the
+connector registry without executing (the VALIDATE_SOURCE step's static
+half). Exit code 0 on COMPLETED, 1 otherwise (jobtrigger.sh exit-code
+contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _build_spark(app: str):
+    from etl_load_spark.session import get_spark
+    return get_spark(app)
+
+
+def cmd_validate(path: str) -> dict:
+    from etl_load_spark.sources.registry import _READERS, _WRITERS
+    from etl_load_spark.spec import JobSpec
+
+    spec = JobSpec.from_file(path)
+    problems = []
+    if spec.source.type.upper() not in _READERS:
+        problems.append(f"unknown source type {spec.source.type!r}")
+    if spec.destination and spec.destination.type.upper() not in _WRITERS:
+        problems.append(f"unknown destination type {spec.destination.type!r}")
+    for m in spec.mappings:
+        if not m.source:
+            problems.append("mapping with empty sourceFieldName")
+    return {"job_id": spec.job_id, "valid": not problems, "problems": problems,
+            "n_mappings": len(spec.mappings), "steps": spec.steps}
+
+
+def cmd_run(path: str) -> dict:
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+
+    spec = JobSpec.from_file(path)
+    spark = _build_spark(f"etl_load_spark_{spec.job_id}")
+    result = run_job(spark, spec)
+    return dataclasses.asdict(result)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_load_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "validate"):
+        sp = sub.add_parser(name)
+        sp.add_argument("spec_path")
+        sp.add_argument("--json", action="store_true",
+                        help="print machine-readable JSON")
+    args = p.parse_args(argv)
+    out = cmd_run(args.spec_path) if args.cmd == "run" \
+        else cmd_validate(args.spec_path)
+    if args.json:
+        print(json.dumps(out, default=str))
+    else:
+        for k, v in out.items():
+            print(f"{k}: {v}")
+    ok = out.get("status") == "COMPLETED" if args.cmd == "run" \
+        else out.get("valid", False)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

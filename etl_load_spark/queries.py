@@ -989,6 +989,54 @@ _register_text_oracles()
 # equivalence is proven in tests/test_streaming.py via Trigger.AvailableNow)
 # ---------------------------------------------------------------------------
 
+@query("q49_frame_sample", oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         greatest(CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT), 1)
+           AS n_frames
+  FROM documents),
+f AS (SELECT media_id, unnest(range(n_frames)) AS frame_no FROM m)
+SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(frame_no * 1024 AS BIGINT) AS byte_offset
+FROM f ORDER BY media_id, frame_no
+""")
+def q49_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: one row per sampled byte offset
+    (the explode shape a real video frame sampler produces) — pure Spark
+    posexplode, no Python, and SQL-expressible so the oracle checks it."""
+    from etl_load_spark.operators.multimodal import sample_frames
+    d = t(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.col("text").cast("binary").alias("content"))
+    return (sample_frames(media)
+            .select("media_id",
+                    F.col("frame_no").cast("bigint").alias("frame_no"),
+                    F.col("byte_offset").cast("bigint").alias("byte_offset"))
+            .orderBy("media_id", "frame_no"))
+
+
+@query("q50_salted_join", oracle="""
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""")
+def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (explicit key salting: fact side salted per
+    row, lookup side replicated) — result provably identical to the plain
+    equi-join via the oracle. The tool for a hot key that would drown one
+    reducer even after AQE's partition-level skew split."""
+    from etl_load_spark.operators.skew import salted_join
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(l, p.withColumnRenamed("p_partkey", "l_partkey"),
+                         ["l_partkey"], salt=4)
+    return (joined.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_quantity", "total_qty"))
+            .orderBy("p_brand"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,

@@ -40,12 +40,24 @@ class JobResult:
     error: str | None = None
 
 
+def cancel_job(spark: SparkSession, job_id: str) -> None:
+    """Cooperative cancellation (U6): cancels every Spark job tagged with
+    this job id (CoreLibInterfaces.java:224-242 semantics — running stages
+    are interrupted, the step runner surfaces FAILED). Call from any thread.
+    """
+    spark.sparkContext.cancelJobGroup(f"etl_load_{job_id}")
+
+
 def run_job(spark: SparkSession, spec: JobSpec,
             notify=None) -> JobResult:
     """Execute the spec's step list; returns the final JobResult."""
     result = JobResult(job_id=spec.job_id, status="RUNNING")
     t0 = time.monotonic()
     steps = spec.steps or DEFAULT_STEPS
+    # tag all actions with a cancellable job group (U6)
+    spark.sparkContext.setJobGroup(f"etl_load_{spec.job_id}",
+                                   f"etl_load_spark job {spec.job_id}",
+                                   interruptOnCancel=True)
     try:
         for step in steps:
             s = step.upper()
