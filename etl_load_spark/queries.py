@@ -1037,6 +1037,87 @@ def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("p_brand"))
 
 
+@query("q51_asof_join", oracle="""
+SELECT l.event_id, l.user_id, l.ts, r.err_ts, r.err_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, value AS err_value
+                FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+ORDER BY l.event_id
+""")
+def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the most recent prior error
+    for the same user. Implemented as union-of-sides + one running window
+    (operators/asof_join.py) — a single shuffle on the key, no join
+    operator, no range-join candidate blow-up — and proven equivalent to
+    DuckDB's native ASOF JOIN by the oracle."""
+    from etl_load_spark.operators.asof_join import asof_join
+    e = t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("ts").alias("err_ts"),
+                      F.col("value").alias("err_value")))
+    return (asof_join(clicks, errors, on=["user_id"],
+                      left_ts="ts", right_ts="err_ts", how="left")
+            .select("event_id", "user_id", "ts", "err_ts", "err_value")
+            .orderBy("event_id"))
+
+
+@query("q52_map_funcs", oracle="""
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def q52_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map constructors/accessors (§2.9 item 8): per-user event_type→count
+    map built with map_from_entries, read back via map_keys / element_at.
+    The map is built and queried in Spark; the projection to scalar columns
+    keeps it oracle-comparable."""
+    e = t(spark, sf_dir, "events")
+    per_type = (e.groupBy("user_id", "event_type")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    m = (per_type.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("event_type", "cnt"))).alias("tc")))
+    return (m.select(
+        "user_id",
+        F.size(F.map_keys("tc")).cast("bigint").alias("n_types"),
+        F.coalesce(F.element_at("tc", F.lit("click")), F.lit(0))
+         .cast("bigint").alias("n_clicks"),
+        F.coalesce(F.element_at("tc", F.lit("error")), F.lit(0))
+         .cast("bigint").alias("n_errors"),
+        F.concat_ws(",", F.sort_array(F.map_keys("tc"))).alias("types_csv"))
+        .orderBy("user_id"))
+
+
+@query("q53_time_bucket", oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY bucket_start, event_type
+ORDER BY bucket_start, event_type
+""")
+def q53_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: 15-minute buckets over the
+    event stream (the continuous-aggregate shape). Spark's window() time
+    bucketing (epoch-aligned, as is DuckDB's time_bucket for sub-week
+    intervals) keeps the whole rollup in codegen'd hash aggregation; at
+    100 TB the bucket column is also the natural partition key for an
+    incremental materialization."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "15 minutes").start.alias("bucket_start"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", "total_value"))
+            .orderBy("bucket_start", "event_type"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,
