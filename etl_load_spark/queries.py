@@ -1120,6 +1120,54 @@ def q53_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket_start", "event_type"))
 
 
+@query("q54_percentiles", oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q54_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`), rounded to kill last-ulp interpolation drift.
+    Scale note: exact percentiles sort within each group; at 100 TB swap
+    in approx_percentile (t-digest, mergeable map-side) — declared here as
+    the exact contract so the oracle can check it."""
+    o = t(spark, sf_dir, "orders")
+    pct = lambda p, a: F.round(  # noqa: E731
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(p)), 4).alias(a)
+    return (o.groupBy("o_orderpriority")
+            .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+            .orderBy("o_orderpriority"))
+
+
+@query("q55_range_frame", oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_prev_hour,
+       first_value(event_type) OVER w AS first_type_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""")
+def q55_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-count-based): per user,
+    stats over the trailing hour of events — plus first_value over the
+    same frame (§2.9 item 6). One shuffle on user_id; the frame scan is
+    partition-local and sorted once."""
+    e = t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-3600, W.currentRow))
+    return (e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_prev_hour"),
+        F.first("event_type").over(w).alias("first_type_hour"))
+        .orderBy("event_id"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,
