@@ -1168,6 +1168,34 @@ def q55_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id"))
 
 
+@query("q56_stream_interval_join", oracle="""
+SELECT c.event_id AS click_id, e.event_id AS err_id, c.user_id,
+       c.ts AS click_ts, e.ts AS err_ts
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts <= c.ts
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+ORDER BY click_id, err_id
+""")
+def q56_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch formulation (the same function
+    body runs under Structured Streaming with watermark-bounded state;
+    AvailableNow equivalence proven in tests/test_streaming.py): each
+    click joined to the same user's errors in the trailing hour."""
+    from etl_load_spark.streaming.windows import stream_interval_join
+    e = t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"), "user_id",
+                      F.col("ts").alias("r_ts")))
+    return (stream_interval_join(clicks, errors)
+            .select("click_id", "err_id", "user_id",
+                    F.col("ts").alias("click_ts"),
+                    F.col("r_ts").alias("err_ts"))
+            .orderBy("click_id", "err_id"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,

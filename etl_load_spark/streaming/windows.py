@@ -96,6 +96,34 @@ def dedup_within_watermark(events: DataFrame, keys: list[str],
     return events.dropDuplicates(keys)
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str = "user_id",
+                         left_ts: str = "ts", right_ts: str = "r_ts",
+                         lookback: str = "1 hour",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner interval join: each left event joined to right
+    events with the same key whose timestamp falls in
+    ``[left_ts − lookback, left_ts]``.
+
+    In streaming mode both sides are watermarked and the time-range
+    condition bounds the join state: Spark evicts buffered rows once the
+    watermark passes ``left_ts − lookback`` (state ∝ watermark + lookback
+    horizon × arrival rate, not stream length). In batch mode the same
+    expression is an equi-join on the key with a range residual — one
+    shuffle, partition-local range filtering (skewed keys: pre-salt via
+    operators.skew). The SAME function body serves both; equivalence is
+    proven with Trigger.AvailableNow in tests/test_streaming.py.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = ((left[key] == right[key])
+            & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"))
+            & (right[right_ts] <= left[left_ts]))
+    return left.join(right, cond, "inner").drop(right[key])
+
+
 def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a memory
     sink and return the final result as a batch DataFrame (test harness for

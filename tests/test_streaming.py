@@ -141,3 +141,28 @@ def test_stateful_stats_stream_equals_batch(spark, batch_events, stream_events):
     got = sorted(map(tuple, final.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_interval_join_stream_equals_batch(spark, batch_events, sf_dir):
+    """Stream-stream interval join under AvailableNow == the batch
+    formulation of the same function body (inner join emits only matured
+    matches; with the full file processed in one availableNow pass, every
+    match is emitted)."""
+    from etl_load_spark.streaming.windows import stream_interval_join
+
+    def sides(e):
+        clicks = (e.filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+        errors = (e.filter(F.col("event_type") == "error")
+                  .select(F.col("event_id").alias("err_id"), "user_id",
+                          F.col("ts").alias("r_ts")))
+        return clicks, errors
+
+    batch = stream_interval_join(*sides(read_table(spark, sf_dir, "events")))
+    s1 = open_event_stream(spark, sf_dir)
+    s2 = open_event_stream(spark, sf_dir)
+    stream = run_available_now_append(
+        stream_interval_join(sides(s1)[0], sides(s2)[1]))
+    cols = ["click_id", "err_id", "user_id"]
+    got, want = _rows(stream, cols), _rows(batch, cols)
+    assert got == want and len(got) > 0
