@@ -1196,6 +1196,33 @@ def q56_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("click_id", "err_id"))
 
 
+@query("q57_dedup_clusters", oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+  FROM documents)
+SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY n) AS BIGINT) AS cluster_id
+FROM norm ORDER BY doc_id
+""")
+def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: transitive closure over a pair graph via
+    iterative min-label connected components (operators.dedup). Pairs here
+    are CHAINS through each exact-duplicate group (lag over the group), so
+    the oracle — min doc_id per normalized text — checks that CC really
+    closes multi-hop components, not just direct pairs."""
+    from etl_load_spark.operators.dedup import dedup_clusters, normalize_text
+    d = t(spark, sf_dir, "documents")
+    norm = d.select("doc_id", normalize_text(F.col("text")).alias("_n"))
+    w = W.partitionBy("_n").orderBy("doc_id")
+    pairs = (norm.select(F.lag("doc_id").over(w).alias("id_a"),
+                         F.col("doc_id").alias("id_b"))
+             .filter(F.col("id_a").isNotNull()))
+    return (dedup_clusters(d, pairs, "doc_id")
+            .select("doc_id", F.col("cluster_id").cast("bigint"))
+            .orderBy("doc_id"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,

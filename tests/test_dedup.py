@@ -92,3 +92,27 @@ def test_ngram_jaccard_matches_set_formula(corpus):
     for (a, b), jac in got.items():
         expect = len(rows[a] & rows[b]) / len(rows[a] | rows[b])
         assert jac == pytest.approx(expect), (a, b)
+
+
+def test_connected_components_multi_hop(spark):
+    """CC closes transitive chains and rings, not just direct edges."""
+    from etl_load_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (12, 10),    # ring 10-11-12
+         (20, 21)],                       # plain pair
+        "src long, dst long")
+    got = {r._id: r._cluster for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dedup_clusters_singletons(spark):
+    """Rows without a duplicate partner get their own id as cluster."""
+    from etl_load_spark.operators.dedup import dedup_clusters
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in
+           dedup_clusters(df, pairs, "doc_id").collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
