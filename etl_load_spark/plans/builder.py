@@ -75,5 +75,33 @@ def build_plan(spark: SparkSession, spec: JobSpec) -> DataFrame:
         for name, ep in spec.extra_sources.items():
             read_source(spark, ep).createOrReplaceTempView(name)
         df = spark.sql(spec.query)
-        return build_mapping_plan(df, spec, False) if spec.mappings else df
-    return build_mapping_plan(df, spec, source_is_line)
+        df = build_mapping_plan(df, spec, False) if spec.mappings else df
+    else:
+        df = build_mapping_plan(df, spec, source_is_line)
+    return apply_transformation(df, spark, spec)
+
+
+def apply_transformation(df: DataFrame, spark: SparkSession,
+                         spec: JobSpec) -> DataFrame:
+    """U1 pluggable transform stage (spec.Transformation): load the user
+    script and apply its ``transform`` (DataFrame-level) or
+    ``transform_pandas`` (Arrow-batched mapInPandas) hook."""
+    tr = spec.transformation
+    if tr is None or tr.type.upper() != "PYTHON_SCRIPT":
+        return df
+    if not tr.script_path:
+        raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
+    import importlib.util
+    mod_spec = importlib.util.spec_from_file_location("etl_user_transform",
+                                                      tr.script_path)
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+    if hasattr(mod, "transform"):
+        return mod.transform(df, spark, tr.parameters)
+    if hasattr(mod, "transform_pandas"):
+        fn, params = mod.transform_pandas, tr.parameters
+        return df.mapInPandas(lambda it: (fn(pdf, params) for pdf in it),
+                              schema=df.schema)
+    raise ValueError(
+        f"{tr.script_path} defines neither transform(df, spark, params) "
+        f"nor transform_pandas(pdf, params)")

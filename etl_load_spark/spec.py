@@ -67,6 +67,26 @@ class ErrorHandling:
 
 
 @dataclass
+class Transformation:
+    """U1 pluggable transform stage (CoreLibInterfaces.java:98-103,
+    jobconfigex.json:37-45): a user Python script applied after the
+    mapping pipeline. The script declares either
+
+      - ``transform(df, spark, params) -> DataFrame`` — DataFrame-level
+        (the idiomatic form: stays declarative, Catalyst keeps optimizing
+        through it), or
+      - ``transform_pandas(pdf, params) -> pandas.DataFrame`` — row-level
+        logic, executed as Arrow-batched ``mapInPandas`` (the reference's
+        per-row hook upgraded to vectorized batches; output schema must
+        equal input schema).
+    """
+
+    type: str = "NONE"                 # NONE | PYTHON_SCRIPT
+    script_path: str | None = None
+    parameters: dict = field(default_factory=dict)
+
+
+@dataclass
 class JobSpec:
     """A full job: source → mappings/filter/query → destination, with steps.
 
@@ -84,6 +104,7 @@ class JobSpec:
     query: str | None = None
     extra_sources: dict[str, EndpointConfig] = field(default_factory=dict)
     error_handling: ErrorHandling = field(default_factory=ErrorHandling)
+    transformation: Transformation = field(default_factory=Transformation)
     steps: list[str] = field(default_factory=lambda: ["LOAD"])
     batch_size: int = 10000
     order_by: list[str] = field(default_factory=list)
@@ -129,6 +150,11 @@ class JobSpec:
                 max_errors_allowed=eh.get("maxErrorsAllowed",
                                           eh.get("max_errors_allowed", 0)),
                 error_file_path=eh.get("errorFilePath", eh.get("error_file_path")),
+            ),
+            transformation=Transformation(
+                type=(tr := d.get("transformation") or {}).get("type", "NONE"),
+                script_path=tr.get("scriptPath", tr.get("script_path")),
+                parameters=tr.get("parameters", {}) or {},
             ),
             steps=d.get("steps", ["LOAD"]),
             batch_size=d.get("batchSize", d.get("batch_size", 10000)),

@@ -1,0 +1,105 @@
+"""Property-based cast-matrix tests (SURVEY.md §5.4): the declared cast
+semantics (functions/casts.py — trim-before-parse, truthy booleans,
+null-on-invalid) hold for arbitrary inputs.
+
+Each hypothesis example is a BATCH of values run through ONE Spark job
+(per-example jobs would be 100× slower); the expected result is an
+independent pure-Python implementation of the documented contract.
+"""
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_load_spark.functions.casts import cast_column
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+_TRUTHY, _FALSY = {"true", "1", "y", "yes"}, {"false", "0", "n", "no"}
+
+
+def ref_bigint(s):
+    s = s.strip(" ")
+    if _INT_RE.match(s):
+        v = int(s)
+        return v if _I64_MIN <= v <= _I64_MAX else None
+    return None
+
+
+def ref_double(s):
+    s = s.strip(" ")
+    if _FLOAT_RE.match(s):
+        return float(s)
+    if s.lower() in ("infinity", "+infinity", "-infinity", "nan"):
+        return float(s.lower().replace("infinity", "inf"))
+    return None
+
+
+def ref_boolean(s):
+    t = s.strip(" ").lower()
+    if t in _TRUTHY:
+        return True
+    if t in _FALSY:
+        return False
+    d = ref_double(s)
+    if d is not None and d == d:          # NaN != 0 would be True; exclude
+        return d != 0
+    if d is not None:
+        return True                        # NaN != 0
+    return None
+
+
+# ASCII-only: Python's int()/float() accept non-ASCII unicode digits,
+# Spark's parser does not — that divergence is out of contract.
+_VALUES = st.one_of(
+    st.integers(min_value=-(1 << 70), max_value=1 << 70).map(str),
+    st.floats(allow_nan=False, allow_infinity=False).map(repr),
+    st.text(alphabet="0123456789+-. eE", max_size=12),
+    st.sampled_from(["true", "TRUE", " Yes ", "y", "N", "no", "0", "1",
+                     " 1 ", "x", "", "  ", "+", "-", ".", "1.5e3", "1e",
+                     "9223372036854775807", "9223372036854775808",
+                     "-9223372036854775808", "-9223372036854775809"]),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=10),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_VALUES, min_size=1, max_size=80))
+def test_cast_matrix_matches_reference_semantics(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = (df.select(
+        "s",
+        cast_column(F.col("s"), "bigint").alias("b"),
+        cast_column(F.col("s"), "double").alias("d"),
+        cast_column(F.col("s"), "boolean").alias("t"))
+        .collect())
+    for row in got:
+        assert row.b == ref_bigint(row.s), f"bigint({row.s!r})"
+        want_d = ref_double(row.s)
+        if want_d is not None and want_d != want_d:   # NaN
+            assert row.d != row.d, f"double({row.s!r})"
+        else:
+            assert row.d == want_d, f"double({row.s!r})"
+        assert row.t == ref_boolean(row.s), f"boolean({row.s!r})"
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["2024-03-05", "2024-03-05 10:11:12", "2024-03-05T10:11:12",
+     "  2024-03-05  ", "not a date", "", "2024-13-40", "05/03/2024"]),
+    min_size=1, max_size=20))
+def test_date_cast_truncates_time(spark, values):
+    """DATE truncates any time part (ETLCoreMappingProcessor.java:223);
+    invalid input → NULL (routed, never an ANSI throw)."""
+    import datetime as dt
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = df.select("s", cast_column(F.col("s"), "date").alias("d")).collect()
+    for row in got:
+        s = row.s.strip(" ")
+        if s.startswith("2024-03-05"):
+            assert row.d == dt.date(2024, 3, 5), f"date({row.s!r})"
+        else:
+            assert row.d is None, f"date({row.s!r})"
