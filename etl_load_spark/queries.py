@@ -1223,6 +1223,46 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@query("q58_local_supplier_volume", oracle="""
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,4)))
+           AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""")
+def q58_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join where supplier and customer must
+    share a nation. Plan: the dim chain region→nation→customer and
+    supplier broadcast; the orders⋈lineitem fact join shuffles on the
+    order key — exactly the shape AQE's broadcast selection and join
+    reordering are built for. Decimal end-to-end for oracle parity."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 8, 4)))
+                .cast("decimal(18,6)"))
+    return (l
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(F.broadcast(s), (F.col("s_suppkey") == F.col("l_suppkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
+            .groupBy("n_name")
+            .agg(F.round(rev, 4).cast("decimal(18,4)").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,

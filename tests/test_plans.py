@@ -120,3 +120,10 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert joined.count() == 3000
+
+
+def test_q58_broadcasts_dim_chain(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q58_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, "dim chain should broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
