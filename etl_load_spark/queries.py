@@ -1263,6 +1263,49 @@ def q58_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
+@query("q59_token_rarity", oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(
+    trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tk
+  FROM documents),
+df_tab AS (SELECT tk, COUNT(*) AS dfreq FROM tok GROUP BY tk)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(ROUND(AVG(CAST(dfreq AS DECIMAL(18,6))), 4) AS DECIMAL(18,4))
+         AS mean_df,
+       CAST(ROUND(CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)
+                       AS DECIMAL(18,6)) / COUNT(*), 4) AS DECIMAL(18,4))
+         AS rare_ratio
+FROM tok JOIN df_tab USING (tk)
+GROUP BY doc_id ORDER BY doc_id
+""")
+def q59_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal (the CCNet-style filter, integer-exact
+    instead of LM perplexity so the oracle can check it bit-for-bit): per
+    document, distinct-token count, mean document-frequency of its tokens,
+    and the fraction of corpus-unique tokens. Two hash aggregations + one
+    equi-join on the token — df_tab is corpus-vocabulary-sized (Zipf-small
+    vs the corpus), so at 100 TB it broadcast-joins; all arithmetic is
+    integer/decimal → no float drift."""
+    from etl_load_spark.operators.dedup import normalize_text
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id",
+                    F.explode(F.split(normalize_text(F.col("text")), " "))
+                    .alias("tk"))
+           .dropDuplicates(["doc_id", "tk"]))
+    df_tab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("dfreq"))
+    joined = tok.join(F.broadcast(df_tab), "tk")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 F.round(F.avg(F.col("dfreq").cast("decimal(18,6)")), 4)
+                 .cast("decimal(18,4)").alias("mean_df"),
+                 F.round(F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+                         .cast("decimal(18,6)") / F.count(F.lit(1)), 4)
+                 .cast("decimal(18,4)").alias("rare_ratio"))
+            .orderBy("doc_id"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,

@@ -99,3 +99,41 @@ def read_rest(spark: SparkSession, d: dict) -> DataFrame:
 def read_memory(spark: SparkSession, d: dict) -> DataFrame:
     """Inline rows (tests / fixtures)."""
     return spark.createDataFrame(d["rows"], schema=d.get("schema"))
+
+
+def read_kafka(spark: SparkSession, d: dict) -> DataFrame:
+    """KAFKA source (S6 declared slot, etlModel.java:182-190 "// Add others
+    like KAFKA"): batch or streaming read of a topic.
+
+    The reference uses Kafka only as a job-config control plane
+    (wfqueuelistener.java:130-155); this connector is the data-plane
+    upgrade: value bytes + metadata columns, optionally JSON-decoded via
+    ``value_schema`` (DDL string). Requires the spark-sql-kafka package on
+    the classpath (not bundled in this container — the option plumbing is
+    tested for shape; a missing package raises Spark's standard
+    DATA_SOURCE_NOT_FOUND with the coordinates to add).
+
+    details: bootstrap_servers, topic (or topics/pattern), streaming
+    (bool, default False), starting_offsets (default "earliest"),
+    value_schema (optional DDL for from_json on the value).
+    """
+    from pyspark.sql import functions as F
+    src = spark.readStream if d.get("streaming") else spark.read
+    reader = (src.format("kafka")
+              .option("kafka.bootstrap.servers", d["bootstrap_servers"])
+              .option("startingOffsets", d.get("starting_offsets", "earliest")))
+    if d.get("topic"):
+        reader = reader.option("subscribe", d["topic"])
+    elif d.get("topics"):
+        reader = reader.option("subscribe", ",".join(d["topics"]))
+    elif d.get("pattern"):
+        reader = reader.option("subscribePattern", d["pattern"])
+    else:
+        raise ValueError("KAFKA source needs topic, topics, or pattern")
+    df = reader.load()
+    out = df.select(F.col("key").cast("string").alias("key"),
+                    F.col("value").cast("string").alias("value"),
+                    "topic", "partition", "offset", "timestamp")
+    if d.get("value_schema"):
+        out = out.withColumn("data", F.from_json("value", d["value_schema"]))
+    return out

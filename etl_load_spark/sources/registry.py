@@ -7,7 +7,8 @@ themselves via ``register_reader`` / ``register_writer``.
 
 Covered source types (SURVEY.md §2.1 S1-S9):
   PARQUET, FILE_CSV, FILE_JSON, FILE_FIXED/TEXT, ORACLE_DB/MSSQL_DB/JDBC,
-  API_REST (driver-side fetch), MEMORY (inline rows for tests).
+  API_REST (driver-side fetch), KAFKA (batch/stream, package-gated),
+  MEMORY (inline rows for tests).
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ _READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "MSSQL_DB": readers.read_jdbc,
     "JDBC": readers.read_jdbc,
     "API_REST": readers.read_rest,
+    "KAFKA": readers.read_kafka,
     "MEMORY": readers.read_memory,
 }
 
@@ -46,6 +48,7 @@ _WRITERS: dict[str, Callable[[DataFrame, dict], dict]] = {
     "MSSQL_DB": writers.write_jdbc,
     "JDBC": writers.write_jdbc,
     "API_REST": writers.write_rest,
+    "KAFKA": writers.write_kafka,
     "MEMORY": writers.write_memory,
 }
 

@@ -145,3 +145,25 @@ def write_memory(df: DataFrame, d: dict) -> dict:
     rows = df.collect()
     _MEMORY_SINKS[d.get("name", "default")] = rows
     return {"records_written": len(rows)}
+
+
+def write_kafka(df: DataFrame, d: dict) -> dict:
+    """KAFKA sink: rows serialized to JSON values (S9-style declared slot).
+
+    Batch df.write or streaming df.writeStream (checkpoint required for
+    exactly-once). Requires the spark-sql-kafka package on the classpath.
+    """
+    from pyspark.sql import functions as F
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    if df.isStreaming:
+        q = (payload.writeStream.format("kafka")
+             .option("kafka.bootstrap.servers", d["bootstrap_servers"])
+             .option("topic", d["topic"])
+             .option("checkpointLocation", d["checkpoint"])
+             .start())
+        return {"streaming_query": q.id}
+    (payload.write.format("kafka")
+     .option("kafka.bootstrap.servers", d["bootstrap_servers"])
+     .option("topic", d["topic"])
+     .save())
+    return {"records_written": -1}  # kafka sink reports no count

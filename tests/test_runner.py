@@ -168,3 +168,17 @@ def test_write_retry_transient_only(spark, tmp_path):
     with pytest.raises(ValueError):
         write_sink(df, EndpointConfig("BROKEN", {}), backoff_sec=0.01)
     assert calls["broken"] == 1  # no retry on permanent errors
+
+
+def test_kafka_connector_shape(spark):
+    """KAFKA connector option plumbing: the package isn't bundled here, so
+    a read must fail with Spark's data-source-not-found (proving the
+    options were accepted and the source was dispatched), and a missing
+    topic must fail our validation first."""
+    import pytest
+    from etl_load_spark.sources.readers import read_kafka
+    with pytest.raises(ValueError, match="topic"):
+        read_kafka(spark, {"bootstrap_servers": "b:9092"})
+    with pytest.raises(Exception) as ei:
+        read_kafka(spark, {"bootstrap_servers": "b:9092", "topic": "t"})
+    assert "kafka" in str(ei.value).lower()
