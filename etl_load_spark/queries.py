@@ -1306,6 +1306,30 @@ def q59_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@query("q60_train_test_split", oracle="""
+WITH h AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN hx <= 'b' THEN 'train'
+            WHEN hx <= 'd' THEN 'valid'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+""")
+def q60_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test split (~75/12.5/12.5 by
+    the first md5 hex nibble of the id) — the reproducible dataset-split
+    primitive a training pipeline needs: stable across runs, engines and
+    partitionings (no RNG, no sampling), assignment is a pure map-side
+    projection at any scale."""
+    d = t(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (d.select(
+        "doc_id",
+        F.when(hx <= "b", "train").when(hx <= "d", "valid")
+         .otherwise("test").alias("split"))
+        .orderBy("doc_id"))
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,

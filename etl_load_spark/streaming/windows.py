@@ -149,3 +149,44 @@ def run_available_now_append(stream_df: DataFrame,
          .start())
     q.awaitTermination(300)
     return stream_df.sparkSession.table(name)
+
+
+def time_bucket_rollup(events: DataFrame, bucket: str = "15 minutes",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """The q53 hypertable-style rollup in streaming-compatible form:
+    (bucket_start, event_type) → count/total. Same aggregation runs batch
+    or incremental."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.window("ts", bucket).start.alias("bucket_start"),
+                        "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                 .alias("total_value")))
+
+
+def materialize_rollup(rollup_stream: DataFrame, path: str,
+                       checkpoint: str, partition_col: str = "bucket_start"):
+    """Incrementally materialize a streaming rollup to a partitioned
+    parquet table: update-mode micro-batches upsert by overwriting ONLY
+    the partitions present in each batch (dynamic partition overwrite).
+
+    This is the continuous-aggregate maintenance pattern SCALE.md
+    describes for q53: at 100 TB the bucket column partitions the
+    materialization, each micro-batch touches the few open buckets, and
+    re-emitted (late-updated) windows replace their partition atomically.
+    Returns the StreamingQuery (AvailableNow-compatible).
+    """
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (batch_df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(partition_col)
+         .parquet(path))
+
+    return (rollup_stream.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start())

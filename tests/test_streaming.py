@@ -166,3 +166,23 @@ def test_interval_join_stream_equals_batch(spark, batch_events, sf_dir):
     cols = ["click_id", "err_id", "user_id"]
     got, want = _rows(stream, cols), _rows(batch, cols)
     assert got == want and len(got) > 0
+
+
+def test_materialized_rollup_equals_batch(spark, batch_events, sf_dir, tmp_path):
+    """foreachBatch dynamic-partition upsert of the streaming 15-min
+    rollup == the batch rollup over the same data (the q53 continuous
+    aggregate, maintained incrementally)."""
+    from etl_load_spark.streaming.windows import (
+        materialize_rollup, time_bucket_rollup,
+    )
+
+    stream = open_event_stream(spark, sf_dir)
+    q = materialize_rollup(time_bucket_rollup(stream),
+                           path=str(tmp_path / "rollup"),
+                           checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "rollup"))
+    want = time_bucket_rollup(batch_events)
+    cols = ["bucket_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
