@@ -1330,6 +1330,32 @@ def q60_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+@query("q61_correlated_subquery", oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(12,2)) > (
+    SELECT CAST(1.5 * AVG(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+                AS DECIMAL(16,6))
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+""")
+def q61_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry path (§2.9 / the
+    job spec's `query` field): orders 50% above their customer's average.
+    Catalyst decorrelates this into an aggregate + join (SURVEY §4 —
+    'subquery decorrelation: free'); the oracle runs the IDENTICAL SQL.
+    Decimal arithmetic end-to-end so the comparison is exact."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) > (
+            SELECT CAST(1.5 * AVG(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+                        AS DECIMAL(16,6))
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+
+
 @query("q38_session_windows", oracle="""
 WITH g AS (
   SELECT user_id, ts,
