@@ -7,12 +7,15 @@ JSON job config. Here the control plane is a thin CLI over the same spec:
 
     python -m etl_load_spark run path/to/job.json [--json]
     python -m etl_load_spark validate path/to/job.json
+    python -m etl_load_spark explain path/to/job.json
 
 ``run`` executes the spec through the step runner and prints the JobResult;
 ``validate`` parses the spec and checks endpoint types against the
 connector registry without executing (the VALIDATE_SOURCE step's static
-half). Exit code 0 on COMPLETED, 1 otherwise (jobtrigger.sh exit-code
-contract).
+half); ``explain`` prints Catalyst's formatted physical plan without
+executing — the pre-flight pushdown/broadcast/shuffle check SCALE.md
+prescribes. Exit code 0 on COMPLETED/valid, 1 otherwise (jobtrigger.sh
+exit-code contract).
 """
 
 from __future__ import annotations
@@ -55,24 +58,48 @@ def cmd_run(path: str) -> dict:
     return dataclasses.asdict(result)
 
 
+def cmd_explain(path: str) -> dict:
+    """Build the spec's plan and return Catalyst's formatted physical plan
+    WITHOUT executing — the pre-flight check for pushdown/broadcast/shuffle
+    shape that SCALE.md prescribes before running at scale."""
+    from etl_load_spark.plans.builder import build_plan
+    from etl_load_spark.spec import JobSpec
+
+    import contextlib
+    import io
+
+    spec = JobSpec.from_file(path)
+    spark = _build_spark(f"etl_load_spark_explain_{spec.job_id}")
+    df = build_plan(spark, spec)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return {"job_id": spec.job_id, "plan": buf.getvalue(),
+            "columns": df.columns}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_load_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "validate"):
+    for name in ("run", "validate", "explain"):
         sp = sub.add_parser(name)
         sp.add_argument("spec_path")
         sp.add_argument("--json", action="store_true",
                         help="print machine-readable JSON")
     args = p.parse_args(argv)
-    out = cmd_run(args.spec_path) if args.cmd == "run" \
-        else cmd_validate(args.spec_path)
+    out = {"run": cmd_run, "validate": cmd_validate,
+           "explain": cmd_explain}[args.cmd](args.spec_path)
     if args.json:
         print(json.dumps(out, default=str))
     else:
         for k, v in out.items():
             print(f"{k}: {v}")
-    ok = out.get("status") == "COMPLETED" if args.cmd == "run" \
-        else out.get("valid", False)
+    if args.cmd == "run":
+        ok = out.get("status") == "COMPLETED"
+    elif args.cmd == "validate":
+        ok = out.get("valid", False)
+    else:
+        ok = bool(out.get("plan"))
     return 0 if ok else 1
 
 

@@ -78,3 +78,11 @@ def test_salted_join_rejects_right(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="right")
+
+
+def test_cli_explain(spark, spec_file):
+    from etl_load_spark.cli import cmd_explain
+    out = cmd_explain(spec_file)
+    assert out["job_id"] == "cli-job"
+    assert "Physical Plan" in out["plan"]
+    assert out["columns"] == ["b"]
