@@ -96,6 +96,63 @@ def attach_metadata(df: DataFrame, content_col: str = "content",
                F.length(content_col)).cast("int").alias("duration_ms")))
 
 
+RESIZED_SCHEMA = ("media_id bigint, content binary, out_width int, "
+                  "out_height int, out_len int")
+
+
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel: nearest-neighbor
+    sample of the raw byte stream down/up to width*height bytes. Replace
+    with a real PIL/cv2 kernel in production — the Spark plumbing
+    (schema, Arrow batching, partitioning) is identical either way."""
+    import numpy as np
+    if content is None or len(content) == 0:
+        return bytes(width * height)
+    arr = np.frombuffer(content, dtype=np.uint8)
+    idx = np.linspace(0, len(arr) - 1, num=width * height).astype(np.int64)
+    return arr[idx].tobytes()
+
+
+def real_resize(content: bytes, width: int, height: int) -> bytes:
+    """The production resize slot. Requires image libraries not present in
+    this container."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv — inject a resizer or use "
+        "fake_resize for plumbing tests")
+
+
+def resize_media(media: DataFrame, width: int, height: int,
+                 resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+                 content_col: str = "content",
+                 id_col: str = "media_id",
+                 min_parallelism: int | None = None) -> DataFrame:
+    """binary content → fixed-dimension binary via Arrow-batched mapInPandas
+    (the resize stage of an image pipeline; reference has no media ops —
+    north-star extension per SURVEY §2.9 item 10).
+
+    100 TB: same posture as extract_features — CPU-bound Python kernel, so
+    parallelism = partition count; output payloads are fixed-size
+    (width*height), so downstream partition sizing is predictable
+    regardless of input skew in blob sizes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[content_col].map(lambda c: resizer(c, width, height))
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "content": out,
+                "out_width": width,
+                "out_height": height,
+                "out_len": out.map(len).astype("int32"),
+            })
+
+    sc = media.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if media.rdd.getNumPartitions() < target:
+        media = media.repartition(target)
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024,
                   content_col: str = "content",
                   id_col: str = "media_id") -> DataFrame:

@@ -1623,3 +1623,86 @@ def q46_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orderBy": ["nation_key"],
     })
     return build_plan(spark, spec)
+
+
+@query("q62_full_outer_join", oracle="""
+SELECT COALESCE(o.d, l.d) AS d,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(l.n_ships, 0) AS n_ships
+FROM (SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_orderdate) o
+FULL OUTER JOIN
+     (SELECT l_shipdate AS d, CAST(COUNT(*) AS BIGINT) AS n_ships
+      FROM lineitem GROUP BY l_shipdate) l
+  ON o.d = l.d
+ORDER BY d
+""")
+def q62_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer equi-join (§2.3 join surface): per-day order counts vs
+    per-day ship counts — ship dates trail order dates, so both sides have
+    unmatched rows and the COALESCE null-handling is actually exercised.
+
+    100 TB: both inputs are pre-aggregated on the join key, so the join
+    input is |distinct dates| (~2.5k rows) regardless of fact size; the
+    partial aggregation happens map-side and each side arrives at the join
+    already hash-partitioned on d — Catalyst reuses that partitioning, so
+    the full-outer adds no extra shuffle over the aggregates."""
+    o = (t(spark, sf_dir, "orders")
+         .groupBy(F.col("o_orderdate").alias("d"))
+         .agg(F.count("*").alias("n_orders")))
+    l = (t(spark, sf_dir, "lineitem")
+         .groupBy(F.col("l_shipdate").alias("d"))
+         .agg(F.count("*").alias("n_ships")))
+    return (o.join(l, "d", "full_outer")
+            .select("d",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("n_ships", F.lit(0)).alias("n_ships"))
+            .orderBy("d"))
+
+
+@query("q63_window_ntile", oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_custkey
+""")
+def q63_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile/percent_rank/cume_dist (§2.5) — the
+    quantile-bucketing shape used to stratify a corpus by a score column.
+    Unique window order key (acctbal, custkey) makes all three functions
+    deterministic; both engines compute (rank-1)/(n-1) in IEEE double.
+
+    100 TB: one shuffle on the partition key; within-partition sort. For a
+    single giant partition (global quantiles) switch to approx_percentile
+    bucketing instead — noted in SCALE.md."""
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (c.select(
+                "c_custkey", "c_mktsegment",
+                F.ntile(4).over(w).cast("bigint").alias("quartile"),
+                F.percent_rank().over(w).alias("pct_rank"),
+                F.cume_dist().over(w).alias("cdist"))
+            .orderBy("c_mktsegment", "c_custkey"))
+
+
+@query("q64_media_resize")  # no oracle: Arrow-batched binary kernel (rows-only)
+def q64_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage (north-star §2.9 item 10): binary content →
+    fixed 8x8 payload via mapInPandas with the deterministic fake kernel
+    (real kernel is an injection point, operators/multimodal.py). The
+    resized bytes are pinned by crc32 so our own tests catch kernel drift
+    even though the driver check is rows-only."""
+    from etl_load_spark.operators.multimodal import resize_media
+    d = t(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.col("text").cast("binary").alias("content"))
+    return (resize_media(media, width=8, height=8)
+            .select("media_id",
+                    F.col("out_width").cast("bigint").alias("out_width"),
+                    F.col("out_height").cast("bigint").alias("out_height"),
+                    F.col("out_len").cast("bigint").alias("out_len"),
+                    F.crc32("content").alias("content_crc"))
+            .orderBy("media_id"))

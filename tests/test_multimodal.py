@@ -1,0 +1,85 @@
+"""Multimodal operator units (operators/multimodal.py): decode stub,
+feature extraction, resize, frame sampling — the Spark-side plumbing is
+real (schema, Arrow batching, partitioning); kernels are deterministic
+fakes behind injection points (SURVEY §2.9 item 10)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_load_spark.operators.multimodal import (
+    attach_metadata, extract_features, fake_decode, fake_resize, real_decode,
+    real_resize, resize_media, sample_frames)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes(range(i % 7, i % 7 + 40 + 13 * (i % 5)))) for i in range(20)]
+    rows.append((99, None))
+    return spark.createDataFrame(rows, "media_id bigint, content binary")
+
+
+def test_fake_resize_deterministic_and_sized():
+    content = bytes(range(200))
+    out = fake_resize(content, 8, 8)
+    assert len(out) == 64
+    assert out == fake_resize(content, 8, 8)
+    # nearest-neighbor sample preserves endpoints
+    assert out[0] == content[0] and out[-1] == content[-1]
+    # null/empty payloads resize to zero-filled target size
+    assert fake_resize(None, 4, 4) == bytes(16)
+    assert fake_resize(b"", 4, 4) == bytes(16)
+    # upsampling also lands on the exact target size
+    assert len(fake_resize(b"ab", 8, 8)) == 64
+
+
+def test_resize_media_schema_and_rows(media):
+    out = resize_media(media, width=8, height=8)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "content", "out_width", "out_height", "out_len"]
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 21
+    assert all(r.out_len == 64 and len(r.content) == 64 for r in rows.values())
+    # kernel matches the local function exactly (no Arrow mangling)
+    local = fake_resize(bytes(range(0, 40)), 8, 8)
+    assert bytes(rows[0].content) == local
+
+
+def test_resize_media_parallelism(media):
+    out = resize_media(media.coalesce(1), width=4, height=4)
+    # single-partition input is fanned out to defaultParallelism before decode
+    assert out.rdd.getNumPartitions() > 1
+
+
+def test_extract_features_dim_and_norm(media):
+    feats = extract_features(media).collect()
+    assert all(r.feat_dim == 16 for r in feats)
+    by_id = {r.media_id: r.feature for r in feats}
+    assert by_id[0] == pytest.approx(fake_decode(bytes(range(0, 40))))
+    assert by_id[99] == [0.0] * 16
+    # normalized histogram sums to ~1 for non-null payloads
+    assert sum(by_id[0]) == pytest.approx(1.0)
+
+
+def test_real_kernels_are_marked_stubs():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x")
+    with pytest.raises(NotImplementedError):
+        real_resize(b"x", 2, 2)
+
+
+def test_attach_metadata_struct(media):
+    out = attach_metadata(media, modality="audio", fmt="pcm")
+    r = out.filter(F.col("media_id") == 0).collect()[0]
+    assert r.meta.modality == "audio" and r.meta.format == "pcm"
+    assert r.meta.width is None and r.meta.duration_ms == 40
+    null_r = out.filter(F.col("media_id") == 99).collect()[0]
+    assert null_r.meta.duration_ms is None
+
+
+def test_sample_frames_offsets(media):
+    out = sample_frames(media, every_n_bytes=16)
+    rows = [r for r in out.collect() if r.media_id == 0]
+    # 40 bytes / 16 → 2 frames at offsets 0, 16
+    assert [(r.frame_no, r.byte_offset) for r in sorted(rows)] == [
+        (0, 0), (1, 16)]
