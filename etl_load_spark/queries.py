@@ -1706,3 +1706,26 @@ def q64_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("out_len").cast("bigint").alias("out_len"),
                     F.crc32("content").alias("content_crc"))
             .orderBy("media_id"))
+
+
+@query("q65_stream_static_enrich", oracle="""
+SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+  ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q65_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join in batch form (§2.7 extension): events
+    left-joined to the broadcast customer dim (restricted to custkey < 100
+    so the dim genuinely misses some user_ids), tumbling-day aggregate per
+    market segment; unmatched user_ids land in 'UNKNOWN'. The identical
+    function body runs as a streaming query (broadcast dim, no join state,
+    watermark-bounded agg state) — equivalence in tests/test_streaming.py."""
+    from etl_load_spark.streaming.windows import stream_static_enrich
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return (stream_static_enrich(e, c)
+            .orderBy("window_start", "segment"))

@@ -96,6 +96,35 @@ def dedup_within_watermark(events: DataFrame, keys: list[str],
     return events.dropDuplicates(keys)
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         on_left: str = "user_id", on_right: str = "c_custkey",
+                         attr: str = "c_mktsegment",
+                         window: str = "1 day",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-static enrichment: left-join a (possibly streaming) event
+    stream to a static dimension, then aggregate per tumbling window and
+    dimension attribute. Unmatched keys keep their events under 'UNKNOWN'.
+
+    100 TB posture: the dim side is broadcast — a stream-static join never
+    shuffles the stream and holds no join state (the static side is rebuilt
+    per micro-batch from the broadcast). The windowed aggregate's state is
+    bounded by the watermark horizon. Same body serves batch and streaming;
+    equivalence proven with Trigger.AvailableNow in tests/test_streaming.py.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    d = F.broadcast(dim.select(F.col(on_right).alias("_dim_key"),
+                               F.col(attr).alias("_dim_attr")))
+    enriched = (src.join(d, F.col(on_left) == F.col("_dim_key"), "left")
+                .withColumn("segment",
+                            F.coalesce(F.col("_dim_attr"), F.lit("UNKNOWN"))))
+    return (enriched.groupBy(F.window("ts", window).alias("w"), "segment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "segment",
+                    "n_events", "total_value"))
+
+
 def stream_interval_join(left: DataFrame, right: DataFrame,
                          key: str = "user_id",
                          left_ts: str = "ts", right_ts: str = "r_ts",

@@ -186,3 +186,19 @@ def test_materialized_rollup_equals_batch(spark, batch_events, sf_dir, tmp_path)
     cols = ["bucket_start", "event_type", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, batch_events, stream_events, sf_dir):
+    from etl_load_spark.session import read_table
+    from etl_load_spark.streaming.windows import (run_available_now,
+                                                  stream_static_enrich)
+    from pyspark.sql import functions as SF
+    # sf0.001 user_ids span 0-14; dim cut at 10 leaves 10-14 unmatched
+    dim = read_table(spark, sf_dir, "customer").filter(SF.col("c_custkey") < 10)
+    batch = stream_static_enrich(batch_events, dim)
+    streamed = run_available_now(stream_static_enrich(stream_events, dim))
+    key = lambda r: (r.window_start, r.segment)
+    b = sorted(batch.collect(), key=key)
+    s = sorted(streamed.collect(), key=key)
+    assert [tuple(r) for r in b] == [tuple(r) for r in s]
+    assert any(r.segment == "UNKNOWN" for r in b)
