@@ -1729,3 +1729,54 @@ def q65_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     return (stream_static_enrich(e, c)
             .orderBy("window_start", "segment"))
+
+
+@query("q66_vocab_topk", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+  FROM documents)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfreq
+FROM tok GROUP BY token
+ORDER BY tf DESC, token LIMIT 100
+""")
+def q66_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (tokenizer-training primitive): top-k tokens by
+    corpus term frequency with document frequency, deterministic tiebreak
+    on the token itself.
+
+    100 TB: explode + one hash aggregation with map-side partial combine —
+    the aggregate output is vocabulary-sized (Zipf-small), and the top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort). The
+    count-distinct rides the same aggregation via Spark's expand, not a
+    second pass over the corpus."""
+    from etl_load_spark.operators.dedup import normalize_text
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.split(normalize_text(F.col("text")), " "))
+                   .alias("token"))
+    return (tok.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
+                 F.countDistinct("doc_id").cast("bigint").alias("dfreq"))
+            .orderBy(F.desc("tf"), "token")
+            .limit(100))
+
+
+@query("q67_approx_percentile")  # no oracle: sketch-based (GK) — engine-specific
+def q67_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (Greenwald-Khanna sketch,
+    accuracy=10000 → error ≤ 0.01%): the 100 TB path for q54's exact
+    percentiles — mergeable fixed-size sketches instead of a per-group
+    sort, one map-side-combinable aggregation pass. DuckDB's approx
+    sketch differs, so the driver check is rows-only; the local test
+    bounds the error against the exact q54 values."""
+    l = t(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
+    return (l.groupBy("l_returnflag")
+            .agg(pcts[0].alias("p50_approx"), pcts[1].alias("p95_approx"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .orderBy("l_returnflag"))

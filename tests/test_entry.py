@@ -42,3 +42,24 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = entry_mod.queries()[name](spark, sf_dir)
     assert df.count() >= 0
     assert df.schema.fields
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """q67's sketches must land within 0.5% relative error of the exact
+    per-group percentiles (GK with accuracy=10000 guarantees far tighter;
+    this pins gross regressions and wiring mistakes)."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.queries import QUERIES
+    from etl_load_spark.session import read_table
+    approx = {r.l_returnflag: r for r in
+              QUERIES["q67_approx_percentile"].fn(spark, sf_dir).collect()}
+    exact = (read_table(spark, sf_dir, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+                  F.expr("percentile(l_extendedprice, 0.95D)").alias("p95"))
+             .collect())
+    assert len(exact) == len(approx) > 0
+    for r in exact:
+        a = approx[r.l_returnflag]
+        assert abs(a.p50_approx - r.p50) <= 0.005 * abs(r.p50)
+        assert abs(a.p95_approx - r.p95) <= 0.005 * abs(r.p95)
