@@ -1780,3 +1780,61 @@ def q67_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(pcts[0].alias("p50_approx"), pcts[1].alias("p95_approx"),
                  F.count(F.lit(1)).cast("bigint").alias("n_rows"))
             .orderBy("l_returnflag"))
+
+
+@query("q68_join_right", oracle="""
+SELECT c.c_custkey,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       CAST(COALESCE(o.total_spent, 0) AS DOUBLE) AS total_spent
+FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spent
+      FROM orders GROUP BY o_custkey) o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+""")
+def q68_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer equi-join (completes §2.3's inner/left/right/full/semi/
+    anti surface): order totals RIGHT JOIN customer keeps customers with no
+    orders (zero-filled). The dim side is the join's row-preserving side —
+    Catalyst plans it as a left join with sides flipped; same shuffle
+    profile as q62's aggregates-then-join."""
+    o = (t(spark, sf_dir, "orders")
+         .groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+              dsum("o_totalprice", "_ts_raw")))
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return (o.join(c, o.o_custkey == c.c_custkey, "right")
+            .select("c_custkey",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("_ts_raw", F.lit(0.0)).alias("total_spent"))
+            .orderBy("c_custkey"))
+
+
+@query("q69_union_by_name", oracle="""
+SELECT src, key_id, CAST(amount AS DOUBLE) AS amount
+FROM (
+  SELECT 'ord' AS src, o_orderkey AS key_id,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS amount FROM orders
+  WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT 'line' AS src, l_orderkey AS key_id, NULL AS amount FROM lineitem
+  WHERE l_quantity = 50 AND l_discount = 0.10
+) ORDER BY src, key_id, amount
+""")
+def q69_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns (§2.5): the two sides project
+    different column sets in different orders; missing columns null-fill.
+    Scale: union is metadata-only — zero shuffle; the engine concatenates
+    partitions."""
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 400000)
+         .select(F.lit("ord").alias("src"),
+                 dec("o_totalprice").alias("amount"),
+                 F.col("o_orderkey").alias("key_id")))
+    l = (t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_quantity") == 50) & (F.col("l_discount") == 0.10))
+         .select(F.col("l_orderkey").alias("key_id"),
+                 F.lit("line").alias("src")))
+    return (o.unionByName(l, allowMissingColumns=True)
+            .select("src", "key_id", F.col("amount").cast("double").alias("amount"))
+            .orderBy("src", "key_id", "amount"))

@@ -127,3 +127,31 @@ def test_q58_broadcasts_dim_chain(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4, "dim chain should broadcast"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_full_outer_reuses_aggregate_partitioning(spark, sf_dir):
+    """q62: both sides arrive at the full-outer join already hash-partitioned
+    by their aggregation — exactly one exchange per side, none for the join."""
+    plan = plan_of(spark, sf_dir, "q62_full_outer_join")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "FullOuter" in plan
+
+
+def test_vocab_topk_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q66_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    # partial aggregation before the token shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q65_stream_static_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_union_by_name_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q69_union_by_name")
+    assert "Union" in plan
+    # the union itself adds no exchange; the only one is the final orderBy
+    assert plan.count("Exchange hashpartitioning") == 0
