@@ -27,7 +27,10 @@ def read_csv(spark: SparkSession, d: dict) -> DataFrame:
               .option("header", str(d.get("header", True)).lower())
               .option("encoding", d.get("encoding", "UTF-8"))
               .option("emptyValue", "")
-              .option("nullValue", d.get("null_value", "")))
+              .option("nullValue", d.get("null_value", ""))
+              # RFC-4180 embedded newlines (quoted) need multiLine parsing;
+              # off by default because it disables line-split parallel reads
+              .option("multiLine", str(d.get("multiline", False)).lower()))
     if d.get("schema"):
         reader = reader.schema(d["schema"])
     elif not d.get("all_string", True):

@@ -75,6 +75,11 @@ def write_csv(df: DataFrame, d: dict) -> dict:
        .option("encoding", d.get("encoding", "UTF-8"))
        .option("emptyValue", "")
        .option("nullValue", "")
+       # the reference writer never trims values (only quotes them,
+       # ETLCoreCsvFileWriter.java:174-185); Spark's writer trims unquoted
+       # whitespace unless told otherwise
+       .option("ignoreLeadingWhiteSpace", "false")
+       .option("ignoreTrailingWhiteSpace", "false")
        .csv(d["path"]))
     return _finish(obs)
 

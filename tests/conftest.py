@@ -24,3 +24,8 @@ def sf_dir():
 def tables(spark, sf_dir):
     from etl_load_spark.session import load_tables
     return load_tables(spark, sf_dir)
+
+
+@pytest.fixture(scope="session")
+def tmp_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop"))

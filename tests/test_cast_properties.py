@@ -103,3 +103,39 @@ def test_date_cast_truncates_time(spark, values):
             assert row.d == dt.date(2024, 3, 5), f"date({row.s!r})"
         else:
             assert row.d is None, f"date({row.s!r})"
+
+
+# ---------------------------------------------------------------------------
+# S8 CSV quote/escape round-trip property (SURVEY §5.4)
+# ---------------------------------------------------------------------------
+
+_CSV_ALPHABET = st.characters(
+    codec="utf-8",
+    categories=("L", "N", "P", "S", "Zs"),
+    include_characters=',";\n \t|',
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet=_CSV_ALPHABET, max_size=40),
+                min_size=1, max_size=25))
+def test_csv_quote_escape_roundtrip(spark, tmp_root, values):
+    """Arbitrary strings — embedded delimiters, quotes, newlines, unicode,
+    leading/trailing whitespace — survive an engine CSV write+read cycle
+    byte-for-byte. Null and empty both render as '' (the reference's
+    null-as-empty contract, ETLCoreCsvFileWriter.java:161-171) and read
+    back as null; everything else must round-trip exactly."""
+    import tempfile
+    from etl_load_spark.sources.readers import read_csv
+    from etl_load_spark.sources.writers import write_csv
+
+    path = tempfile.mkdtemp(dir=tmp_root, prefix="csvprop")
+    rows = [(i, v) for i, v in enumerate(values)] + [(len(values), None)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    write_csv(df, {"path": path})
+    back = read_csv(spark, {"path": path, "multiline": True})
+    got = {int(r["id"]): r["v"] for r in back.collect()}
+    assert len(got) == len(rows)
+    for i, v in rows:
+        expect = None if v in (None, "") else v
+        assert got[i] == expect, (i, repr(v), repr(got[i]))
