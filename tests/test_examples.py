@@ -1,0 +1,42 @@
+"""Every spec in examples/ must run end-to-end through the CLI path —
+examples are user-facing documentation and may not rot."""
+
+import glob
+import json
+import os
+
+import pytest
+
+EXAMPLES = sorted(glob.glob(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "examples", "*.json")))
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
+def test_example_spec_runs(spark, path):
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    spec = JobSpec.from_dict(json.load(open(path)))
+    result = run_job(spark, spec)
+    assert result.status == "COMPLETED", result.error
+    assert result.records_written > 0
+
+
+def test_corpus_curation_output_shape(spark, tmp_path):
+    """The curation demo writes a split-partitioned corpus with both splits
+    present and no duplicate normalized texts."""
+    import json as j
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    path = [p for p in EXAMPLES if "corpus_curation" in p][0]
+    d = j.load(open(path))
+    out = str(tmp_path / "corpus")
+    d["destination"]["details"]["path"] = out
+    result = run_job(spark, JobSpec.from_dict(d))
+    assert result.status == "COMPLETED", result.error
+    back = spark.read.parquet(out)
+    splits = {r.split for r in back.select("split").distinct().collect()}
+    assert splits == {"train", "held_out"}
+    n = back.count()
+    assert back.select("doc_id").distinct().count() == n
+    assert back.filter("n_tokens < 5").count() == 0
