@@ -1838,3 +1838,32 @@ def q69_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.unionByName(l, allowMissingColumns=True)
             .select("src", "key_id", F.col("amount").cast("double").alias("amount"))
             .orderBy("src", "key_id", "amount"))
+
+
+@query("q70_stream_interval_left", oracle="""
+SELECT c.event_id AS click_id, e.event_id AS err_id, c.user_id,
+       c.ts AS click_ts, e.ts AS err_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts <= c.ts
+ORDER BY click_id, err_id
+""")
+def q70_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join, batch formulation: every
+    click, with its same-user errors in the trailing hour or nulls. Under
+    Structured Streaming the null-padded rows emit once the watermark
+    proves no future match (tests/test_streaming.py uses an early-window
+    filter to make the tail deterministic). Same state bound as q56."""
+    from etl_load_spark.streaming.windows import stream_interval_join
+    e = t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"), "user_id",
+                      F.col("ts").alias("r_ts")))
+    return (stream_interval_join(clicks, errors, how="leftOuter")
+            .select("click_id", "err_id", "user_id",
+                    F.col("ts").alias("click_ts"),
+                    F.col("r_ts").alias("err_ts"))
+            .orderBy("click_id", "err_id"))

@@ -129,10 +129,18 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
                          key: str = "user_id",
                          left_ts: str = "ts", right_ts: str = "r_ts",
                          lookback: str = "1 hour",
-                         watermark: str = "30 minutes") -> DataFrame:
-    """Stream-stream inner interval join: each left event joined to right
-    events with the same key whose timestamp falls in
-    ``[left_ts − lookback, left_ts]``.
+                         watermark: str = "30 minutes",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream interval join (``how``: inner/leftOuter/rightOuter/
+    fullOuter): each left event joined to right events with the same key
+    whose timestamp falls in ``[left_ts − lookback, left_ts]``.
+
+    Outer variants require both watermarks + the time-range condition (both
+    present here): an unmatched row emits its null-padded result only once
+    the watermark guarantees no future match — rows closer to the head of
+    the stream than the watermark horizon stay buffered, so a live outer
+    join's tail is intentionally incomplete until the stream advances
+    (tested with an early-window filter in tests/test_streaming.py).
 
     In streaming mode both sides are watermarked and the time-range
     condition bounds the join state: Spark evicts buffered rows once the
@@ -147,10 +155,16 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
-    cond = ((left[key] == right[key])
+    rk = "_r_" + key
+    right = right.withColumnRenamed(key, rk)
+    cond = ((left[key] == right[rk])
             & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"))
             & (right[right_ts] <= left[left_ts]))
-    return left.join(right, cond, "inner").drop(right[key])
+    # coalesced key survives every join type (right/full outer rows have a
+    # null left key)
+    return (left.join(right, cond, how)
+            .withColumn(key, F.coalesce(F.col(key), F.col(rk)))
+            .drop(rk))
 
 
 def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:

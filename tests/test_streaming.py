@@ -202,3 +202,40 @@ def test_stream_static_enrich_equals_batch(spark, batch_events, stream_events, s
     s = sorted(streamed.collect(), key=key)
     assert [tuple(r) for r in b] == [tuple(r) for r in s]
     assert any(r.segment == "UNKNOWN" for r in b)
+
+
+def test_interval_left_outer_stream_equals_batch(spark, sf_dir):
+    """Left-outer interval join: null-padded rows for a left row emit only
+    once the watermark passes it, so restrict the left side to an early
+    window (2h before stream end > watermark 30m + lookback 1h) where
+    every outcome is final by end-of-stream — there streamed == batch."""
+    from etl_load_spark.session import read_table
+    from etl_load_spark.streaming.windows import (open_event_stream,
+                                                  run_available_now_append,
+                                                  stream_interval_join)
+    ev = read_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+
+    def sides(e):
+        clicks = (e.filter((F.col("event_type") == "click") & (F.col("ts") < cutoff))
+                  .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+        errors = (e.filter(F.col("event_type") == "error")
+                  .select(F.col("event_id").alias("err_id"), "user_id",
+                          F.col("ts").alias("r_ts")))
+        return clicks, errors
+
+    batch = stream_interval_join(*sides(ev), how="leftOuter")
+    s1, s2 = open_event_stream(spark, sf_dir), open_event_stream(spark, sf_dir)
+    stream = run_available_now_append(
+        stream_interval_join(sides(s1)[0], sides(s2)[1], how="leftOuter"))
+    # final watermark = (max surviving click ts) - 30m delay; only clicks
+    # strictly past it have final outcomes. 1-min margin for boundary rows.
+    import datetime as _dt
+    max_click_ts = sides(ev)[0].agg(F.max("ts")).collect()[0][0]
+    final_cutoff = max_click_ts - _dt.timedelta(minutes=31)
+    cols = ["click_id", "err_id", "user_id", "ts"]
+    got = [r for r in _rows(stream, cols) if r[3] < final_cutoff]
+    want = [r for r in _rows(batch, cols) if r[3] < final_cutoff]
+    assert got == want and len(got) > 0
+    assert any(r[1] is None for r in want)  # unmatched clicks present
