@@ -1867,3 +1867,22 @@ def q70_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ts").alias("click_ts"),
                     F.col("r_ts").alias("err_ts"))
             .orderBy("click_id", "err_id"))
+
+
+@query("q71_sketch_rollup")  # no oracle: datasketches HLL binary — engine-specific
+def q71_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup (the 100 TB pattern): one HLL
+    sketch per (day, event_type) partition, merged across days with
+    hll_union_agg — distinct users per type without re-scanning history.
+    Register updates are max-based → order-independent and mergeable, so
+    a materialized daily sketch table rolls up to any coarser grain.
+    Estimates are datasketches-specific → rows-only driver check; accuracy
+    vs exact is pinned in tests/test_entry.py."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id", 14).alias("sk")))
+    return (daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .cast("bigint").alias("distinct_users_est"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_day_sketches"))
+            .orderBy("event_type"))

@@ -63,3 +63,20 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         a = approx[r.l_returnflag]
         assert abs(a.p50_approx - r.p50) <= 0.005 * abs(r.p50)
         assert abs(a.p95_approx - r.p95) <= 0.005 * abs(r.p95)
+
+
+def test_sketch_rollup_accuracy(spark, sf_dir):
+    """Merged daily HLL sketches must land within 2% of the exact distinct
+    user count per event type (lgK=14 → ~0.8% standard error)."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.queries import QUERIES
+    from etl_load_spark.session import read_table
+    est = {r.event_type: r.distinct_users_est for r in
+           QUERIES["q71_sketch_rollup"].fn(spark, sf_dir).collect()}
+    exact = {r.event_type: r.n for r in
+             (read_table(spark, sf_dir, "events")
+              .groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect())}
+    assert set(est) == set(exact) and len(est) > 0
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.02 * v), (k, est[k], v)
