@@ -1886,3 +1886,52 @@ def q71_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("distinct_users_est"),
                  F.count(F.lit(1)).cast("bigint").alias("n_day_sketches"))
             .orderBy("event_type"))
+
+
+@query("q72_gapfill_locf", oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(12,2))) AS total
+  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+span AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(MIN(day) AS TIMESTAMP),
+                                     CAST(MAX(day) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM daily GROUP BY user_id),
+j AS (SELECT s.user_id, s.day, d.total,
+             CASE WHEN d.total IS NULL THEN TRUE ELSE FALSE END AS is_filled
+      FROM span s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+SELECT user_id, day,
+       CAST(last_value(total IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS total_locf,
+       is_filled
+FROM j ORDER BY user_id, day
+""")
+def q72_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward (the
+    hypertable `time_bucket_gapfill`/`locf` shape): per user, every day in
+    the user's observed span exists, missing days carry the last total.
+
+    100 TB: the dense day grid comes from sequence+explode of per-key
+    bounds — fan-out is plan-visible (span length), never a calendar cross
+    join; one shuffle on user_id serves the aggregate, the span, the join
+    and the window (same key). Users capped (<20) to keep oracle output
+    small; the plan is key-count-independent."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.sum(dec("value")).alias("total")))
+    span = (daily.groupBy("user_id")
+            .agg(F.explode(F.sequence(F.min("day"), F.max("day"),
+                                      F.expr("interval 1 day"))).alias("day")))
+    j = (span.join(daily, ["user_id", "day"], "left")
+         .withColumn("is_filled", F.col("total").isNull()))
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (j.select("user_id", "day",
+                     F.last("total", ignorenulls=True).over(w)
+                     .cast("double").alias("total_locf"),
+                     "is_filled")
+            .orderBy("user_id", "day"))

@@ -30,6 +30,15 @@ def _apply_layout(df: DataFrame, d: dict) -> DataFrame:
     """
     if d.get("repartition"):
         df = df.repartition(int(d["repartition"]))
+    if d.get("range_by"):
+        # range-partition + in-file sort on the key: files hold disjoint
+        # key ranges and row groups carry tight min/max stats, so readers
+        # filtering on the key skip whole files/row groups (the poor-man's
+        # clustering index; at 100 TB this is the difference between a
+        # full scan and touching one file per key range)
+        cols = d["range_by"]
+        n = int(d.get("repartition") or df.sparkSession.sparkContext.defaultParallelism)
+        df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     if d.get("single_file"):
         df = df.coalesce(1)
     return df

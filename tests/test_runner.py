@@ -182,3 +182,28 @@ def test_kafka_connector_shape(spark):
     with pytest.raises(Exception) as ei:
         read_kafka(spark, {"bootstrap_servers": "b:9092", "topic": "t"})
     assert "kafka" in str(ei.value).lower()
+
+
+def test_range_by_layout_writes_disjoint_files(spark, sf_dir, tmp_path):
+    """range_by sink layout: output files hold disjoint key ranges (the
+    data-skipping clustering layout; readers prune files by footer stats)."""
+    from etl_load_spark.session import read_table
+    from etl_load_spark.sources.writers import write_parquet
+    out = str(tmp_path / "ranged")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_parquet(o, {"path": out, "range_by": ["o_orderkey"], "repartition": 4})
+    import glob
+    from pyspark.sql import functions as F
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 3
+    bounds = []
+    for f in files:
+        r = (spark.read.parquet(f)
+             .agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0])
+        if r[0] is not None:
+            bounds.append((r[0], r[1]))
+    bounds.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2, bounds  # disjoint ranges
+    # nothing lost
+    assert spark.read.parquet(out).count() == o.count()
