@@ -1935,3 +1935,84 @@ def q72_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("double").alias("total_locf"),
                      "is_filled")
             .orderBy("user_id", "day"))
+
+
+@query("q73_funnel", oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+""")
+def q73_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click-after-view → purchase-after-
+    click): users surviving each stage. Each stage is a per-user MIN
+    aggregate joined to the previous stage's result.
+
+    100 TB: every stage aggregates and joins on user_id — one partitioning
+    reused throughout (AQE sees co-partitioned sides); stage outputs are
+    |users| rows, tiny vs the event log, so the joins broadcast. A
+    single-pass window formulation exists but recomputes per event row;
+    the staged form touches the log once per funnel step with map-side
+    filter pushdown on event_type."""
+    e = t(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+            .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint")
+                             .alias("n_view_click")))
+            .crossJoin(p.agg(F.count(F.lit(1)).cast("bigint")
+                             .alias("n_full_funnel"))))
+
+
+@query("q74_retention", oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events)
+SELECT cohort,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS cohort_size,
+       CAST(COUNT(DISTINCT CASE WHEN a.day = f.cohort + 1
+                                THEN a.user_id END) AS BIGINT) AS retained_d1,
+       CAST(COUNT(DISTINCT CASE WHEN a.day = f.cohort + 7
+                                THEN a.user_id END) AS BIGINT) AS retained_d7
+FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+GROUP BY cohort ORDER BY cohort
+""")
+def q74_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, retention at
+    day+1 and day+7. The activity table is the per-(user, day) distinct —
+    |users| × |active days| rows, far smaller than the event log.
+
+    100 TB: first_seen and activity both aggregate on user_id (shared
+    shuffle), the join is user_id-co-partitioned, and the final rollup is
+    |cohorts| rows. No event-log self-join."""
+    e = t(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.to_date(F.min("ts")).alias("cohort")))
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = first_seen.join(activity, "user_id")
+    return (j.groupBy("cohort")
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("cohort_size"),
+                 F.countDistinct(F.when(F.col("day") == F.date_add("cohort", 1),
+                                        F.col("user_id")))
+                 .cast("bigint").alias("retained_d1"),
+                 F.countDistinct(F.when(F.col("day") == F.date_add("cohort", 7),
+                                        F.col("user_id")))
+                 .cast("bigint").alias("retained_d7"))
+            .orderBy("cohort"))
