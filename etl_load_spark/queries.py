@@ -2016,3 +2016,35 @@ def q74_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         F.col("user_id")))
                  .cast("bigint").alias("retained_d7"))
             .orderBy("cohort"))
+
+
+@query("q75_weighted_sample", oracle="""
+WITH w AS (
+  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx,
+         CASE lang WHEN 'en' THEN '6666' WHEN 'zh' THEN 'e666'
+                   WHEN 'es' THEN 'cccc' ELSE 'ffff' END AS cut
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN hx < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM w GROUP BY lang ORDER BY lang
+""")
+def q75_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-weighted corpus sampling (training-mixture
+    construction): keep-rate per language via a hash-uniform threshold —
+    en 40%, es 80%, zh 90%, others 100%; thresholds are the rate × 0x10000
+    rendered as a 4-hex-digit cut, compared lexically (lowercase hex sorts
+    numerically). No RNG: assignment is stable across runs, engines and
+    partitionings, and is a pure map-side projection at any scale —
+    upsampling/downsampling a 100 TB mixture never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    cut = (F.when(F.col("lang") == "en", "6666")
+           .when(F.col("lang") == "zh", "e666")
+           .when(F.col("lang") == "es", "cccc")
+           .otherwise("ffff"))
+    return (d.select("lang", (hx < cut).cast("int").alias("keep"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                 F.sum("keep").cast("bigint").alias("n_kept"))
+            .orderBy("lang"))
