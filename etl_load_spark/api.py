@@ -1,0 +1,134 @@
+"""REST job-submission surface (SURVEY §3.2 / S11): the reference exposes
+POST submit / POST submitFromFile / GET status over Spring MVC
+(wfqueuelistener.java:504-581); here the same three endpoints are a thin
+stdlib HTTP layer over the step runner — the engine stays a library, the
+API is ~150 lines of plumbing.
+
+Semantics mirrored from the reference:
+  - submit returns 202 immediately with status SUBMITTED; execution is
+    async (wfqueuelistener.java:515 @Async submitJob).
+  - duplicate jobId while RUNNING is refused (the admission dedupe,
+    wfqueuelistener.java:261-280) with 409.
+  - status reads an in-memory registry (wfqueuelistener.java:564-566):
+    UNKNOWN → SUBMITTED → RUNNING → COMPLETED/FAILED.
+
+Spark note: one shared SparkSession serves all jobs — Spark schedules
+concurrent actions from multiple threads; at cluster scale use FAIR pools
+(documented in SCALE.md, not re-implemented)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from etl_load_spark.runner import run_job
+from etl_load_spark.spec import JobSpec
+
+API_PREFIX = "/api/etl/v1/jobs"
+
+
+class JobRegistry:
+    """In-memory status/result maps (the reference's WorkflowManager maps)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._lock = threading.Lock()
+        self._status: dict[str, dict] = {}
+
+    def submit(self, spec_dict: dict) -> tuple[int, dict]:
+        try:
+            spec = JobSpec.from_dict(spec_dict)
+        except Exception as e:  # malformed config → 400, like MVC binding
+            return 400, {"error": f"invalid job spec: {e}"}
+        job_id = spec.job_id or f"job-{uuid.uuid4().hex[:8]}"
+        with self._lock:
+            cur = self._status.get(job_id, {}).get("status")
+            if cur in ("SUBMITTED", "RUNNING"):
+                return 409, {"jobId": job_id, "error": "job already running"}
+            self._status[job_id] = {"jobId": job_id, "status": "SUBMITTED"}
+        t = threading.Thread(target=self._run, args=(job_id, spec), daemon=True)
+        t.start()
+        return 202, {"jobId": job_id, "status": "SUBMITTED"}
+
+    def _run(self, job_id: str, spec: JobSpec) -> None:
+        with self._lock:
+            self._status[job_id]["status"] = "RUNNING"
+        try:
+            result = run_job(self.spark, spec)
+            payload = {
+                "jobId": job_id, "status": result.status,
+                "recordsRead": result.records_read,
+                "recordsWritten": result.records_written,
+                "recordsFailed": result.records_failed,
+                "stepLog": result.step_log, "error": result.error,
+            }
+        except Exception as e:
+            payload = {"jobId": job_id, "status": "FAILED", "error": str(e)}
+        with self._lock:
+            self._status[job_id] = payload
+
+    def status(self, job_id: str) -> tuple[int, dict]:
+        with self._lock:
+            st = self._status.get(job_id)
+        if st is None:
+            return 404, {"jobId": job_id, "status": "UNKNOWN"}
+        return 200, st
+
+
+def _handler(registry: JobRegistry):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path == f"{API_PREFIX}/submit":
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    spec = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError as e:
+                    return self._reply(400, {"error": f"bad JSON: {e}"})
+                return self._reply(*registry.submit(spec))
+            if url.path == f"{API_PREFIX}/submitFromFile":
+                q = parse_qs(url.query)
+                path = (q.get("configPath") or [None])[0]
+                if not path:
+                    return self._reply(400, {"error": "configPath required"})
+                try:
+                    spec = json.load(open(path))
+                except OSError as e:
+                    return self._reply(400, {"error": f"cannot read config: {e}"})
+                return self._reply(*registry.submit(spec))
+            return self._reply(404, {"error": "unknown endpoint"})
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            parts = url.path.strip("/").split("/")
+            # api/etl/v1/jobs/<jobId>/status
+            if (url.path.startswith(API_PREFIX) and len(parts) == 6
+                    and parts[5] == "status"):
+                return self._reply(*registry.status(parts[4]))
+            return self._reply(404, {"error": "unknown endpoint"})
+
+    return Handler
+
+
+def serve(spark, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Start the API server on a background thread; returns the server
+    (``server.server_address`` has the bound port; ``shutdown()`` stops it)."""
+    registry = JobRegistry(spark)
+    srv = ThreadingHTTPServer((host, port), _handler(registry))
+    srv.registry = registry
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

@@ -78,6 +78,22 @@ def cmd_explain(path: str) -> dict:
             "columns": df.columns}
 
 
+def cmd_serve(host: str, port: int) -> int:
+    """Run the REST submit/status API (SURVEY §3.2) in the foreground."""
+    from etl_load_spark.api import serve
+    spark = _build_spark("etl_load_spark_api")
+    srv = serve(spark, host=host, port=port)
+    h, p = srv.server_address
+    print(f"etl_load_spark API listening on http://{h}:{p}"
+          f"  (POST {h}:{p}/api/etl/v1/jobs/submit)")
+    try:
+        while True:
+            __import__("time").sleep(3600)
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_load_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -86,7 +102,12 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("spec_path")
         sp.add_argument("--json", action="store_true",
                         help="print machine-readable JSON")
+    sv = sub.add_parser("serve")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
+    if args.cmd == "serve":
+        return cmd_serve(args.host, args.port)
     out = {"run": cmd_run, "validate": cmd_validate,
            "explain": cmd_explain}[args.cmd](args.spec_path)
     if args.json:
