@@ -2048,3 +2048,34 @@ def q75_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
                  F.sum("keep").cast("bigint").alias("n_kept"))
             .orderBy("lang"))
+
+
+@query("q76_json_shred_roundtrip", oracle="""
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem WHERE l_orderkey < 1000
+GROUP BY l_orderkey ORDER BY l_orderkey
+""")
+def q76_json_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON constructor/shred round trip (§2.6): lineitems nest into a JSON
+    array-of-structs per order (to_json/collect_list), parse back with a
+    declared schema (from_json), explode, re-aggregate. The oracle computes
+    the same numbers WITHOUT JSON — proving the serialize→parse→shred path
+    is full-fidelity (decimals included). The export-then-ingest shape of
+    JSON interchange pipelines; all three JSON ops are codegen'd JVM
+    expressions."""
+    l = (t(spark, sf_dir, "lineitem")
+         .filter(F.col("l_orderkey") < 1000))
+    nested = (l.groupBy("l_orderkey")
+              .agg(F.to_json(F.collect_list(F.struct(
+                   F.col("l_linenumber").alias("ln"),
+                   dec("l_quantity").alias("qty")))).alias("js")))
+    parsed = nested.select(
+        "l_orderkey",
+        F.from_json("js", "array<struct<ln:int,qty:decimal(12,2)>>").alias("arr"))
+    return (parsed.select("l_orderkey", F.explode("arr").alias("it"))
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                 F.sum("it.qty").cast("double").alias("total_qty"))
+            .orderBy("l_orderkey"))
