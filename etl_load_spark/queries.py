@@ -1917,11 +1917,16 @@ def q72_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the dense day grid comes from sequence+explode of per-key
     bounds — fan-out is plan-visible (span length), never a calendar cross
-    join; one shuffle on user_id serves the aggregate, the span, the join
-    and the window (same key). Users capped (<20) to keep oracle output
-    small; the plan is key-count-independent."""
-    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    daily = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+    join. Every shuffle in this plan moves POST-aggregation rows
+    (|users × days|, orders of magnitude below the event log): Catalyst
+    prunes each branch to its own columns (the span branch degenerates to
+    a (user, day) distinct — no payload), the span⋈daily join and LOCF
+    window shuffle the grid only, and the event log itself is scanned with
+    pushed filters and never re-shuffled. Users capped (<20) to keep
+    oracle output small."""
+    e = (t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+         .select("user_id", F.to_date("ts").alias("day"), "value"))
+    daily = (e.groupBy("user_id", "day")
              .agg(F.sum(dec("value")).alias("total")))
     span = (daily.groupBy("user_id")
             .agg(F.explode(F.sequence(F.min("day"), F.max("day"),
