@@ -40,10 +40,23 @@ def read_csv(spark: SparkSession, d: dict) -> DataFrame:
 
 
 def read_json(spark: SparkSession, d: dict) -> DataFrame:
-    """Line-delimited JSON (S6 FILE_JSON, etlModel.java:187)."""
-    reader = spark.read
-    if d.get("schema"):
-        reader = reader.schema(d["schema"])
+    """Line-delimited JSON (S6 FILE_JSON, etlModel.java:187).
+
+    Malformed-line handling (the U3 parse-error path): default PERMISSIVE;
+    with ``corrupt_column`` set the raw unparseable line lands in that
+    column (appended to the declared schema as string) and everything else
+    nulls — the error-routing split then sends those rows to the error
+    sink exactly like cast failures. ``mode`` may also be DROPMALFORMED or
+    FAILFAST."""
+    reader = spark.read.option("mode", d.get("mode", "PERMISSIVE"))
+    schema = d.get("schema")
+    cc = d.get("corrupt_column")
+    if cc:
+        reader = reader.option("columnNameOfCorruptRecord", cc)
+        if schema and cc not in schema:
+            schema = f"{schema}, {cc} string"
+    if schema:
+        reader = reader.schema(schema)
     return reader.json(d["path"])
 
 

@@ -207,3 +207,30 @@ def test_range_by_layout_writes_disjoint_files(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, bounds  # disjoint ranges
     # nothing lost
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_json_corrupt_record_routing(spark, tmp_path):
+    """Malformed JSONL lines land in the corrupt column (U3 parse-error
+    path) and split cleanly from good rows; DROPMALFORMED silently drops."""
+    from etl_load_spark.sources.readers import read_json
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "v": "a"}\n'
+                 '{oops not json\n'
+                 '{"id": 2, "v": "b"}\n'
+                 '{"id": "NaNope", "v": 3}\n')
+    df = read_json(spark, {"path": str(p), "schema": "id bigint, v string",
+                           "corrupt_column": "_corrupt"})
+    rows = df.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    good = [r for r in rows if r["_corrupt"] is None]
+    assert len(bad) == 2  # the broken line and the type-mismatched id
+    assert sorted((r.id, r.v) for r in good) == [(1, "a"), (2, "b")]
+    # raw line preserved for the error sink
+    assert any("oops" in r["_corrupt"] for r in bad)
+    # DROPMALFORMED removes unparseable lines only; the type-mismatched row
+    # survives with the bad field nulled (PERMISSIVE + corrupt_column is the
+    # mode that catches both, which is why the engine defaults to it)
+    dropped = read_json(spark, {"path": str(p), "schema": "id bigint, v string",
+                                "mode": "DROPMALFORMED"})
+    assert dropped.count() == 3
