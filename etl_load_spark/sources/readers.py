@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_parquet(spark: SparkSession, d: dict) -> DataFrame:
-    return spark.read.parquet(d["path"])
+    """Parquet scan. ``merge_schema=True`` enables schema evolution: the
+    schemas of all files union (columns added over time null-fill in old
+    files); the merge cost is per-file footer metadata only, not data."""
+    reader = spark.read
+    if d.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(d["path"])
 
 
 def read_csv(spark: SparkSession, d: dict) -> DataFrame:
@@ -30,7 +36,12 @@ def read_csv(spark: SparkSession, d: dict) -> DataFrame:
               .option("nullValue", d.get("null_value", ""))
               # RFC-4180 embedded newlines (quoted) need multiLine parsing;
               # off by default because it disables line-split parallel reads
-              .option("multiLine", str(d.get("multiline", False)).lower()))
+              .option("multiLine", str(d.get("multiline", False)).lower())
+              .option("mode", d.get("mode", "PERMISSIVE")))
+    if d.get("corrupt_column"):  # U3 parse-error path, same as FILE_JSON
+        reader = reader.option("columnNameOfCorruptRecord", d["corrupt_column"])
+        if d.get("schema") and d["corrupt_column"] not in d["schema"]:
+            d = dict(d, schema=f"{d['schema']}, {d['corrupt_column']} string")
     if d.get("schema"):
         reader = reader.schema(d["schema"])
     elif not d.get("all_string", True):

@@ -60,6 +60,10 @@ def write_parquet(df: DataFrame, d: dict) -> dict:
     w = df.write.mode(d.get("mode", "overwrite"))
     if d.get("compression"):
         w = w.option("compression", d["compression"])
+    if d.get("max_records_per_file"):
+        # bounds output file size at scale (a partition writing 10 GB rolls
+        # into N files instead of one unsplittable-to-list monster)
+        w = w.option("maxRecordsPerFile", int(d["max_records_per_file"]))
     if d.get("bucket_by"):
         w = w.bucketBy(int(d.get("n_buckets", 8)), *d["bucket_by"])
         if d.get("sort_by"):

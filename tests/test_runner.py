@@ -234,3 +234,45 @@ def test_json_corrupt_record_routing(spark, tmp_path):
     dropped = read_json(spark, {"path": str(p), "schema": "id bigint, v string",
                                 "mode": "DROPMALFORMED"})
     assert dropped.count() == 3
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """merge_schema unions file schemas; columns absent in old files null."""
+    from etl_load_spark.sources.readers import read_parquet
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string") \
+        .write.mode("append").parquet(out)
+    spark.createDataFrame([(2, "b", 9.5)], "id bigint, v string, score double") \
+        .write.mode("append").parquet(out)
+    df = read_parquet(spark, {"path": out, "merge_schema": True})
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_max_records_per_file(spark, sf_dir, tmp_path):
+    from etl_load_spark.session import read_table
+    from etl_load_spark.sources.writers import write_parquet
+    import glob
+    out = str(tmp_path / "capped")
+    n = read_table(spark, sf_dir, "orders").count()
+    write_parquet(read_table(spark, sf_dir, "orders").coalesce(1),
+                  {"path": out, "max_records_per_file": 500})
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= n // 500
+    assert spark.read.parquet(out).count() == n
+
+
+def test_csv_corrupt_record_routing(spark, tmp_path):
+    """CSV malformed rows (wrong column count / bad types) land in the
+    corrupt column, mirroring the FILE_JSON U3 path."""
+    from etl_load_spark.sources.readers import read_csv
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,a\nnot_a_number,b\n2,c\n")
+    df = read_csv(spark, {"path": str(p), "schema": "id bigint, v string",
+                          "corrupt_column": "_corrupt", "all_string": False})
+    rows = df.collect()
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    good = [(r.id, r.v) for r in rows if r["_corrupt"] is None]
+    assert sorted(good) == [(1, "a"), (2, "c")]
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt"]
