@@ -276,3 +276,49 @@ def test_csv_corrupt_record_routing(spark, tmp_path):
     good = [(r.id, r.v) for r in rows if r["_corrupt"] is None]
     assert sorted(good) == [(1, "a"), (2, "c")]
     assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt"]
+
+
+def test_incremental_load_anti_join(spark, sf_dir, tmp_path):
+    """Classic incremental ETL: append only keys missing from the target
+    (LEFT ANTI JOIN through the spec's SQL path, append-mode sink). Run 1
+    bootstraps a partial target; run 2 loads the delta; run 3 is a no-op."""
+    from etl_load_spark.session import read_table
+    target = str(tmp_path / "target")
+    src = f"{sf_dir}/orders.parquet"
+
+    def job(query, mode="append"):
+        return JobSpec.from_dict({
+            "jobId": "incr",
+            "source": {"type": "PARQUET", "details": {"path": src}},
+            "extraSources": {"target": {"type": "PARQUET",
+                                        "details": {"path": target}}},
+            "query": query,
+            "destination": {"type": "PARQUET",
+                            "details": {"path": target, "mode": mode}},
+        })
+
+    total = read_table(spark, sf_dir, "orders").count()
+    boot = JobSpec.from_dict({
+        "jobId": "bootstrap",
+        "source": {"type": "PARQUET", "details": {"path": src}},
+        "query": "SELECT * FROM src WHERE o_orderkey < 1000",
+        "destination": {"type": "PARQUET", "details": {"path": target}},
+    })
+    r1 = run_job(spark, boot)
+    assert r1.status == "COMPLETED", r1.error
+    n_boot = spark.read.parquet(target).count()
+    assert 0 < n_boot < total
+
+    delta_sql = ("SELECT s.* FROM src s LEFT ANTI JOIN target t "
+                 "ON s.o_orderkey = t.o_orderkey")
+    r2 = run_job(spark, job(delta_sql))
+    assert r2.status == "COMPLETED", r2.error
+    assert r2.records_written == total - n_boot
+    assert spark.read.parquet(target).count() == total
+    assert (spark.read.parquet(target).select("o_orderkey").distinct().count()
+            == total)
+
+    r3 = run_job(spark, job(delta_sql))
+    assert r3.status == "COMPLETED", r3.error
+    assert r3.records_written == 0
+    assert spark.read.parquet(target).count() == total
