@@ -2084,3 +2084,108 @@ def q76_json_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
                  F.sum("it.qty").cast("double").alias("total_qty"))
             .orderBy("l_orderkey"))
+
+
+@query("q77_histogram", oracle="""
+SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) / 50000) AS BIGINT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi
+FROM orders GROUP BY 1 ORDER BY 1
+""")
+def q77_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (the width_bucket shape): one hash
+    aggregation on the bucket expression; bucket count is value-range /
+    width regardless of row count, so the result is always tiny."""
+    o = t(spark, sf_dir, "orders")
+    b = F.floor(dec("o_totalprice") / 50000).cast("bigint")
+    return (o.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.min(dec("o_totalprice")).cast("double").alias("lo"),
+                 F.max(dec("o_totalprice")).cast("double").alias("hi"))
+            .orderBy("bucket"))
+
+
+@query("q78_pivot_multi_agg", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS f_qty,
+       CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS o_qty,
+       CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS o_n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q78_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (sum + count): Spark emits
+    one column per (pivot value × aggregate). Explicit value list keeps
+    the plan one-pass (no distinct-values pre-query)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = (l.groupBy("l_returnflag")
+         .pivot("l_linestatus", ["F", "O"])
+         .agg(F.sum(dec("l_quantity")).alias("qty"),
+              F.count(F.lit(1)).alias("n")))
+    return (p.select("l_returnflag",
+                     F.col("F_qty").cast("double").alias("f_qty"),
+                     F.col("F_n").cast("bigint").alias("f_n"),
+                     F.col("O_qty").cast("double").alias("o_qty"),
+                     F.col("O_n").cast("bigint").alias("o_n"))
+            .orderBy("l_returnflag"))
+
+
+@query("q79_array_set_ops", oracle="""
+WITH a AS (SELECT o_custkey,
+                  list_sort(list_distinct(COALESCE(list(o_orderpriority)
+                    FILTER (o_orderstatus = 'F'), []))) AS f_prio,
+                  list_sort(list_distinct(COALESCE(list(o_orderpriority)
+                    FILTER (o_orderstatus = 'O'), []))) AS o_prio
+           FROM orders WHERE o_custkey < 200 GROUP BY o_custkey)
+SELECT o_custkey,
+       CAST(len(list_intersect(f_prio, o_prio)) AS INT) AS n_common,
+       CAST(len(list_distinct(list_concat(f_prio, o_prio))) AS INT) AS n_union
+FROM a ORDER BY o_custkey
+""")
+def q79_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (§2.6): per-customer priority sets for two order
+    states, intersect/union cardinalities — collect_set + array_intersect/
+    array_union, all codegen'd; arrays are per-group (bounded by the
+    5-value priority domain), never corpus-wide."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    a = (o.groupBy("o_custkey")
+         .agg(F.sort_array(F.collect_set(F.when(F.col("o_orderstatus") == "F",
+                                                F.col("o_orderpriority"))))
+              .alias("f_prio"),
+              F.sort_array(F.collect_set(F.when(F.col("o_orderstatus") == "O",
+                                                F.col("o_orderpriority"))))
+              .alias("o_prio")))
+    return (a.select("o_custkey",
+                     F.size(F.array_intersect("f_prio", "o_prio"))
+                     .alias("n_common"),
+                     F.size(F.array_union("f_prio", "o_prio"))
+                     .alias("n_union"))
+            .orderBy("o_custkey"))
+
+
+@query("q80_regexp_extract_all", oracle="""
+WITH m AS (SELECT doc_id,
+                  unnest(regexp_extract_all(text, '[A-Za-z]+ing')) AS w
+           FROM documents)
+SELECT lower(w) AS word, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM m GROUP BY 1 ORDER BY n DESC, word LIMIT 50
+""")
+def q80_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + explode (§2.6): every '-ing' word occurrence
+    across the corpus with doc frequency, top-50. One scan, one aggregate,
+    TakeOrdered top-k; the regex runs codegen'd JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    m = d.select("doc_id",
+                 F.explode(F.expr(r"regexp_extract_all(text, '[A-Za-z]+ing', 0)"))
+                 .alias("w"))
+    return (m.groupBy(F.lower("w").alias("word"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+            .orderBy(F.desc("n"), "word").limit(50))
