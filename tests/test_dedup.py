@@ -116,3 +116,26 @@ def test_dedup_clusters_singletons(spark):
     got = {r.doc_id: r.cluster_id for r in
            dedup_clusters(df, pairs, "doc_id").collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_degenerate_docs_never_pair(spark):
+    """Docs whose normalized text is empty (blank, punctuation-only,
+    non-latin script under the latin normalizer) must NOT appear in any
+    near-dup pair — an empty token set is no content signal. Regression:
+    they previously all paired with each other, deleting CJK text."""
+    from etl_load_spark.operators.dedup import (
+        exact_dedup, minhash_near_dup_pairs, ngram_jaccard_pairs,
+        simhash_near_dup_pairs)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "!!!???"), (5, "日本語のテキスト"),
+         (6, "normal english words here for shingling purposes today"),
+         (7, "normal english words here for shingling purposes today")],
+        "doc_id bigint, text string")
+    for fn in (minhash_near_dup_pairs, simhash_near_dup_pairs,
+               ngram_jaccard_pairs):
+        pairs = sorted((r[0], r[1]) for r in
+                       fn(df, "doc_id", "text").collect())
+        assert pairs == [(6, 7)], (fn.__name__, pairs)
+    # byte-identical degenerates still collapse via exact dedup
+    kept = exact_dedup(df.fillna({"text": ""}), ["text"], "doc_id")
+    assert kept.count() < df.count()
