@@ -29,8 +29,16 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _null_if_nan(c: Column) -> Column:
+    return F.nanvl(c, F.lit(None).cast("double"))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (never an error, never NaN) for degenerate
+    inputs — a zero-norm vector (ANSI division by zero otherwise: one bad
+    embedding would fail the whole job) or NaN components. Consumers filter
+    NULL sims out, so degenerate vectors simply produce no matches."""
+    return _null_if_nan(F.try_divide(dot(a, b), norm(a) * norm(b)))
 
 
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -50,6 +58,7 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return (c.crossJoin(F.broadcast(q))
             .filter(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim").isNotNull())  # degenerate vectors
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k)
             .orderBy("q_id", "rank"))
@@ -57,11 +66,13 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 def unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(_id, _u): vectors scaled to unit length (double) — cosine of two
-    unit vectors is a plain dot product, one fold instead of three."""
+    unit vectors is a plain dot product, one fold instead of three.
+    Zero-norm vectors scale to all-NULL arrays (try_divide), which
+    propagate to NULL dot products downstream instead of erroring."""
     nm = norm(F.col(vec_col))
     return df.select(
         F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nm)
+        F.transform(F.col(vec_col), lambda x: F.try_divide(x.cast("double"), nm))
         .alias("_u"))
 
 
@@ -151,7 +162,7 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .dropDuplicates(["q_id", "n_id"]))
     qu = unit_vectors(queries, id_col, vec_col)
     cu = unit_vectors(vectors, id_col, vec_col).repartition("_id")
-    sim = F.round(dot(F.col("_qu"), F.col("_nu")), 6)
+    sim = _null_if_nan(F.round(dot(F.col("_qu"), F.col("_nu")), 6))
     w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
     return (cand
             .join(F.broadcast(qu.select(F.col("_id").alias("q_id"),
@@ -159,6 +170,7 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .join(cu.select(F.col("_id").alias("n_id"),
                             F.col("_u").alias("_nu")), "n_id")
             .select("q_id", "n_id", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim").isNotNull())
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k)
             .orderBy("q_id", "rank"))
@@ -184,6 +196,7 @@ def fit_centroids(vectors: DataFrame, vec_col: str = "embedding",
     if n > fit_sample:
         s = s.sample(fraction=fit_sample / n, seed=seed)
     x = np.stack([r._v for r in s.collect()])
+    x = x[np.isfinite(x).all(axis=1)]  # NaN/inf rows would poison the means
     n_cells = min(n_cells, len(x))
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), n_cells, replace=False)].copy()
@@ -244,6 +257,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return (c.join(F.broadcast(q), "_cell")
             .filter(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim").isNotNull())
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k)
             .orderBy("q_id", "rank"))
@@ -279,7 +293,7 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
     u = unit_vectors(vectors, id_col, vec_col).repartition("_id")
-    sim = F.round(dot(F.col("_ua"), F.col("_ub")), 6)
+    sim = _null_if_nan(F.round(dot(F.col("_ua"), F.col("_ub")), 6))
     return (cand
             .join(u.select(F.col("_id").alias("id_a"),
                            F.col("_u").alias("_ua")), "id_a")

@@ -85,3 +85,33 @@ def test_ivf_full_probe_is_exact(spark, vectors):
             for r in ivf_topk(vectors, queries, k=3,
                               n_cells=4, n_probe=4).collect()]
     assert exact == full
+
+
+def test_degenerate_vectors_never_match(spark):
+    """Zero-norm and NaN-poisoned vectors must yield no similarity results
+    (NULL sim, filtered) instead of failing the job under ANSI
+    divide-by-zero or ranking first via NaN's sorts-greatest semantics."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.operators.similarity import (
+        cosine_topk, embedding_near_dup_pairs, ivf_topk, lsh_topk)
+    rows = [(1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0, 0.0]),
+            (4, [float("nan"), 1.0, 0.0, 0.0]),
+            (5, [0.0, 1.0, 0.0, 0.0])]
+    vec = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = vec.filter(F.col("vec_id").isin(1, 2, 4))
+    out = cosine_topk(vec, q, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.n_id)
+    assert 1 not in by_q and 4 not in by_q      # degenerate queries: no rows
+    assert by_q[2][0] == 3                       # exact dup still ranks first
+    assert all(n not in (1, 4) for n in by_q[2])  # degenerate neighbors gone
+    pairs = sorted((r.id_a, r.id_b) for r in
+                   embedding_near_dup_pairs(vec, threshold=0.9, dim=4).collect())
+    assert pairs == [(2, 3)]
+    lsh = lsh_topk(vec, q, k=4, dim=4).collect()
+    assert all(r.q_id not in (1, 4) and r.n_id not in (1, 4) for r in lsh)
+    ivf = ivf_topk(vec, q, k=4, n_cells=2, n_probe=2).collect()
+    assert all(r.q_id not in (1, 4) and r.n_id not in (1, 4) for r in ivf)
