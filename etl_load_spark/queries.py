@@ -2189,3 +2189,277 @@ def q80_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
             .orderBy(F.desc("n"), "word").limit(50))
+
+
+@query("q81_exists_returned", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R' AND l.l_discount >= 0.05)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q81_exists_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-correlated pattern (TPC-H Q4 shape): orders in a window with
+    at least one high-discount returned line, counted per priority.
+
+    Scale: expressed as a LEFT SEMI join — the lineitem side is filtered
+    and projected to the join key only before the shuffle, so the shuffle
+    carries one bigint per qualifying line; semi join short-circuits on
+    first match (no row multiplication, no post-join dedup).
+    """
+    o = (t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >=
+                  F.lit("1996-01-01 00:00:00").cast("timestamp")) &
+                 (F.col("o_orderdate") <
+                  F.lit("1997-01-01 00:00:00").cast("timestamp"))))
+    l = (t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_returnflag") == "R") & (F.col("l_discount") >= 0.05))
+         .select("l_orderkey"))
+    return (o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+@query("q82_dormant_rich", oracle="""
+WITH s AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot,
+                  COUNT(*) AS n FROM customer)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT n FROM s) > (SELECT tot FROM s)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""")
+def q82_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + NOT EXISTS (TPC-H Q22 shape): churned-but-rich
+    customers — above-average balance, no order since mid-2000 — per
+    market segment.
+
+    The above-average test is the exact cross-multiplication
+    ``bal * n > sum`` rather than ``bal > AVG(..)``: AVG returns DOUBLE in
+    DuckDB but exact decimal in Spark, so the average itself is not
+    engine-portable — the cross-multiplied form stays in exact integer-
+    scaled decimal arithmetic in both. Scale: the (sum, n) aggregate is a
+    1-row broadcast; NOT EXISTS is a LEFT ANTI join shuffled on custkey
+    with the orders side projected to the key column only.
+    """
+    c = t(spark, sf_dir, "customer")
+    s = c.agg(F.sum(dec("c_acctbal")).alias("_tot"),
+              F.count(F.lit(1)).alias("_n"))
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >=
+                 F.lit("2000-06-01 00:00:00").cast("timestamp"))
+         .select("o_custkey"))
+    return (c.crossJoin(F.broadcast(s))
+            .filter(dec("c_acctbal") * F.col("_n") > F.col("_tot"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+                 dsum("c_acctbal", "total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+@query("q83_cust_order_distribution", oracle="""
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""")
+def q83_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13): LEFT join with an
+    extra non-key predicate ON THE JOIN (not a WHERE — customers with only
+    urgent orders must survive with count 0), two-level aggregation.
+
+    Scale: at real scale the outer join sort-merges on custkey and the
+    first aggregate (groupBy key == join key) reuses that partitioning
+    with no second exchange; at test SF the orders side broadcasts
+    instead, trading the reuse for no shuffle at all. The distribution
+    aggregate shuffles only (c_count, partial-count) pairs either way.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    co = (c.join(o, c.c_custkey == o.o_custkey, "left")
+          .groupBy("c_custkey")
+          .agg(F.count("o_orderkey").alias("c_count")))
+    return (co.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query("q84_promo_share", oracle="""
+WITH r AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+    SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+             AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+        AS DECIMAL(18,6))) AS total
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1)
+SELECT ship_month,
+       CAST(ROUND(promo, 2) AS DOUBLE) AS promo_rev,
+       CAST(ROUND(total, 2) AS DOUBLE) AS total_rev,
+       100.0 * CAST(ROUND(promo, 2) AS DOUBLE)
+             / CAST(ROUND(total, 2) AS DOUBLE) AS promo_pct
+FROM r ORDER BY ship_month
+""")
+def q84_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a dim join (TPC-H Q14): monthly share
+    of PROMO-part revenue. The ratio divides decimal sums ROUNDed to scale
+    2 and converted to double — identical doubles in, IEEE-identical
+    quotient out (raw decimal division scales differ between engines).
+
+    Scale: part is the small dim — broadcast (no lineitem shuffle for the
+    join); the aggregate is 12 groups with map-side partials, so the only
+    shuffle is 12 rows per partition.
+    """
+    l = (t(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >=
+                  F.lit("1996-01-01 00:00:00").cast("timestamp")) &
+                 (F.col("l_shipdate") <
+                  F.lit("1997-01-01 00:00:00").cast("timestamp"))))
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    rev = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    r = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+         .groupBy(F.date_trunc("month", "l_shipdate").cast("date")
+                  .alias("ship_month"))
+         .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+              .alias("promo"),
+              F.sum(rev).alias("total")))
+    promo2 = F.round(F.col("promo"), 2).cast("double")
+    total2 = F.round(F.col("total"), 2).cast("double")
+    return (r.select("ship_month",
+                     promo2.alias("promo_rev"),
+                     total2.alias("total_rev"),
+                     (F.lit(100.0) * promo2 / total2).alias("promo_pct"))
+            .orderBy("ship_month"))
+
+
+@query("q85_pseudonymize", oracle="""
+SELECT c_custkey,
+       sha256(c_name) AS name_sha,
+       md5(c_name) AS name_md5,
+       sha256('pepper-2026' || c_name) AS name_salted,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+FROM customer WHERE c_custkey < 500 ORDER BY c_custkey
+""")
+def q85_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization for training-data pipelines: stable hashed
+    keys (sha256/md5), a salted variant (joinable within one release,
+    unlinkable across salts), and digit-masked display names.
+
+    Scale: pure narrow projection — no shuffle except the output sort;
+    all four transforms are codegen'd JVM expressions, so this runs at
+    scan speed on any corpus size.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return (c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("name_sha"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.concat(F.lit("pepper-2026"), F.col("c_name")), 256)
+         .alias("name_salted"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"))
+        .orderBy("c_custkey"))
+
+
+@query("q86_bigram_topk", oracle="""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM tk)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bg WHERE bigram IS NOT NULL
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+""")
+def q86_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency (language-model n-gram statistics): top-50
+    word bigrams with document frequency.
+
+    Scale: posexplode + a lead() window partitioned by doc_id — ONE
+    shuffle keyed on doc_id (bounded per-doc partitions, no corpus-wide
+    window), then a partial-aggregated count and TakeOrdered top-k. All
+    codegen'd; no Python, no HOF array builds.
+    """
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id",
+                  F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (tk.select("doc_id",
+                    F.when(F.lead("w").over(w).isNotNull(),
+                           F.concat_ws(" ", "w", F.lead("w").over(w)))
+                    .alias("bigram"))
+          .filter(F.col("bigram").isNotNull()))
+    return (bg.groupBy("bigram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+            .orderBy(F.desc("n"), "bigram").limit(50))
+
+
+@query("q87_contamination", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[s:s+7], ' ')
+         for s in generate_series(1, greatest(len(ws)-7, 1))])) AS s
+  FROM tk),
+shf AS (SELECT doc_id, s FROM sh WHERE s <> '')
+SELECT e.doc_id AS eval_doc_id,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_contaminating_docs,
+       CAST(COUNT(DISTINCT e.s) AS BIGINT) AS n_shared_ngrams
+FROM shf e JOIN shf t ON e.s = t.s
+WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+GROUP BY e.doc_id ORDER BY e.doc_id
+""")
+def q87_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check (training-data hygiene): for each
+    held-out document (doc_id % 10 == 0), the train documents sharing at
+    least one verbatim 8-gram and how many distinct 8-grams leak. Reuses
+    the dedup shingle relation (operators/dedup.py:shingles_exploded).
+
+    Scale: the 8-gram relation is built once (one scan + posexplode, no
+    HOFs) and split by filter; the equi-join shuffles (id, ngram) pairs
+    only — no payload text. 8-grams are near-unique, so bucket sizes stay
+    tiny (no quadratic blowup; stop-gram removal slots in as a filter on
+    high-DF shingles if a real corpus has boilerplate). At 100 TB the
+    join key would be xxhash64(ngram) (8-byte shuffle rows, collision
+    rate ~n²/2⁶⁴ — acceptable for candidate generation); kept as the raw
+    string here for oracle portability.
+    """
+    from etl_load_spark.operators.dedup import shingles_exploded
+    d = t(spark, sf_dir, "documents")
+    ex = shingles_exploded(d, "doc_id", "text", n=8)
+    ev = (ex.filter(F.col("_id") % 10 == 0)
+          .select(F.col("_id").alias("eval_doc_id"), "_s"))
+    tr = (ex.filter(F.col("_id") % 10 != 0)
+          .select(F.col("_id").alias("train_doc_id"), "_s"))
+    return (ev.join(tr, "_s")
+            .groupBy("eval_doc_id")
+            .agg(F.countDistinct("train_doc_id").cast("bigint")
+                 .alias("n_contaminating_docs"),
+                 F.countDistinct("_s").cast("bigint").alias("n_shared_ngrams"))
+            .orderBy("eval_doc_id"))

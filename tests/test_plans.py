@@ -155,3 +155,26 @@ def test_union_by_name_no_shuffle(spark, sf_dir):
     assert "Union" in plan
     # the union itself adds no exchange; the only one is the final orderBy
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_exists_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q81_exists_returned")
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan  # date range reaches the orders scan
+
+
+def test_promo_share_broadcasts_part(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q84_promo_share")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_bigram_topk_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q86_bigram_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_equi_join_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q87_contamination")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
