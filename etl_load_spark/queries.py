@@ -783,13 +783,40 @@ def q28_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-@query("q29_ngram_jaccard")  # no oracle: shingle-set ops not portable SQL
+@query("q29_ngram_jaccard", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[s:s+2], ' ')
+         for s in generate_series(1, greatest(len(ws)-2, 1))])) AS s
+  FROM tk),
+shf AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+idx AS (SELECT doc_id, s FROM shf WHERE s IN
+        (SELECT s FROM shf GROUP BY s HAVING COUNT(*) <= 100)),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / (sa.n + sb.n - c) >= 0.15
+ORDER BY id_a, id_b
+""")
 def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard pairs via the inverted-index (shingle) join — only
     pairs sharing a shingle are materialized; never all-pairs. Shingles in
     >100 documents are dropped from the index (hot-key defense: a stop-
     shingle in d docs costs d² join rows; pairs connected solely through
-    ubiquitous shingles sit far below any useful threshold)."""
+    ubiquitous shingles sit far below any useful threshold).
+
+    Unlike MinHash/SimHash (probabilistic, not SQL-portable), this path is
+    EXACT, so it carries a full DuckDB oracle: list-comprehension shingles
+    + self-join, with the jaccard as bigint/bigint division (IEEE-identical
+    double in both engines).
+    """
     from etl_load_spark.operators.dedup import ngram_jaccard_pairs
     d = t(spark, sf_dir, "documents")
     return (ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.15,
