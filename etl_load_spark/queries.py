@@ -2490,3 +2490,116 @@ def q87_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_contaminating_docs"),
                  F.countDistinct("_s").cast("bigint").alias("n_shared_ngrams"))
             .orderBy("eval_doc_id"))
+
+
+@query("q88_feature_moments", oracle="""
+WITH e AS (
+  SELECT unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+a AS (
+  SELECT dim, COUNT(*) AS n_vals,
+         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(14,7))) AS s,
+         SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(14,7))
+                  * CAST(CAST(x AS DOUBLE) AS DECIMAL(14,7))
+             AS DECIMAL(29,14))) AS sq,
+         CAST(MIN(x) AS DOUBLE) AS min_val,
+         CAST(MAX(x) AS DOUBLE) AS max_val
+  FROM e GROUP BY dim),
+b AS (
+  SELECT dim, n_vals,
+         CAST(ROUND(s, 6) AS DOUBLE) / n_vals AS mean_val,
+         CAST(ROUND(sq, 6) AS DOUBLE) / n_vals AS msq,
+         min_val, max_val
+  FROM a)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n_vals AS BIGINT) AS n_vals,
+       mean_val, sqrt(msq - mean_val * mean_val) AS std_val,
+       min_val, max_val
+FROM b ORDER BY dim
+""")
+def q88_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding corpus
+    (normalization constants for ML feature pipelines): mean, std, min,
+    max for each of the 64 dimensions.
+
+    Decimal sums keep mean/std order-independent (double summation is
+    not associative); mean and variance are derived from ROUNDed decimal
+    sums converted to double, so both engines divide identical doubles.
+
+    Scale: posexplode is codegen'd row multiplication (×dim), and the
+    aggregate has exactly `dim` groups — map-side partials reduce the
+    shuffle to dim rows per partition regardless of corpus size. No
+    driver collection, no Python.
+    """
+    e = (t(spark, sf_dir, "embeddings")
+         .select(F.posexplode("embedding").alias("dim", "x")))
+    xd = F.col("x").cast("double").cast("decimal(14,7)")
+    a = (e.groupBy("dim")
+         .agg(F.count(F.lit(1)).alias("n_vals"),
+              F.sum(xd).alias("s"),
+              F.sum((xd * xd).cast("decimal(29,14)")).alias("sq"),
+              F.min("x").cast("double").alias("min_val"),
+              F.max("x").cast("double").alias("max_val")))
+    mean = F.round(F.col("s"), 6).cast("double") / F.col("n_vals")
+    msq = F.round(F.col("sq"), 6).cast("double") / F.col("n_vals")
+    return (a.select(F.col("dim").cast("bigint").alias("dim"),
+                     F.col("n_vals").cast("bigint").alias("n_vals"),
+                     mean.alias("mean_val"),
+                     F.sqrt(msq - mean * mean).alias("std_val"),
+                     "min_val", "max_val")
+            .orderBy("dim"))
+
+
+@query("q89_sequence_pack", oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d),
+s AS (
+  SELECT shard, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS seq_id,
+         doc_id, n_tok
+  FROM c)
+SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id
+""")
+def q89_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): documents are
+    concatenated in doc_id order and cut into 256-token context windows;
+    a document belongs to the window containing its first token. Emits
+    per-sequence document count, token count, and doc-id span — the
+    manifest a sequence-builder job would consume.
+
+    Packing is SHARDED (doc_id % 8): a global concatenation order would
+    serialize the cumulative sum into one window partition, while per-shard
+    packing runs all shards in parallel after one shuffle and loses nothing
+    a training pipeline needs (shards are independent token streams; at
+    100 TB, shard count scales with the cluster, e.g. doc_id % 10k).
+    Token counts reuse operators/text.py:token_count.
+    """
+    from etl_load_spark.operators.text import token_count
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", (F.col("doc_id") % 8).alias("shard"),
+                 token_count(F.col("text")).alias("n_tok")))
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    s = c.select("shard",
+                 F.floor((F.col("cum") - F.col("n_tok")) / F.lit(256.0))
+                 .cast("bigint").alias("seq_id"),
+                 "doc_id", "n_tok")
+    return (s.groupBy(F.col("shard").cast("bigint").alias("shard"), "seq_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.min("doc_id").cast("bigint").alias("first_doc"),
+                 F.max("doc_id").cast("bigint").alias("last_doc"))
+            .orderBy("shard", "seq_id"))
