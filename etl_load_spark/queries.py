@@ -2603,3 +2603,147 @@ def q89_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").cast("bigint").alias("first_doc"),
                  F.max("doc_id").cast("bigint").alias("last_doc"))
             .orderBy("shard", "seq_id"))
+
+
+@query("q90_curation_funnel")  # oracle registered below (dialect mirrors)
+def q90_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel (the canonical training-data filter chain):
+    language-ID → quality threshold → length band → fingerprint dedup,
+    with the surviving document count after each stage — the acceptance
+    report a curation job emits before materializing the corpus.
+
+    Scale: stages 1–4 are ONE scan with all filter flags as codegen'd
+    projections and a single partial-aggregated count row; only the dedup
+    stage shuffles, on the md5 fingerprint (uniform key distribution by
+    construction — no skew), carrying (doc_id, fp) pairs, never text.
+    """
+    from etl_load_spark.operators import text as tx
+    d = t(spark, sf_dir, "documents")
+    flags = d.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("_fp"),
+        (tx.predict_lang(F.col("text")) == "en").alias("f1"),
+        (tx.quality_score(F.col("text")) >= 0.5).alias("_q_ok"),
+        tx.token_count(F.col("text")).between(20, 1000).alias("_n_ok"))
+    flags = flags.select(
+        "doc_id", "_fp", "f1",
+        (F.col("f1") & F.col("_q_ok")).alias("f2"),
+        (F.col("f1") & F.col("_q_ok") & F.col("_n_ok")).alias("f3"))
+    one = lambda c: F.sum(F.col(c).cast("int")).cast("bigint")  # noqa: E731
+    a = flags.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"),
+                  one("f1").alias("n_lang"), one("f2").alias("n_qual"),
+                  one("f3").alias("n_len"))
+    w = W.partitionBy("_fp").orderBy("doc_id")
+    r = (flags.filter("f3")
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") == 1)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dedup")))
+    stage = lambda i, nm, c: F.struct(  # noqa: E731
+        F.lit(i).cast("bigint").alias("stage"), F.lit(nm).alias("stage_name"),
+        F.col(c).alias("n_docs"))
+    return (a.crossJoin(r)
+            .select(F.explode(F.array(
+                stage(1, "all", "n_all"), stage(2, "lang_en", "n_lang"),
+                stage(3, "quality", "n_qual"), stage(4, "length", "n_len"),
+                stage(5, "dedup", "n_dedup"))).alias("s"))
+            .select("s.*").orderBy("stage"))
+
+
+@query("q91_profile", oracle="""
+WITH p AS (
+  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*),
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderstatus),
+         CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*),
+         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderpriority),
+         CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*),
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_str, max_str
+FROM p ORDER BY col_name
+""")
+def q91_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ETL pre-load data-quality report): row count,
+    null count, exact distinct count, and min/max per profiled column.
+
+    Scale: one scan computes all per-column aggregates EXCEPT distinct
+    counts, which need one expand each — Spark plans the multi-distinct
+    aggregate with a single Expand node (rows ×4), partial-aggregated
+    before the shuffle. For wide tables at 100 TB you'd swap exact
+    distincts for approx_count_distinct (q21 shows the sketch path) and
+    keep everything else identical.
+    """
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            # min/max on the NATIVE type, cast to string after — casting
+            # first would rank "999" above "14999"
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max")]
+    a = o.agg(*aggs)
+    rows = [F.struct(F.lit(c).alias("col_name"),
+                     F.col("n_rows"),
+                     F.col(f"{c}__nulls").alias("n_nulls"),
+                     F.col(f"{c}__distinct").alias("n_distinct"),
+                     F.col(f"{c}__min").alias("min_str"),
+                     F.col(f"{c}__max").alias("max_str"))
+            for c in cols]
+    return (a.select(F.explode(F.array(*rows)).alias("s"))
+            .select("s.*").orderBy("col_name"))
+
+
+def _register_curation_oracles() -> None:
+    from etl_load_spark.operators import text as tx
+
+    d = "duckdb"
+    QUERIES["q90_curation_funnel"].oracle = f"""
+WITH f AS (
+  SELECT doc_id, {tx.fingerprint_sql('text', d)} AS fp,
+         ({tx.predict_lang_sql('text', d)} = 'en') AS lang_ok,
+         ({tx.quality_score_sql('text', d)} >= 0.5) AS q_ok,
+         ({tx.token_count_sql('text', d)} BETWEEN 20 AND 1000) AS n_ok
+  FROM documents),
+g AS (SELECT doc_id, fp, lang_ok AS f1, (lang_ok AND q_ok) AS f2,
+             (lang_ok AND q_ok AND n_ok) AS f3 FROM f),
+a AS (SELECT COUNT(*) AS n_all,
+             SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS n_lang,
+             SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS n_qual,
+             SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS n_len FROM g),
+r AS (SELECT COUNT(*) AS n_dedup FROM (
+        SELECT row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM g WHERE f3) WHERE rn = 1)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+       CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT 1 AS stage, 'all' AS stage_name, n_all AS n_docs FROM a
+  UNION ALL SELECT 2, 'lang_en', n_lang FROM a
+  UNION ALL SELECT 3, 'quality', n_qual FROM a
+  UNION ALL SELECT 4, 'length', n_len FROM a
+  UNION ALL SELECT 5, 'dedup', n_dedup FROM r)
+ORDER BY stage
+"""
+
+
+_register_curation_oracles()
