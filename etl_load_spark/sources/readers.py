@@ -71,6 +71,15 @@ def read_json(spark: SparkSession, d: dict) -> DataFrame:
     return reader.json(d["path"])
 
 
+def read_orc(spark: SparkSession, d: dict) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning posture as parquet; here
+    for lakes standardized on ORC (Hive heritage)."""
+    reader = spark.read
+    if d.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.orc(d["path"])
+
+
 def read_text(spark: SparkSession, d: dict) -> DataFrame:
     """Fixed-width / raw text: one ``value`` column per line (S6 FILE_FIXED).
 

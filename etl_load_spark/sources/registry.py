@@ -6,7 +6,7 @@ DataWriter). Registries are plain dicts; third-party connectors register
 themselves via ``register_reader`` / ``register_writer``.
 
 Covered source types (SURVEY.md §2.1 S1-S9):
-  PARQUET, FILE_CSV, FILE_JSON, FILE_FIXED/TEXT, ORACLE_DB/MSSQL_DB/JDBC,
+  PARQUET, FILE_CSV, FILE_JSON, FILE_ORC, FILE_FIXED/TEXT, ORACLE_DB/MSSQL_DB/JDBC,
   API_REST (driver-side fetch), KAFKA (batch/stream, package-gated),
   MEMORY (inline rows for tests).
 """
@@ -27,6 +27,8 @@ _READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "CSV": readers.read_csv,
     "FILE_JSON": readers.read_json,
     "JSON": readers.read_json,
+    "FILE_ORC": readers.read_orc,
+    "ORC": readers.read_orc,
     "FILE_FIXED": readers.read_text,
     "TEXT": readers.read_text,
     "ORACLE_DB": readers.read_jdbc,
@@ -44,6 +46,8 @@ _WRITERS: dict[str, Callable[[DataFrame, dict], dict]] = {
     "CSV": writers.write_csv,
     "FILE_JSON": writers.write_json,
     "JSON": writers.write_json,
+    "FILE_ORC": writers.write_orc,
+    "ORC": writers.write_orc,
     "ORACLE_DB": writers.write_jdbc,
     "MSSQL_DB": writers.write_jdbc,
     "JDBC": writers.write_jdbc,

@@ -78,6 +78,21 @@ def write_parquet(df: DataFrame, d: dict) -> dict:
     return _finish(obs)
 
 
+def write_orc(df: DataFrame, d: dict) -> dict:
+    """ORC sink: same layout knobs as parquet (partition_by /
+    max_records_per_file / compression)."""
+    df, obs = _observed(_apply_layout(df, d))
+    w = df.write.mode(d.get("mode", "overwrite"))
+    if d.get("compression"):
+        w = w.option("compression", d["compression"])
+    if d.get("max_records_per_file"):
+        w = w.option("maxRecordsPerFile", int(d["max_records_per_file"]))
+    if d.get("partition_by"):
+        w = w.partitionBy(*d["partition_by"])
+    w.orc(d["path"])
+    return _finish(obs)
+
+
 def write_csv(df: DataFrame, d: dict) -> dict:
     """CSV sink (S8): header from dest names, RFC-4180 quoting, null→empty —
     Spark's CSV writer natively matches ETLCoreCsvFileWriter.java:46-185."""

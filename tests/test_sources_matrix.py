@@ -28,12 +28,17 @@ def canon(spark):
 
 
 def _roundtrip(spark, canon, tmp_path, fmt):
-    from etl_load_spark.sources.readers import read_csv, read_json, read_parquet
-    from etl_load_spark.sources.writers import write_csv, write_json, write_parquet
+    from etl_load_spark.sources.readers import (
+        read_csv, read_json, read_orc, read_parquet)
+    from etl_load_spark.sources.writers import (
+        write_csv, write_json, write_orc, write_parquet)
     path = str(tmp_path / fmt)
     if fmt == "parquet":
         write_parquet(canon, {"path": path})
         return read_parquet(spark, {"path": path})
+    if fmt == "orc":
+        write_orc(canon, {"path": path})
+        return read_orc(spark, {"path": path})
     if fmt == "csv":
         write_csv(canon, {"path": path})
         return read_csv(spark, {"path": path, "schema": CANON_SCHEMA})
@@ -43,7 +48,7 @@ def _roundtrip(spark, canon, tmp_path, fmt):
     raise AssertionError(fmt)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_typed_roundtrip(spark, canon, tmp_path, fmt):
     back = _roundtrip(spark, canon, tmp_path, fmt)
     assert dict(back.dtypes) == dict(canon.dtypes)
