@@ -2809,3 +2809,77 @@ def q92_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "c_mktsegment", "valid_from", "valid_to",
                           "is_current")
             .orderBy("c_custkey", "valid_from"))
+
+
+@query("q93_window_distribution", oracle="""
+WITH c AS (SELECT c_custkey, c_mktsegment,
+                  CAST(c_acctbal AS DOUBLE) AS bal
+           FROM customer WHERE c_custkey < 600)
+SELECT c_custkey, c_mktsegment, bal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       nth_value(c_custkey, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS runner_up,
+       first_value(c_custkey) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS seg_top,
+       last_value(c_custkey) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS seg_bottom
+FROM c
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal DESC, c_custkey)
+ORDER BY c_mktsegment, pct_rank, c_custkey
+""")
+def q93_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2.5 beyond rank/ntile):
+    percent_rank, cume_dist, nth_value / first / last over the full-frame
+    window — the leaderboard-with-percentiles shape. Unique order key
+    (bal DESC, custkey) keeps every output deterministic.
+
+    Scale: one shuffle on the partition key; full-frame functions need the
+    whole partition resident — fine for bounded groups (segments), and the
+    reason rank-based forms are preferred over global sorts at 100 TB.
+    """
+    c = (t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+         .select("c_custkey", "c_mktsegment",
+                 F.col("c_acctbal").cast("double").alias("bal")))
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("bal"), "c_custkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (c.select(
+        "c_custkey", "c_mktsegment", "bal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 2).over(wf).alias("runner_up"),
+        F.first("c_custkey").over(wf).alias("seg_top"),
+        F.last("c_custkey").over(wf).alias("seg_bottom"))
+        .orderBy("c_mktsegment", "pct_rank", "c_custkey"))
+
+
+@query("q94_unpivot", oracle="""
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount
+  FROM lineitem WHERE l_orderkey <= 100)
+UNPIVOT (val FOR metric IN (quantity, extendedprice, discount))
+ORDER BY l_orderkey, l_linenumber, metric
+""")
+def q94_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide→long reshape, the inverse of q41's pivot):
+    three measure columns become (metric, val) rows.
+
+    Scale: unpivot is a codegen'd Expand node — rows ×3 with no shuffle at
+    all; the narrow long form is what feeds metric-agnostic downstream
+    aggregation.
+    """
+    l = (t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+         .select("l_orderkey", "l_linenumber",
+                 F.col("l_quantity").cast("double").alias("quantity"),
+                 F.col("l_extendedprice").cast("double").alias("extendedprice"),
+                 F.col("l_discount").cast("double").alias("discount")))
+    return (l.unpivot(["l_orderkey", "l_linenumber"],
+                      ["quantity", "extendedprice", "discount"],
+                      "metric", "val")
+            .orderBy("l_orderkey", "l_linenumber", "metric"))
