@@ -87,8 +87,13 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
     script and apply its ``transform`` (DataFrame-level) or
     ``transform_pandas`` (Arrow-batched mapInPandas) hook."""
     tr = spec.transformation
-    if tr is None or tr.type.upper() != "PYTHON_SCRIPT":
+    if tr is None or tr.type.upper() == "NONE":
         return df
+    if tr.type.upper() == "SCD2_MERGE":
+        return _scd2_transform(df, spark, spec)
+    if tr.type.upper() != "PYTHON_SCRIPT":
+        raise ValueError(f"unknown transformation.type: {tr.type!r} "
+                         "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -105,3 +110,34 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
     raise ValueError(
         f"{tr.script_path} defines neither transform(df, spark, params) "
         f"nor transform_pandas(pdf, params)")
+
+
+def _scd2_transform(df: DataFrame, spark: SparkSession,
+                    spec: JobSpec) -> DataFrame:
+    """Declarative SCD Type-2 merge stage (operators/scd.py wired into the
+    job spec): the mapped source rows are the UPDATE batch; the existing
+    dimension comes from ``extra_sources["dim"]`` — usually the same table
+    the destination points at — or, if absent, the incoming batch is
+    bootstrapped into SCD2 shape (initial load). Parameters:
+
+      keyColumns:   list[str]  (required)
+      attrColumns:  list[str]  (required)
+      effectiveDate: 'YYYY-MM-DD' (required)
+
+    Write the result with mode=overwrite: the merge re-emits the full
+    dimension (history + current). At lake scale, partition the stored
+    dimension by is_current so history files rewrite-free (SCALE.md).
+    """
+    from etl_load_spark.operators.scd import as_scd2, scd2_merge
+    from etl_load_spark.sources.registry import read_source
+
+    p = spec.transformation.parameters or {}
+    missing = [k for k in ("keyColumns", "attrColumns", "effectiveDate")
+               if not p.get(k)]
+    if missing:
+        raise ValueError(f"SCD2_MERGE parameters missing: {missing}")
+    if "dim" not in spec.extra_sources:
+        return as_scd2(df, p["effectiveDate"])
+    dim = read_source(spark, spec.extra_sources["dim"])
+    return scd2_merge(dim, df, list(p["keyColumns"]), list(p["attrColumns"]),
+                      p["effectiveDate"])

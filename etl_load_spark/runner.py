@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from etl_load_spark.operators.errors import JobFailedError, split_errors
-from etl_load_spark.plans.builder import build_plan
+from etl_load_spark.plans.builder import apply_transformation, build_plan
 from etl_load_spark.sources.registry import read_source, write_sink
 from etl_load_spark.spec import JobSpec
 
@@ -112,7 +112,9 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
         src_df = read_source(spark, spec.source)
         source_is_line = spec.source.type.upper() in ("FILE_FIXED", "TEXT")
         split = split_errors(src_df, spec, source_is_line)
-        df = split.good
+        # the transform stage (U1 PYTHON_SCRIPT / SCD2_MERGE) applies to the
+        # GOOD rows only — bad rows already routed per the error strategy
+        df = apply_transformation(split.good, spark, spec)
         if spec.order_by:
             df = df.orderBy(*spec.order_by)
         result.records_failed = split.error_count
