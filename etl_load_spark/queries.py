@@ -2883,3 +2883,38 @@ def q94_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ["quantity", "extendedprice", "discount"],
                       "metric", "val")
             .orderBy("l_orderkey", "l_linenumber", "metric"))
+
+
+@query("q95_event_dedup", oracle="""
+WITH r AS (SELECT event_id, user_id, event_type, ts,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT user_id, event_type, CAST(event_id AS BIGINT) AS first_event,
+       CAST(epoch_us(ts) AS BIGINT) AS first_ts_us
+FROM r WHERE rn = 1 ORDER BY user_id, event_type
+""")
+def q95_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream deduplication, batch form: first occurrence per
+    (user_id, event_type) with a unique (ts, event_id) order. The
+    streaming form is streaming/windows.py:dedup_within_watermark
+    (dropDuplicatesWithinWatermark — bounded state, tested for
+    batch-equivalence in tests/test_streaming.py); this batch plan is
+    what a backfill over historical data runs.
+
+    Timestamps are emitted as epoch MICROS (bigint): the parquet source
+    is TIMESTAMP(NANOS), which DuckDB surfaces at ns precision and Spark
+    (via session.read_table) at µs — integer micros compare exactly.
+
+    Scale: one shuffle on the dedup key; row_number short-circuits at
+    rn=1 per group (TopK-per-key); state is one row per live key, which
+    is the same bound the watermarked streaming form keeps.
+    """
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type",
+                    F.col("event_id").cast("bigint").alias("first_event"),
+                    F.unix_micros("ts").alias("first_ts_us"))
+            .orderBy("user_id", "event_type"))
