@@ -104,6 +104,9 @@ def run_job(spark: SparkSession, spec: JobSpec,
 
 def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
     """The LOAD step: plan → (optional error split) → single write action."""
+    if spec.streaming:
+        _load_streaming(spark, spec, result)
+        return
     # Every mapping job goes through error accounting: FAIL_JOB needs it to
     # detect bad rows at all (casts are null-on-failure), the routing
     # strategies need the good/bad split.
@@ -132,3 +135,58 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
     result.records_read += result.records_written
     if use_error_split:
         split.unpersist()
+
+
+def _load_streaming(spark: SparkSession, spec: JobSpec,
+                    result: JobResult) -> None:
+    """Streaming LOAD (SURVEY §7 step 7): the same spec, executed
+    incrementally. The mapping pipeline, filter, SQL query, and
+    DataFrame-level transforms all apply unchanged to the unbounded
+    DataFrame; the checkpoint makes re-running the job process ONLY
+    new source files (incremental ingest).
+
+    Constraints inherent to streaming (enforced here, not silently
+    ignored): a checkpoint is required; order_by and the count-based
+    error-routing strategies don't apply (casts still null-on-failure —
+    route-and-count error handling belongs to a batch backfill or a
+    foreachBatch sink); AvailableNow is the default trigger so the job
+    terminates after draining what exists.
+    """
+    from etl_load_spark.plans.builder import apply_transformation, \
+        build_mapping_plan
+    from etl_load_spark.sources.readers import read_stream_source
+    from etl_load_spark.sources.writers import write_stream_sink
+
+    if not spec.streaming.get("checkpoint"):
+        raise ValueError("streaming jobs require streaming.checkpoint")
+    if spec.order_by:
+        raise ValueError("order_by is undefined on an unbounded stream")
+    if spec.destination is None:
+        raise ValueError("streaming jobs require a destination")
+    df = read_stream_source(spark, spec.source.type, spec.source.details)
+    wm = spec.streaming.get("watermark")
+    if wm:
+        df = df.withWatermark(wm["column"], wm["delay"])
+    if spec.query:
+        df.createOrReplaceTempView("src")
+        for name, ep in spec.extra_sources.items():
+            # static dims join the stream (stream-static enrichment)
+            read_source(spark, ep).createOrReplaceTempView(name)
+        df = spark.sql(spec.query)
+    else:
+        df = build_mapping_plan(df, spec, False)
+    df = apply_transformation(df, spark, spec)
+    q = write_stream_sink(df, spec.destination.type, spec.destination.details,
+                          spec.streaming, spec.job_id)
+    try:
+        if spec.streaming.get("trigger", "availableNow") == "availableNow":
+            q.awaitTermination()
+        else:
+            q.awaitTermination(float(spec.streaming.get("timeout_sec", 60)))
+            q.stop()
+    finally:
+        for p in q.recentProgress:
+            result.records_read += int(p["numInputRows"])
+            for sink_p in [p.get("sink") or {}]:
+                n = sink_p.get("numOutputRows", -1)
+                result.records_written += max(int(n), 0)

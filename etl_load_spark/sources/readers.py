@@ -173,3 +173,44 @@ def read_kafka(spark: SparkSession, d: dict) -> DataFrame:
     if d.get("value_schema"):
         out = out.withColumn("data", F.from_json("value", d["value_schema"]))
     return out
+
+
+#: file formats that support incremental (streaming) reads
+_STREAM_FILE_FORMATS = {"PARQUET": "parquet", "FILE_PARQUET": "parquet",
+                        "ORC": "orc", "FILE_ORC": "orc",
+                        "CSV": "csv", "FILE_CSV": "csv",
+                        "JSON": "json", "FILE_JSON": "json"}
+
+
+def read_stream_source(spark: SparkSession, type_name: str, d: dict) -> DataFrame:
+    """Streaming read of a source endpoint (SURVEY §7 step 7): the same
+    endpoint details as the batch readers, executed incrementally — each
+    micro-batch processes only files not yet recorded in the checkpoint,
+    which is what turns a batch spec into an incremental ingest job.
+
+    File streams need a schema up front; if the spec doesn't declare one,
+    it is inferred ONCE from the existing files via the batch reader
+    (driver-side metadata read, not a data scan for parquet/orc).
+    """
+    t = type_name.upper()
+    if t == "KAFKA":
+        return read_kafka(spark, dict(d, streaming=True))
+    if t not in _STREAM_FILE_FORMATS:
+        raise ValueError(f"source type {type_name!r} does not support "
+                         f"streaming (known: {sorted(_STREAM_FILE_FORMATS)}, KAFKA)")
+    fmt = _STREAM_FILE_FORMATS[t]
+    reader = spark.readStream.format(fmt)
+    if fmt == "csv":
+        reader = (reader.option("sep", d.get("delimiter", ","))
+                  .option("header", str(d.get("header", True)).lower()))
+    if d.get("max_files_per_trigger"):
+        # bounds micro-batch size — the streaming analogue of chunked loads
+        reader = reader.option("maxFilesPerTrigger",
+                               int(d["max_files_per_trigger"]))
+    schema = d.get("schema")
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        from etl_load_spark.sources.registry import _READERS
+        reader = reader.schema(_READERS[t](spark, d).schema)
+    return reader.load(d["path"])

@@ -200,3 +200,41 @@ def write_kafka(df: DataFrame, d: dict) -> dict:
      .option("topic", d["topic"])
      .save())
     return {"records_written": -1}  # kafka sink reports no count
+
+
+_STREAM_SINK_FORMATS = {"PARQUET": "parquet", "FILE_PARQUET": "parquet",
+                        "ORC": "orc", "FILE_ORC": "orc",
+                        "CSV": "csv", "FILE_CSV": "csv",
+                        "JSON": "json", "FILE_JSON": "json",
+                        "MEMORY": "memory", "KAFKA": "kafka"}
+
+
+def write_stream_sink(df: DataFrame, type_name: str, d: dict,
+                      streaming: dict, job_id: str):
+    """Start a streaming write of the planned DataFrame (SURVEY §7 step 7).
+
+    Returns the StreamingQuery; the caller owns awaitTermination. Trigger
+    defaults to AvailableNow (process everything present, then stop — the
+    incremental-batch form the driver and tests use); a processing-time
+    string ("30 seconds") runs continuous micro-batches.
+    """
+    t = type_name.upper()
+    if t not in _STREAM_SINK_FORMATS:
+        raise ValueError(f"destination type {type_name!r} does not support "
+                         f"streaming (known: {sorted(_STREAM_SINK_FORMATS)})")
+    w = (df.writeStream.format(_STREAM_SINK_FORMATS[t])
+         .outputMode(streaming.get("output_mode",
+                                   streaming.get("outputMode", "append")))
+         .option("checkpointLocation", streaming["checkpoint"]))
+    trigger = streaming.get("trigger", "availableNow")
+    if trigger == "availableNow":
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=trigger)
+    if t == "MEMORY":
+        w = w.queryName(d.get("table", job_id))
+    else:
+        w = w.option("path", d["path"])
+    if d.get("partition_by"):
+        w = w.partitionBy(*d["partition_by"])
+    return w.start()

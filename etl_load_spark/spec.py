@@ -108,6 +108,11 @@ class JobSpec:
     steps: list[str] = field(default_factory=lambda: ["LOAD"])
     batch_size: int = 10000
     order_by: list[str] = field(default_factory=list)
+    #: streaming mode (SURVEY §7 step 7): same spec semantics, incremental
+    #: execution. Keys: checkpoint (required), trigger
+    #: ("availableNow" default | processing time string), watermark
+    #: ({"column", "delay"}), output_mode (default "append").
+    streaming: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict) -> "JobSpec":
@@ -159,6 +164,7 @@ class JobSpec:
             steps=d.get("steps", ["LOAD"]),
             batch_size=d.get("batchSize", d.get("batch_size", 10000)),
             order_by=d.get("orderBy", d.get("order_by", [])),
+            streaming=d.get("streaming", {}) or {},
         )
 
     @classmethod

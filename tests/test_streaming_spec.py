@@ -1,0 +1,102 @@
+"""Streaming mode through the job spec (SURVEY §7 step 7): the same spec
+runs incrementally — a checkpointed AvailableNow job processes existing
+files, terminates, and a re-run after new files arrive processes ONLY the
+delta. Also: watermarked windowed aggregation via the spec's query field."""
+
+import pytest
+
+from etl_load_spark.runner import run_job
+from etl_load_spark.spec import JobSpec
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "k bigint, v string").write.mode(
+        "append").parquet(path)
+
+
+def _spec(src, dest, ckpt):
+    return JobSpec.from_dict({
+        "job_id": "stream-demo",
+        "source": {"type": "PARQUET", "details": {"path": src}},
+        "mappings": [
+            {"sourceFieldName": "k", "destinationFieldName": "key",
+             "sourceFieldType": "NUMBER", "destFieldType": "LONG"},
+            {"sourceFieldName": "v", "destinationFieldName": "val",
+             "sourceFieldType": "VARCHAR2", "destFieldType": "STRING",
+             "transformationRule": "UPPERCASE"},
+        ],
+        "filter": "k >= 0",
+        "destination": {"type": "PARQUET", "details": {"path": dest}},
+        "streaming": {"checkpoint": ckpt},
+        "steps": ["LOAD"],
+    })
+
+
+def test_incremental_ingest_via_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src, [[1, "a"], [2, "b"]])
+    r1 = run_job(spark, _spec(src, dest, ckpt))
+    assert r1.status == "COMPLETED", r1.error
+    out1 = {(r.key, r.val) for r in spark.read.parquet(dest).collect()}
+    assert out1 == {(1, "A"), (2, "B")}
+
+    # second run with NO new files: nothing reprocessed (no duplicates)
+    r2 = run_job(spark, _spec(src, dest, ckpt))
+    assert r2.status == "COMPLETED", r2.error
+    assert spark.read.parquet(dest).count() == 2
+
+    # new file arrives -> only the delta is appended
+    _write_batch(spark, src, [[3, "c"]])
+    r3 = run_job(spark, _spec(src, dest, ckpt))
+    assert r3.status == "COMPLETED", r3.error
+    out3 = {(r.key, r.val) for r in spark.read.parquet(dest).collect()}
+    assert out3 == {(1, "A"), (2, "B"), (3, "C")}
+    assert spark.read.parquet(dest).count() == 3
+
+
+def test_streaming_windowed_query_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    dest = str(tmp_path / "agg")
+    spark.createDataFrame(
+        [("2024-01-01 00:05:00", "click"), ("2024-01-01 00:20:00", "click"),
+         ("2024-01-01 01:10:00", "view")],
+        "ts_s string, etype string"
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "etype").write.parquet(src)
+    spec = JobSpec.from_dict({
+        "job_id": "stream-window",
+        "source": {"type": "PARQUET", "details": {"path": src}},
+        "query": ("SELECT window(ts, '1 hour').start AS ws, etype, "
+                  "COUNT(*) AS n FROM src GROUP BY window(ts, '1 hour'), etype"),
+        "destination": {"type": "PARQUET", "details": {"path": dest}},
+        "streaming": {"checkpoint": str(tmp_path / "ckpt2"),
+                      "watermark": {"column": "ts", "delay": "10 minutes"}},
+        "steps": ["LOAD"],
+    })
+    r = run_job(spark, spec)
+    assert r.status == "COMPLETED", r.error
+    got = {(str(x.ws), x.etype, x.n) for x in spark.read.parquet(dest).collect()}
+    # append mode emits a window only once the watermark passes its END:
+    # after batch 1 the watermark is 01:00, so [01:00,02:00) is still open
+    assert got == {("2024-01-01 00:00:00", "click", 2)}
+
+    # a later event advances the watermark past 02:00 -> the open window
+    # closes and emits on the next incremental run
+    spark.createDataFrame([("2024-01-01 02:30:00", "view")],
+                          "ts_s string, etype string") \
+        .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "etype") \
+        .write.mode("append").parquet(src)
+    r2 = run_job(spark, spec)
+    assert r2.status == "COMPLETED", r2.error
+    got2 = {(str(x.ws), x.etype, x.n) for x in spark.read.parquet(dest).collect()}
+    assert got2 == {("2024-01-01 00:00:00", "click", 2),
+                    ("2024-01-01 01:00:00", "view", 1)}
+
+
+def test_streaming_requires_checkpoint(spark, tmp_path):
+    spec = _spec(str(tmp_path / "s"), str(tmp_path / "d"), "")
+    spec.streaming = {"trigger": "availableNow"}
+    r = run_job(spark, spec)
+    assert r.status == "FAILED" and "checkpoint" in r.error
