@@ -2918,3 +2918,118 @@ def q95_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_id").cast("bigint").alias("first_event"),
                     F.unix_micros("ts").alias("first_ts_us"))
             .orderBy("user_id", "event_type"))
+
+
+@query("q96_important_parts", oracle="""
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+             AS DECIMAL(18,6))) AS val
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT SUM(val) AS t FROM pr)
+SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+FROM pr, tot
+WHERE CAST(val * 10000 AS DECIMAL(38,6)) > CAST(t * 7 AS DECIMAL(38,6))
+ORDER BY part_value DESC, l_partkey
+""")
+def q96_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-against-global-scalar (TPC-H Q11 shape): parts whose revenue
+    exceeds 0.07% of total revenue. The threshold test is the exact
+    integer multiply ``val * 10000 > total * 7`` — decimal-times-fraction
+    scales differ between engines, integer-scaled arithmetic doesn't.
+
+    Scale: per-part partial aggregation, then the 1-row total broadcasts
+    back over the (already small) per-part aggregate — no second scan of
+    lineitem, no shuffle beyond the groupBy.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    rev = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    pr = l.groupBy("l_partkey").agg(F.sum(rev).alias("val"))
+    tot = pr.agg(F.sum("val").alias("t"))
+    return (pr.crossJoin(F.broadcast(tot))
+            .filter((F.col("val") * 10000).cast("decimal(38,6)")
+                    > (F.col("t") * 7).cast("decimal(38,6)"))
+            .select("l_partkey",
+                    F.round(F.col("val"), 2).cast("double")
+                    .alias("part_value"))
+            .orderBy(F.desc("part_value"), "l_partkey"))
+
+
+@query("q97_qualified_suppliers", oracle="""
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+sel AS (
+  SELECT DISTINCT pq.l_suppkey
+  FROM pq JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget%' AND q > CAST(50 AS DECIMAL(12,2)))
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM sel)
+ORDER BY s_suppkey
+""")
+def q97_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN-subquery chain (TPC-H Q20 shape): suppliers that shipped
+    more than 50 units of any widget part — aggregate-then-filter feeding
+    a semi join feeding a semi join.
+
+    Scale: the (part,supplier) aggregate shuffles once on the compound
+    key; part is a broadcast dim; the final IN is a LEFT SEMI against the
+    (tiny) qualifying-supplier set, so the supplier table never shuffles.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = (t(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%widget%"))
+         .select("p_partkey"))
+    s = t(spark, sf_dir, "supplier")
+    pq = (l.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(dec("l_quantity")).alias("q")))
+    sel = (pq.join(F.broadcast(p), pq.l_partkey == p.p_partkey)
+           .filter(F.col("q") > F.lit(50).cast("decimal(12,2)"))
+           .select("l_suppkey").distinct())
+    return (s.join(sel, s.s_suppkey == sel.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
+@query("q98_cheapest_supplier", oracle="""
+WITH mp AS (
+  SELECT l_partkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
+  FROM lineitem GROUP BY l_partkey),
+w AS (
+  SELECT l.l_partkey, MIN(l.l_suppkey) AS best_supp, mp.min_price
+  FROM lineitem l JOIN mp ON l.l_partkey = mp.l_partkey
+   AND CAST(l.l_extendedprice AS DECIMAL(12,2)) = mp.min_price
+  GROUP BY l.l_partkey, mp.min_price)
+SELECT w.l_partkey, CAST(w.best_supp AS BIGINT) AS best_supp,
+       CAST(w.min_price AS DOUBLE) AS min_price, p.p_name
+FROM w JOIN part p ON p.p_partkey = w.l_partkey
+WHERE w.l_partkey < 300
+ORDER BY w.l_partkey
+""")
+def q98_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-back-to-aggregate (TPC-H Q2 shape): per part, the supplier
+    achieving the minimum observed price, min-suppkey tiebreak.
+
+    Scale: both the MIN aggregate and the equality join-back shuffle on
+    l_partkey — AQE reuses the partitioning, and the join-back matches
+    only min-price rows (tiny). A window rank would compute the same
+    thing in one shuffle but holds whole partitions in memory; the
+    aggregate+join form streams.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 300)
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    price = dec("l_extendedprice")
+    mp = l.groupBy("l_partkey").agg(F.min(price).alias("min_price"))
+    lw = l.select(F.col("l_partkey").alias("lp"), "l_suppkey",
+                  price.alias("pr"))
+    w = (lw.join(mp, (lw.lp == mp.l_partkey) & (lw.pr == mp.min_price))
+         .groupBy("l_partkey", "min_price")
+         .agg(F.min("l_suppkey").cast("bigint").alias("best_supp")))
+    return (w.join(F.broadcast(p), w.l_partkey == p.p_partkey)
+            .select("l_partkey", "best_supp",
+                    F.col("min_price").cast("double").alias("min_price"),
+                    "p_name")
+            .orderBy("l_partkey"))
