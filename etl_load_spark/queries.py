@@ -2939,16 +2939,22 @@ def q96_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer multiply ``val * 10000 > total * 7`` — decimal-times-fraction
     scales differ between engines, integer-scaled arithmetic doesn't.
 
-    Scale: per-part partial aggregation, then the 1-row total broadcasts
-    back over the (already small) per-part aggregate — no second scan of
-    lineitem, no shuffle beyond the groupBy.
+    Scale: ONE lineitem scan. A separate ``pr.agg(sum)`` branch for the
+    total re-scans lineitem — per-branch column pruning splits the shared
+    aggregate subplan into differently-pruned copies, so ReusedExchange
+    never fires (measured; same Catalyst behavior documented at q72).
+    Instead the global total is an unpartitioned window over the per-part
+    AGGREGATE, which is dimension-sized (one row per part) — a bounded
+    single-partition pass over millions of 16-byte rows at worst, in
+    exchange for halving the fact-table I/O.
     """
     l = t(spark, sf_dir, "lineitem")
     disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
     rev = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
     pr = l.groupBy("l_partkey").agg(F.sum(rev).alias("val"))
-    tot = pr.agg(F.sum("val").alias("t"))
-    return (pr.crossJoin(F.broadcast(tot))
+    w_all = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                        W.unboundedFollowing)
+    return (pr.withColumn("t", F.sum("val").over(w_all))
             .filter((F.col("val") * 10000).cast("decimal(38,6)")
                     > (F.col("t") * 7).cast("decimal(38,6)"))
             .select("l_partkey",

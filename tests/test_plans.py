@@ -178,3 +178,22 @@ def test_contamination_equi_join_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q87_contamination")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_qualified_suppliers_semi_join_no_supplier_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q97_qualified_suppliers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_important_parts_single_lineitem_scan(spark, sf_dir):
+    # the global total must come from the per-part aggregate, not a second
+    # scan of lineitem (per-branch pruning would defeat ReusedExchange)
+    plan = plan_of(spark, sf_dir, "q96_important_parts")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_cheapest_supplier_no_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q98_cheapest_supplier")
+    assert "Window" not in plan  # aggregate+join-back form, not a rank
+    assert "partial_min" in plan
