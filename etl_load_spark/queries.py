@@ -3039,3 +3039,46 @@ def q98_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("min_price").cast("double").alias("min_price"),
                     "p_name")
             .orderBy("l_partkey"))
+
+
+@query("q99_repetition", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest([array_to_string(ws[s:s+2], ' ')
+         for s in generate_series(1, greatest(len(ws)-2, 1))]) AS s
+  FROM tk),
+cnt AS (SELECT doc_id, s, COUNT(*) AS c FROM sh WHERE s <> ''
+        GROUP BY doc_id, s),
+agg AS (SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_count
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(top_count AS BIGINT) AS top_count,
+       top_count / n_grams AS rep_ratio
+FROM agg ORDER BY rep_ratio DESC, doc_id LIMIT 100
+""")
+def q99_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (degenerate/looping text
+    detector for training-data quality): the most frequent 3-gram's share
+    of all 3-gram occurrences per document, top-100 most repetitive.
+    A high ratio flags the copy-paste / generation-loop documents a
+    quality filter should drop. Reuses the dedup shingle relation
+    WITHOUT per-doc dedup (occurrence counts are the signal here).
+
+    Scale: one scan + posexplode; both aggregates shuffle on doc_id
+    (the second reuses the first's partitioning), rows are (id, ngram,
+    count) triples — no text payloads; top-k via TakeOrdered.
+    """
+    from etl_load_spark.operators.dedup import shingles_exploded
+    d = t(spark, sf_dir, "documents")
+    ex = shingles_exploded(d, "doc_id", "text", n=3, distinct=False)
+    cnt = ex.groupBy("_id", "_s").agg(F.count(F.lit(1)).alias("c"))
+    agg = (cnt.groupBy("_id")
+           .agg(F.sum("c").cast("bigint").alias("n_grams"),
+                F.max("c").cast("bigint").alias("top_count")))
+    return (agg.select(F.col("_id").alias("doc_id"), "n_grams", "top_count",
+                       (F.col("top_count") / F.col("n_grams"))
+                       .alias("rep_ratio"))
+            .orderBy(F.desc("rep_ratio"), "doc_id").limit(100))
