@@ -164,3 +164,61 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024,
     return (media.select(F.col(id_col), F.posexplode(offsets).alias("frame_no", "_i"))
             .select(id_col, "frame_no",
                     (F.col("_i") * every_n_bytes).alias("byte_offset")))
+
+
+CHUNK_FEATURE_SCHEMA = ("media_id bigint, chunk_no int, n_bytes int, "
+                        "energy double")
+
+
+def chunk_media(media: DataFrame, chunk_bytes: int = 2048,
+                content_col: str = "content",
+                id_col: str = "media_id") -> DataFrame:
+    """Fixed-size chunking of a binary stream column (the audio analogue
+    of frame sampling: PCM windows of ``chunk_bytes`` ≙ a fixed duration
+    at a given sample rate/width). ALL JVM-side: posexplode of the chunk
+    index + substring slicing of the binary — the chunk relation is
+    codegen'd, shuffle-free, and its row count is plan-visible
+    (len/chunk_bytes per media row). Python only ever sees one chunk at a
+    time downstream, so executor memory is bounded by chunk_bytes ×
+    Arrow batch size regardless of blob-size skew.
+    """
+    n_chunks = F.greatest(F.ceil(F.length(content_col) / F.lit(chunk_bytes))
+                          .cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (media
+            .select(F.col(id_col), F.col(content_col),
+                    F.posexplode(idx).alias("chunk_no", "_i"))
+            .select(id_col, "chunk_no",
+                    F.substring(F.col(content_col),
+                                F.col("chunk_no") * chunk_bytes + 1,
+                                chunk_bytes).alias("chunk")))
+
+
+def chunk_features(media: DataFrame, chunk_bytes: int = 2048,
+                   decoder: Callable[[bytes], list[float]] = fake_decode,
+                   content_col: str = "content",
+                   id_col: str = "media_id") -> DataFrame:
+    """Per-chunk feature extraction (RMS-energy-shaped): chunk JVM-side,
+    then one Arrow-batched pass computes a scalar per chunk from the
+    decoder's feature vector (deterministic fake here; a real audio
+    decoder is a drop-in — reference treats media as opaque bytes, so the
+    engine owns only the plumbing: schema, batching, partitioning)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    chunks = chunk_media(media, chunk_bytes, content_col, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(c) for c in pdf["chunk"]]
+            # proxy energy: mean of the decoder's normalized feature bins
+            energy = [float(sum(f)) / max(len(f), 1) for f in feats]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "chunk_no": pdf["chunk_no"],
+                "n_bytes": [len(c) if c is not None else 0
+                            for c in pdf["chunk"]],
+                "energy": energy})
+
+    return chunks.mapInPandas(run, schema=CHUNK_FEATURE_SCHEMA)

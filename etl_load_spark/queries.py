@@ -3082,3 +3082,22 @@ def q99_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("top_count") / F.col("n_grams"))
                        .alias("rep_ratio"))
             .orderBy(F.desc("rep_ratio"), "doc_id").limit(100))
+
+
+@query("q100_audio_chunks")  # rows-only: Arrow-batched Python decode path
+def q100_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style chunked feature extraction (multimodal §: the audio
+    analogue of q49's frame sampling): binary streams are windowed into
+    fixed 2 KiB chunks JVM-side (posexplode + substring — plan-visible
+    fan-out, no Python), then one Arrow-batched pass computes per-chunk
+    energy through the injected decoder (deterministic fake here; a real
+    PCM/soundfile decoder is a drop-in). Per-doc chunk counts and summed
+    bytes reconcile with the source lengths by construction."""
+    from etl_load_spark.operators.multimodal import chunk_features
+    d = t(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.col("text").cast("binary").alias("content"))
+    cf = chunk_features(media, chunk_bytes=2048)
+    return (cf.select("media_id", "chunk_no", "n_bytes",
+                      F.round("energy", 6).alias("energy"))
+            .orderBy("media_id", "chunk_no"))

@@ -83,3 +83,30 @@ def test_sample_frames_offsets(media):
     # 40 bytes / 16 → 2 frames at offsets 0, 16
     assert [(r.frame_no, r.byte_offset) for r in sorted(rows)] == [
         (0, 0), (1, 16)]
+
+
+def test_chunking_reconciles_with_lengths(spark):
+    """Chunk counts and byte totals must reconstruct the source blobs."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.operators.multimodal import chunk_features, chunk_media
+    rows = [(1, b"x" * 5000), (2, b"y" * 2048), (3, b"z" * 10), (4, None)]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    chunks = chunk_media(media, chunk_bytes=2048).collect()
+    by_id = {}
+    for r in chunks:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 3 and len(by_id[2]) == 1 and len(by_id[3]) == 1
+    assert sum(len(r.chunk) for r in by_id[1]) == 5000
+    assert [len(r.chunk) for r in sorted(by_id[1], key=lambda r: r.chunk_no)] \
+        == [2048, 2048, 904]
+    feats = chunk_features(media, chunk_bytes=2048)
+    agg = {r.media_id: r for r in
+           feats.groupBy("media_id")
+                .agg(F.sum("n_bytes").alias("total"),
+                     F.count("*").alias("n")).collect()}
+    assert agg[1].total == 5000 and agg[1].n == 3
+    assert agg[2].total == 2048 and agg[3].total == 10
+    e = {(r.media_id, r.chunk_no): r.energy for r in feats.collect()}
+    assert all(0.0 <= v <= 1.0 for v in e.values())
+    # single-valued buffers concentrate all mass in one bin -> energy 1/16
+    assert abs(e[(2, 0)] - 1.0 / 16) < 1e-9
