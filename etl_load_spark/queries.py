@@ -3101,3 +3101,47 @@ def q100_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cf.select("media_id", "chunk_no", "n_bytes",
                       F.round("energy", 6).alias("energy"))
             .orderBy("media_id", "chunk_no"))
+
+
+@query("q101_sole_returning_supplier", oracle="""
+SELECT s_suppkey, s_name,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey LIMIT 20
+""")
+def q101_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the hardest decorrelation pattern: EXISTS + NOT
+    EXISTS self-joins on the fact table): suppliers who were the SOLE
+    returning supplier on multi-supplier orders, ranked by how often.
+
+    The Spark side is the SCALABLE REWRITE — one (order, supplier)
+    aggregate with per-order flag counts replaces both correlated
+    self-joins, so lineitem is scanned once and shuffled once instead of
+    three times; the oracle runs the textbook EXISTS/NOT-EXISTS form,
+    proving the rewrite equivalent on real data.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    os_ = (l.groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                .alias("has_r")))
+    agg = (os_.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("n_supp"),
+                F.sum("has_r").alias("n_ret")))
+    waiting = (os_.join(agg, "l_orderkey")
+               .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)
+                       & (F.col("has_r") == 1)))
+    return (waiting.join(F.broadcast(s),
+                         waiting.l_suppkey == s.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_suppkey").limit(20))
