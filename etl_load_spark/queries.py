@@ -3145,3 +3145,96 @@ def q101_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s_suppkey", "s_name")
             .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
             .orderBy(F.desc("numwait"), "s_suppkey").limit(20))
+
+
+@query("q102_nation_trade_volume", oracle="""
+WITH rev AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * CAST(1 - CAST(l.l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+              AS DECIMAL(18,6)) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+    AND n1.n_nationkey <> n2.n_nationkey)
+SELECT supp_nation, cust_nation, CAST(ship_year AS BIGINT) AS ship_year,
+       -- ROUND before the narrowing cast: DuckDB's decimal downscale
+       -- truncates, Spark's rounds half-up
+       CAST(ROUND(SUM(volume), 2) AS DECIMAL(18,2)) AS revenue
+FROM rev GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+""")
+def q102_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade volume (TPC-H Q7 shape): a five-way snowflake
+    join (fact → supplier → nation, fact → orders → customer → nation)
+    with a cross-nation predicate, grouped by nation pair and year.
+
+    Scale: all four dims broadcast (nation/supplier/customer are dim
+    tables; orders-as-dim holds at test SF — at 100 TB orders⋈lineitem
+    sort-merges on orderkey and everything else still broadcasts). The
+    fact table shuffles only for the final small-cardinality aggregate.
+    """
+    l, s, o, c, n = (t(spark, sf_dir, x) for x in
+                     ("lineitem", "supplier", "orders", "customer", "nation"))
+    n1 = n.select(F.col("n_nationkey").alias("sk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"),
+                  F.col("n_name").alias("cust_nation"))
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    vol = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    j = (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+         .join(o, l.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+         .filter((F.col("sk") < 3) & (F.col("ck") < 3)
+                 & (F.col("sk") != F.col("ck"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("ship_year"))
+            .agg(F.round(F.sum(vol), 2).cast("decimal(18,2)")
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "ship_year"))
+
+
+@query("q103_disjunctive_predicates", oracle="""
+SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+         AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 5 AND l_quantity <= 30)
+   OR (p_type IN ('ECONOMY', 'PROMO') AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 40)
+""")
+def q103_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicate over a dim join (TPC-H Q19
+    shape): three OR'd brand/size/quantity bands collapse to one scalar
+    aggregate. Catalyst extracts the common sub-predicates it can push
+    (quantity bounds to the lineitem scan, size bounds to part) and
+    evaluates the residual OR post-join.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    rev = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 20)) |
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+         & (q >= 5) & (q <= 30)) |
+        (F.col("p_type").isin("ECONOMY", "PROMO")
+         & F.col("p_size").between(1, 10) & (q >= 10) & (q <= 40)))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(F.round(F.sum(rev), 2).cast("decimal(18,2)")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
