@@ -3238,3 +3238,354 @@ def q103_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(rev), 2).cast("decimal(18,2)")
                  .alias("revenue"),
                  F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+@query("q104_market_share", oracle="""
+WITH v AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+           AS DECIMAL(18,6)) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+SELECT CAST(o_year AS BIGINT) AS o_year,
+  ROUND(CAST(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                              ELSE CAST(0 AS DECIMAL(18,6)) END), 2)
+               AS DECIMAL(18,2)) AS DOUBLE)
+      / CAST(CAST(ROUND(SUM(vol), 2) AS DECIMAL(18,2)) AS DOUBLE), 6)
+    AS mkt_share
+FROM v GROUP BY o_year
+""")
+def q104_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a region (TPC-H Q8 shape): the share of
+    ECONOMY-part revenue into ASIA supplied by NATION_3, per order year.
+    Seven-table join: part/customer/nation/region/supplier are broadcast
+    dims; lineitem joins orders on l_orderkey — the one real shuffle, and
+    at 100 TB both sides co-partition on orderkey (bucketed layouts make it
+    shuffle-free). The conditional numerator and the denominator are
+    computed in ONE aggregate pass (sum of CASE), not two branches — no
+    second scan, no self-join. Division is done on identically-rounded
+    decimals cast to double, so both engines divide bit-identical operands.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    vol = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+         .join(o, l.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(
+             c.join(cn, c.c_nationkey == F.col("cn.n_nationkey"))
+              .join(r, F.col("cn.n_regionkey") == r.r_regionkey)
+              .select("c_custkey")),
+             o.o_custkey == F.col("c_custkey"))
+         .join(F.broadcast(
+             s.join(sn, s.s_nationkey == F.col("sn.n_nationkey"))
+              .select("s_suppkey",
+                      F.col("sn.n_name").alias("supp_nation"))),
+             l.l_suppkey == F.col("s_suppkey")))
+    nat = F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                        .otherwise(zero)), 2).cast("decimal(18,2)")
+    tot = F.round(F.sum(vol), 2).cast("decimal(18,2)")
+    return (joined
+            .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.round(nat.cast("double") / tot.cast("double"), 6)
+                 .alias("mkt_share")))
+
+
+@query("q105_returned_items", oracle="""
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+           AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q105_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue in a quarter (TPC-H Q10
+    shape). lineitem⋈orders shuffles on orderkey with the returnflag and
+    date filters pushed to both scans; customer+nation broadcast. The
+    top-k is TakeOrderedAndProject (per-partition heap, no global sort) —
+    at 100 TB only 20 rows per partition reach the driver.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    vol = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(vol), 2).cast("decimal(18,2)")
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@query("q106_shipping_delay_priority", oracle="""
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) >= 90 THEN 'VERY_LATE'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) >= 30 THEN 'LATE'
+            ELSE 'PROMPT' END AS delay_class,
+       CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS high_line_count,
+       CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY delay_class
+""")
+def q106_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay buckets vs order priority (TPC-H Q12 shape, adapted:
+    the testdata has no shipmode/commitdate, so the bucket is the
+    order-to-ship delay in days). Conditional counts fold both priority
+    classes into one aggregate pass over the orderkey-shuffled join; at
+    scale this is the canonical co-partitioned fact-fact join plus a
+    3-group aggregate whose partial (map-side) form reduces each partition
+    to ≤3 rows before the final exchange.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    o = t(spark, sf_dir, "orders")
+    d = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    delay = (F.when(d >= 90, "VERY_LATE")
+             .when(d >= 30, "LATE")
+             .otherwise("PROMPT"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy(delay.alias("delay_class"))
+            .agg(F.count(F.when(hi, 1)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.count(F.when(~hi, 1)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+@query("q107_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+             AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""")
+def q107_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape).
+    The per-supplier aggregate shrinks lineitem to one row per supplier;
+    the scalar max is then a window max over that tiny aggregate — the
+    empty-frame window's single-partition exchange moves only |suppliers|
+    rows (≈10k at 100 TB), never base data. Supplier names arrive by
+    broadcast join after the filter.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    s = t(spark, sf_dir, "supplier")
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    vol = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(vol), 2).cast("decimal(18,2)")
+                .alias("total_revenue")))
+    best = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(W.partitionBy()))
+    return (best.filter(F.col("total_revenue") == F.col("max_rev"))
+            .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@query("q108_supplier_part_counts", oracle="""
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+         AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""")
+def q108_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per part attribute (TPC-H Q16 shape,
+    adapted: lineitem stands in for partsupp as the part↔supplier
+    association, and the excluded-supplier subquery keys on negative
+    account balance). The exclusion is a broadcast ANTI join (never a
+    NOT IN shuffle); COUNT(DISTINCT) expands to the two-phase
+    distinct-then-count aggregate, partials on (brand,size,suppkey)
+    before the final exchange.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 20))
+    bad = (t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey,
+                  "left_anti")
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size"))
+
+
+@query("q109_small_quantity_revenue", oracle="""
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT ROUND(CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DECIMAL(18,2)) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey
+JOIN pa ON pa.pk = l.l_partkey
+WHERE p_brand = 'Brand#7'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty
+""")
+def q109_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in small-quantity orders (TPC-H Q17 shape): lines
+    whose quantity is below 20% of the part's average. The correlated
+    AVG subquery is decorrelated into one per-part aggregate joined back
+    to lineitem on partkey — both sides shuffle on l_partkey once and the
+    comparison is the exact cross-multiplied form qty·5·cnt < Σqty
+    (decimal, no division), so Spark and DuckDB agree bit-for-bit.
+    At 100 TB the agg side is |parts| rows — tiny relative to the fact —
+    and AQE turns the join-back into a broadcast automatically.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7")
+    pa = (l.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.sum(dec("l_quantity")).alias("sum_qty"),
+               F.count(F.lit(1)).alias("cnt")))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(pa, l.l_partkey == pa.pk)
+            .filter(dec("l_quantity") * F.lit(5) * F.col("cnt")
+                    < F.col("sum_qty"))
+            .agg(F.round(
+                F.round(F.sum(dec("l_extendedprice")), 2)
+                 .cast("decimal(18,2)").cast("double") / F.lit(7.0), 4)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+@query("q110_large_volume_orders", oracle="""
+WITH big AS (
+  SELECT l_orderkey AS ok,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = ok
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def q110_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders and their customers (TPC-H Q18 shape): orders
+    whose line quantities sum past a threshold, joined back to orders and
+    customer. The HAVING aggregate runs first and shrinks the fact table
+    to the qualifying orderkeys, so the join back to orders moves only
+    survivors; both sides hash on orderkey (bucket-layout co-location at
+    100 TB), customer broadcasts, and the top-100 is a TakeOrdered heap.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (l.groupBy(F.col("l_orderkey").alias("ok"))
+           .agg(F.sum(dec("l_quantity")).alias("raw_qty"))
+           .filter(F.col("raw_qty") > 200)
+           .select("ok", F.col("raw_qty").cast("decimal(18,2)")
+                   .alias("sum_qty")))
+    return (big.join(o, big.ok == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                    "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100))
+
+
+@query("q111_product_profit", oracle="""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+             AS DECIMAL(18,6))
+         - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))
+             AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+""")
+def q111_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year for a part family (TPC-H Q9
+    shape, adapted: no partsupp table, so cost is retailprice·quantity).
+    part/supplier/nation broadcast; the only real shuffle is
+    lineitem⋈orders on orderkey. Profit is an exact decimal difference
+    summed in one pass; the name LIKE filter prunes part before the
+    broadcast so only matching partkeys fan out to executors.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    p = (t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+         .select("p_partkey", "p_retailprice"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    rev = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
+    cost = (dec("p_retailprice") * dec("l_quantity")).cast("decimal(18,6)")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.round(F.sum(rev - cost), 2).cast("decimal(18,2)")
+                 .alias("sum_profit")))
