@@ -197,3 +197,49 @@ def test_cheapest_supplier_no_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q98_cheapest_supplier")
     assert "Window" not in plan  # aggregate+join-back form, not a rank
     assert "partial_min" in plan
+
+
+def test_market_share_single_shuffle_join(spark, sf_dir):
+    """q104: all five dims broadcast; the only SortMerge/shuffle join
+    allowed is lineitem⋈orders on orderkey."""
+    plan = plan_of(spark, sf_dir, "q104_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_topk_heap(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q105_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "returnflag" in plan  # filter pushed into the lineitem scan
+    assert "PushedFilters: [" in plan
+
+
+def test_supplier_exclusion_is_broadcast_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q108_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_small_qty_partial_agg_before_joinback(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q109_small_quantity_revenue")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_aggregates_before_join(spark, sf_dir):
+    """q110: the HAVING aggregate must run below the join back to orders
+    (join inputs are the aggregate, not raw lineitem), and the top-100 is
+    a TakeOrdered heap, not a global sort."""
+    plan = plan_of(spark, sf_dir, "q110_large_volume_orders")
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_product_profit_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q111_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
