@@ -3589,3 +3589,30 @@ def q111_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.year("o_orderdate").cast("bigint").alias("o_year"))
             .agg(F.round(F.sum(rev - cost), 2).cast("decimal(18,2)")
                  .alias("sum_profit")))
+
+
+@query("q112_dedup_edit_distance", oracle="""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+            AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE abs(a.n_chars - b.n_chars) <= 5
+  AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
+ORDER BY id_a, id_b
+""")
+def q112_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy near-duplicate pairs with length-band blocking:
+    same-language documents within 5 chars of each other whose 40-char
+    prefixes are ≤8 edits apart. The Spark side blocks on (lang,
+    length-bucket) with a dual-bucket explode — candidates ∝ Σ|block|²,
+    never the quadratic the oracle runs — and uses the thresholded
+    levenshtein (early exit past 8). See
+    operators/dedup.py:edit_distance_near_dup_pairs.
+    """
+    from etl_load_spark.operators.dedup import edit_distance_near_dup_pairs
+    d = t(spark, sf_dir, "documents")
+    return (edit_distance_near_dup_pairs(
+                d, "doc_id", "text", "n_chars", block_col="lang",
+                max_len_diff=5, prefix_len=40, max_dist=8)
+            .orderBy("id_a", "id_b"))

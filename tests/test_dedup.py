@@ -139,3 +139,26 @@ def test_degenerate_docs_never_pair(spark):
     # byte-identical degenerates still collapse via exact dedup
     kept = exact_dedup(df.fillna({"text": ""}), ["text"], "doc_id")
     assert kept.count() < df.count()
+
+
+def test_edit_distance_blocking_catches_boundary_pairs(spark):
+    """Pairs whose lengths straddle a bucket boundary (width=8: lengths 15
+    vs 17 land in buckets 1 and 2) must still be found — the dual-bucket
+    explode guarantees every pair within max_len_diff shares a block in
+    at least one orientation. Also pins: cross-language pairs excluded,
+    distance > max_dist excluded, canonical (least, greatest) ids."""
+    from etl_load_spark.operators.dedup import edit_distance_near_dup_pairs
+    rows = [
+        (1, "aaaaaaaaaaaaaaa", "en", 15),    # len 15 → bucket 1
+        (2, "aaaaaaaaaaaaaaaxy", "en", 17),  # len 17 → bucket 2, dist 2
+        (3, "aaaaaaaaaaaaaaa", "fr", 15),    # same text, other lang
+        (4, "zzzzzzzzzzzzzzz", "en", 15),    # dist 15 > max_dist
+        (5, "aaaaaaaaaaaaaaab", "en", 16),   # dist 1 to #1, 2 to #2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "lang string, n_chars bigint")
+    got = {(r.id_a, r.id_b): r.dist for r in
+           edit_distance_near_dup_pairs(
+               df, "doc_id", "text", "n_chars", block_col="lang",
+               max_len_diff=5, prefix_len=40, max_dist=8).collect()}
+    assert got == {(1, 2): 2, (1, 5): 1, (2, 5): 2}

@@ -243,3 +243,11 @@ def test_product_profit_broadcasts_all_dims(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q111_product_profit")
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_edit_distance_dedup_never_cartesian(spark, sf_dir):
+    """q112: the fuzzy-dedup self-join must go through the (lang, bucket)
+    equi-keys — a theta-only join would be a cartesian product."""
+    plan = plan_of(spark, sf_dir, "q112_dedup_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
