@@ -3616,3 +3616,30 @@ def q112_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d, "doc_id", "text", "n_chars", block_col="lang",
                 max_len_diff=5, prefix_len=40, max_dist=8)
             .orderBy("id_a", "id_b"))
+
+
+@query("q113_grouping_sets", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+         AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def q113_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id (§2.4 — the general form of
+    rollup/cube): per-(flag,status) detail, per-flag subtotal, and grand
+    total in ONE aggregation pass. Spark expands the sets before the
+    exchange, so each input row fans out to its grouping combinations
+    map-side and the partial aggregate still collapses them before the
+    shuffle — one scan, one exchange, regardless of set count.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    return (l.groupingSets(
+                [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+                "l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.sum(dec("l_quantity")).cast("decimal(18,2)")
+                 .alias("sum_qty")))
