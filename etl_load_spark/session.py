@@ -70,8 +70,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(path)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Session TZ is pinned to UTC, so NTZ -> LTZ is the identity on the
+        # underlying micros value; keeps downstream epoch functions working.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

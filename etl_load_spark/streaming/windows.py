@@ -45,8 +45,13 @@ def open_event_stream(spark: SparkSession, sf_dir: str,
         df = reader.parquet(stream_dir)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ); with session TZ pinned to UTC
+        # the cast is the identity on the underlying micros value.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 
