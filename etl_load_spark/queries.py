@@ -2916,7 +2916,8 @@ def q95_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("user_id", "event_type",
                     F.col("event_id").cast("bigint").alias("first_event"),
-                    F.unix_micros("ts").alias("first_ts_us"))
+                    F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                    .alias("first_ts_us"))
             .orderBy("user_id", "event_type"))
 
 
@@ -3643,3 +3644,237 @@ def q113_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("n_lines"),
                  F.sum(dec("l_quantity")).cast("decimal(18,2)")
                  .alias("sum_qty")))
+
+
+@query("q114_tfidf_topk", oracle="""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, term,
+             ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM s)
+SELECT doc_id, term, CAST(rk AS BIGINT) AS rk, score
+FROM r WHERE rk <= 3 ORDER BY doc_id, rk
+""")
+def q114_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (text analysis, §2.9 item 10):
+    whitespace tokens → per-doc term frequency, corpus document frequency,
+    smoothed idf ``ln((N+1)/(df+1)) + 1``. Scores are ROUNDed to 6 dp
+    BEFORE ranking in both engines so a last-ulp ``ln`` difference can
+    never flip the (score DESC, term) order.
+
+    Scale: tf is one shuffle on (doc_id, term) with map-side combine; df
+    aggregates the same exploded tokens down to vocabulary size (~1e5-1e6
+    rows at 100 TB) and BROADCASTS back — the corpus-sized side never
+    re-shuffles for the idf join. N is a one-row cross join. The top-3
+    window partitions by doc_id, which is near-uniform (no skew).
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * (F.log((F.col("n_docs") + F.lit(1.0))
+                             / (F.col("df") + F.lit(1.0))) + F.lit(1.0)), 6)
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (tf.join(F.broadcast(dfq), "term")
+            .join(F.broadcast(n_docs))
+            .withColumn("score", score)
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "rk", "score")
+            .orderBy("doc_id", "rk"))
+
+
+@query("q115_sessionize", oracle="""
+WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+f AS (SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+g AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
+FROM g GROUP BY user_id, sid ORDER BY user_id, session_id
+""")
+def q115_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-gap sessionization (the classic batch formulation, complementing
+    q38's session_window form): a >30-minute silence starts a new session;
+    session_id is the running count of session starts per user. All
+    arithmetic is integer epoch-micros, so the oracle is exact.
+
+    Scale: ONE sort-shuffle on user_id serves both windows (lag and the
+    running sum share partitioning AND ordering — Spark plans them in a
+    single Window node pair over one Exchange+Sort). The final
+    (user_id, session_id) groupBy is hash-partial-aggregated; its key is a
+    superset of user_id, and AQE handles the residual exchange. user_id is
+    near-uniform; no skew handling needed.
+    """
+    e = (t(spark, sf_dir, "events")
+         .select("user_id", "event_id",
+                 F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us")))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = F.when(F.lag("us").over(w).isNull()
+                   | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+                   F.lit(1)).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("us", "event_id") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (e.withColumn("new_s", new_s)
+            .withColumn("sid", F.sum("new_s").over(run))
+            .groupBy("user_id", F.col("sid").cast("bigint").alias("session_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.min("us").cast("bigint").alias("start_us"),
+                 F.max("us").cast("bigint").alias("end_us"))
+            .orderBy("user_id", "session_id"))
+
+
+@query("q116_date_spine", oracle="""
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders),
+           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
+           INTERVAL 1 DAY)) AS DATE) AS day),
+daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                      AS DECIMAL(18,2)) AS day_total
+          FROM orders GROUP BY 1)
+SELECT spine.day, CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(daily.day_total, 0) AS DECIMAL(18,2)) AS day_total
+FROM spine LEFT JOIN daily USING (day) ORDER BY spine.day
+""")
+def q116_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense date spine with zero-fill: every calendar day between the
+    first and last order date, with that day's order count and decimal
+    total (0 on gap days). The spine is generated, not scanned —
+    `sequence(min, max, interval 1 day)` exploded.
+
+    Scale: daily totals are one partial-aggregated shuffle down to
+    date-cardinality (~1e4 rows for 30 years — dimension-sized no matter
+    the fact scale); the spine is the same cardinality, so the left join
+    broadcasts. Compare q72 (gap-fill with LOCF) which carries values
+    forward instead of zero-filling.
+    """
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+                   F.max(F.col("o_orderdate").cast("date")).alias("hi"))
+    spine = (bounds.select(F.explode(
+        F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")))
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(dec("o_totalprice")).cast("decimal(18,2)")
+                  .alias("day_total")))
+    return (spine.join(F.broadcast(daily), "day", "left")
+            .select("day",
+                    F.coalesce("n_orders", F.lit(0)).cast("bigint")
+                    .alias("n_orders"),
+                    F.coalesce("day_total", F.lit(0)).cast("decimal(18,2)")
+                    .alias("day_total"))
+            .orderBy("day"))
+
+
+@query("q117_mad_outliers", oracle="""
+WITH r AS (SELECT event_id, event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+d AS (SELECT r.event_id, r.event_type, r.value, med.med,
+             abs(r.value - med.med) AS dev
+      FROM r JOIN med USING (event_type)),
+dr AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY dev, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM d),
+mad AS (SELECT event_type, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+SELECT d.event_id, d.event_type, d.value, d.med, mad.mad
+FROM d JOIN mad USING (event_type)
+WHERE d.dev > 3 * mad.mad
+ORDER BY d.event_type, d.event_id
+""")
+def q117_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: events whose
+    |value − median| exceeds 3×MAD of their event_type. Both the median
+    and the MAD are DISCRETE percentiles (the value at row ⌊(n+1)/2⌋ of a
+    (value, event_id) total order), so every number compared is an exact
+    IEEE double taken from the data — no interpolation, no engine-specific
+    float summation, and the 3×MAD threshold test is bit-deterministic.
+
+    Scale: event_type is LOW-cardinality, so the per-type sort windows
+    concentrate; at 100 TB the exact-median pass is replaced by the q67
+    approx_percentile sketch (one map-side-combinable agg, no sort) and
+    this exact form remains the correctness oracle at test scale.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    wc = W.partitionBy("event_type")
+    r = (e.select("event_id", "event_type", "value")
+         .withColumn("rn", F.row_number().over(wv))
+         .withColumn("n", F.count(F.lit(1)).over(wc)))
+    med = (r.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"))
+           .select("event_type", F.col("value").alias("med")))
+    d = (r.join(F.broadcast(med), "event_type")
+         .withColumn("dev", F.abs(F.col("value") - F.col("med"))))
+    wd = W.partitionBy("event_type").orderBy("dev", "event_id")
+    dr = (d.withColumn("rn2", F.row_number().over(wd))
+          .withColumn("n2", F.count(F.lit(1)).over(wc)))
+    mad = (dr.filter(F.col("rn2") == ((F.col("n2") + 1) / 2).cast("bigint"))
+           .select("event_type", F.col("dev").alias("mad")))
+    return (d.join(F.broadcast(mad), "event_type")
+            .filter(F.col("dev") > 3 * F.col("mad"))
+            .select("event_id", "event_type", "value", "med", "mad")
+            .orderBy("event_type", "event_id"))
+
+
+@query("q118_argmax_customer", oracle="""
+WITH r AS (SELECT n.n_name, c.c_custkey, c.c_acctbal,
+                  row_number() OVER (PARTITION BY n.n_name
+                                     ORDER BY c.c_acctbal DESC,
+                                              c.c_custkey DESC) AS rk
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+SELECT n_name, CAST(c_custkey AS BIGINT) AS top_custkey,
+       c_acctbal AS top_acctbal
+FROM r WHERE rk = 1 ORDER BY n_name
+""")
+def q118_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a sort: the richest customer per nation via
+    ``max(struct(acctbal, custkey))`` — lexicographic struct max gives the
+    max balance with the highest custkey as deterministic tiebreak.
+
+    Scale: this is the 100 TB top-1-per-group pattern — a partial-
+    aggregable MAX that combines map-side, shuffling exactly one struct
+    per (partition × group) instead of the full row stream a row_number
+    window would shuffle-and-sort. Struct buffers aren't hash-aggregable,
+    so Spark plans SortAggregate — but its sort key is just the group
+    column within each partition, and the partial still collapses before
+    the exchange; the full-data global sort of the window form never
+    happens. The oracle states the same semantics in window form.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.max(F.struct("c_acctbal", "c_custkey")).alias("m"))
+            .select("n_name",
+                    F.col("m.c_custkey").cast("bigint").alias("top_custkey"),
+                    F.col("m.c_acctbal").alias("top_acctbal"))
+            .orderBy("n_name"))

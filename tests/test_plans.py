@@ -251,3 +251,35 @@ def test_edit_distance_dedup_never_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q112_dedup_edit_distance")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_vocab_no_sortmerge(spark, sf_dir):
+    """q114: the vocabulary-sized df/N sides must broadcast back onto the
+    corpus-sized tf stream — a SortMergeJoin here would re-shuffle the
+    whole exploded-token aggregate."""
+    plan = plan_of(spark, sf_dir, "q114_tfidf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_window_exchange(spark, sf_dir):
+    """q115: lag and the running session-id sum share (user_id) partitioning
+    and (us, event_id) ordering, so both window functions must ride ONE
+    Exchange on user_id — no second sort-shuffle between them."""
+    plan = plan_of(spark, sf_dir, "q115_sessionize")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_date_spine_broadcast_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q116_date_spine")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_argmax_partial_aggregate_no_window(spark, sf_dir):
+    """q118: top-1-per-group via max(struct) must partial-aggregate (two
+    SortAggregate phases around one exchange), never a Window over the
+    full customer stream."""
+    plan = plan_of(spark, sf_dir, "q118_argmax_customer")
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") >= 2 or "HashAggregate" in plan
