@@ -3681,8 +3681,14 @@ def q114_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
            .filter(F.col("term") != ""))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = tok.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df"))
+    # df(term) = row count of tf per term (tf rows are unique per
+    # (doc, term)) — derived from the aggregate, NOT from a second explode
+    # of the corpus, and with no two-phase count_distinct. The explicit
+    # term repartition gives the tf-consuming branches one identical
+    # Exchange, so the explode+aggregate computes once (ReusedExchange;
+    # 4× at sf0.1) instead of per-branch with divergent pruning.
+    tf = tf.repartition("term")
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.round(
         F.col("tf") * (F.log((F.col("n_docs") + F.lit(1.0))
