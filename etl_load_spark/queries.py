@@ -3884,3 +3884,124 @@ def q118_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("m.c_custkey").cast("bigint").alias("top_custkey"),
                     F.col("m.c_acctbal").alias("top_acctbal"))
             .orderBy("n_name"))
+
+
+@query("q119_window_misc", oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+w AS (SELECT user_id, us, event_id,
+             lag(value, 1, -1.0) OVER o AS prev_v,
+             lead(event_type, 1, 'none') OVER o AS next_type,
+             CAST(nth_value(event_id, 2) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS second_event,
+             last_value(value IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS locf_v
+      FROM e WINDOW o AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT * FROM w ORDER BY user_id, us, event_id
+""")
+def q119_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (§2.5 completeness): lag with an explicit
+    default, lead with default, nth_value over the full frame, and
+    IGNORE NULLS last_value (the LOCF building block, cf. q72) — all four
+    over ONE (user_id)/(us, event_id) window spec.
+
+    Scale: identical partitioning+ordering for every function means one
+    Exchange and one Sort serve all four Window expressions; the
+    full-frame nth_value evaluates in the same partition-local pass (Spark
+    plans UnboundedWindow functions alongside running ones without a
+    second sort).
+    """
+    e = (t(spark, sf_dir, "events")
+         .select("event_id", "user_id", "event_type", "value",
+                 F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us")))
+    o = W.partitionBy("user_id").orderBy("us", "event_id")
+    full = o.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    run = o.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (e.select(
+                "user_id", "us", "event_id",
+                F.lag("value", 1, -1.0).over(o).alias("prev_v"),
+                F.lead("event_type", 1, "none").over(o).alias("next_type"),
+                F.nth_value("event_id", 2).over(full).cast("bigint")
+                .alias("second_event"),
+                F.last("value", ignorenulls=True).over(run).alias("locf_v"))
+            .orderBy("user_id", "us", "event_id"))
+
+
+@query("q120_agg_misc", oracle="""
+SELECT l_returnflag,
+       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+       bool_and(l_extendedprice > 0) AS all_pos,
+       bool_or(l_tax = 0) AS any_tax_zero,
+       CAST(bit_xor(l_orderkey) AS BIGINT) AS keys_xor,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         AS distinct_qty_sum,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+         AS statuses
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q120_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth (§2.4 completeness): count_if, bool_and/
+    bool_or, bit_xor, SUM(DISTINCT) over decimal, and a deterministic
+    ordered string-agg (sorted collect_set joined — order-independent by
+    construction, unlike raw listagg whose result depends on row arrival).
+
+    Scale: everything except the two distinct-aggregates is a plain
+    map-side-combinable hash aggregate; SUM(DISTINCT) and collect_set
+    expand per group but the group-key cardinality here (returnflag) is
+    tiny and the distinct domains (50 quantities, 3 statuses) are bounded,
+    so the Expand-based distinct rewrite stays cheap at any fact scale.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.count_if(F.col("l_quantity") > 25).cast("bigint")
+                 .alias("n_big"),
+                 F.bool_and(F.col("l_extendedprice") > 0).alias("all_pos"),
+                 F.bool_or(F.col("l_tax") == 0).alias("any_tax_zero"),
+                 F.bit_xor("l_orderkey").cast("bigint").alias("keys_xor"),
+                 F.sum_distinct(dec("l_quantity")).cast("double")
+                 .alias("distinct_qty_sum"),
+                 F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",")
+                 .alias("statuses"))
+            .orderBy("l_returnflag"))
+
+
+@query("q121_date_breadth", oracle="""
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS day,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+       CAST(week(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+         AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since
+FROM orders ORDER BY day
+""")
+def q121_date_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function breadth (§2.6): quarter, day-of-week, ISO week,
+    add_months (with month-end clamping — 1995-11-30 +3 → 1996-02-29),
+    last_day, month truncation, and day arithmetic against a fixed
+    anchor, over the distinct order dates. Spark's dayofweek is
+    1=Sunday..7=Saturday; DuckDB's is 0=Sunday..6 — the oracle adds 1.
+
+    Scale: all scalar date arithmetic runs codegen'd at scan speed; the
+    DISTINCT collapses to date-cardinality (dimension-sized) with map-side
+    partial aggregation before the shuffle.
+    """
+    o = t(spark, sf_dir, "orders")
+    d = F.col("day")
+    return (o.select(F.col("o_orderdate").cast("date").alias("day")).distinct()
+            .select("day",
+                    F.quarter(d).cast("bigint").alias("qtr"),
+                    F.dayofweek(d).cast("bigint").alias("dow"),
+                    F.weekofyear(d).cast("bigint").alias("iso_week"),
+                    F.add_months(d, 3).alias("plus3m"),
+                    F.last_day(d).alias("month_end"),
+                    F.date_trunc("month", d).cast("date").alias("month_start"),
+                    F.datediff(d, F.lit("1995-01-01").cast("date"))
+                    .cast("bigint").alias("days_since"))
+            .orderBy("day"))

@@ -283,3 +283,46 @@ def test_argmax_partial_aggregate_no_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q118_argmax_customer")
     assert "Window" not in plan
     assert plan.count("SortAggregate") >= 2 or "HashAggregate" in plan
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The partition_by sink layout must yield partition-PRUNED scans: a
+    filter on the partition column appears as PartitionFilters on the
+    parquet scan (directories never listed), not a post-scan Filter over
+    all data."""
+    from etl_load_spark.session import read_table
+    from etl_load_spark.sources.writers import write_parquet
+    path = str(tmp_path / "events_by_type")
+    ev = read_table(spark, sf_dir, "events")
+    write_parquet(ev, {"path": path, "partition_by": ["event_type"]})
+    one = spark.read.parquet(path).filter("event_type = 'click'")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a runtime
+    partition filter (dynamicpruning subquery) so only matching partitions
+    of the fact are read — the DPP pattern that keeps a 100 TB
+    date-partitioned fact from full-scanning on every dim-filtered join."""
+    from etl_load_spark.session import read_table
+    from etl_load_spark.sources.writers import write_parquet
+    path = str(tmp_path / "orders_by_pri")
+    o = read_table(spark, sf_dir, "orders")
+    write_parquet(o, {"path": path, "partition_by": ["o_orderpriority"]})
+    fact = spark.read.parquet(path)
+    dim = (o.select("o_orderpriority").distinct()
+           .filter("o_orderpriority like '1%'"))
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+    try:
+        joined = fact.join(dim, "o_orderpriority")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "true")
