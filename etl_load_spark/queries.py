@@ -4005,3 +4005,38 @@ def q121_date_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.datediff(d, F.lit("1995-01-01").cast("date"))
                     .cast("bigint").alias("days_since"))
             .orderBy("day"))
+
+
+@query("q122_shuffle_hash_join", oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+         AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q122_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with an explicit SHUFFLE_HASH hint (§2.3 join
+    strategies): lineitem⋈orders is too big for broadcast on both sides,
+    and when one side comfortably fits a per-task hash map the hash join
+    skips BOTH sort phases of the default sort-merge — the right call when
+    the probe side is much larger than the build side and spill risk is
+    low. AQE can also make this choice at runtime; the hint pins it for
+    the planner-predictable case.
+
+    Scale: one shuffle per side on orderkey (unavoidable for fact-fact),
+    no sorts; the date filter prunes the build side before the exchange so
+    the per-task hash maps stay small. If the build side outgrows memory,
+    drop the hint and let sort-merge spill gracefully.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+         .select("o_orderkey", "o_orderpriority"))
+    return (l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.sum(dec("l_quantity")).cast("decimal(18,2)")
+                 .alias("sum_qty"))
+            .orderBy("o_orderpriority"))

@@ -326,3 +326,11 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
             "true")
+
+
+def test_shuffle_hash_hint_skips_sorts(spark, sf_dir):
+    """q122: the SHUFFLE_HASH hint must produce a ShuffledHashJoin — no
+    SortMergeJoin, hence no per-side sort phases before the join."""
+    plan = plan_of(spark, sf_dir, "q122_shuffle_hash_join")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
