@@ -38,6 +38,9 @@ class JobResult:
     duration_sec: float = 0.0
     step_log: list = field(default_factory=list)
     error: str | None = None
+    #: per-expectation outcome dicts ({"check", "column(s)", "failed_rows",
+    #: "passed", "severity"}) recorded by VALIDATE_LOAD
+    expectation_results: list = field(default_factory=list)
 
 
 def cancel_job(spark: SparkSession, job_id: str) -> None:
@@ -82,6 +85,8 @@ def run_job(spark: SparkSession, spec: JobSpec,
                     raise JobFailedError(
                         f"validate_load: read={result.records_read} != "
                         f"written={result.records_written} + failed={result.records_failed}")
+                if spec.expectations:
+                    _check_expectations(spec, result)
             elif s in ("NOTIFY_SUCCESS", "NOTIFY_FAILURE"):
                 pass  # emitted in the finally-style epilogue below
             else:
@@ -124,6 +129,7 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
         result.records_read = split.error_count  # + good, added below
     else:
         df = build_plan(spark, spec)
+    result._output_df = df  # VALIDATE_LOAD expectations evaluate this plan
     if spec.destination is None:
         # query-only job: materialize nothing; caller uses build_plan directly
         n = df.count()
@@ -135,6 +141,84 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
     result.records_read += result.records_written
     if use_error_split:
         split.unpersist()
+
+
+def _check_expectations(spec: JobSpec, result: JobResult) -> None:
+    """Evaluate the spec's declarative data-quality expectations against the
+    loaded output in ONE aggregate pass (plus one Expand per ``unique``
+    check — Spark's multi-distinct rewrite).
+
+    Scale: every check compiles to a map-side-combinable aggregate over the
+    already-built output plan — no per-check scans, no collect of data rows;
+    the driver sees one row of violation counters. Error-severity
+    violations raise ``JobFailedError`` (the job reports FAILED); warn
+    severity records and continues. The reference's VALIDATE_LOAD checks
+    row-count integrity only (etlModel.java:170); column-level expectations
+    are the engine-extension equivalent of its per-field nullability
+    validation (ETLCoreMappingProcessor.java null-route), applied post-load.
+    """
+    from pyspark.sql import functions as F
+
+    df = getattr(result, "_output_df", None)
+    if df is None:
+        raise JobFailedError("expectations require a LOAD step before "
+                             "VALIDATE_LOAD")
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    row_checks = []  # (index, expectation) for checks with a counter agg
+    for i, ex in enumerate(spec.expectations):
+        check = ex.get("check")
+        col = ex.get("column")
+        if check == "not_null":
+            bad = F.col(col).isNull()
+        elif check == "range":
+            c = F.col(col)
+            conds = []
+            if ex.get("min") is not None:
+                conds.append(c < F.lit(ex["min"]))
+            if ex.get("max") is not None:
+                conds.append(c > F.lit(ex["max"]))
+            bad = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+            bad = c.isNotNull() & bad
+        elif check == "accepted_values":
+            bad = F.col(col).isNotNull() & ~F.col(col).isin(ex["values"])
+        elif check == "expression":
+            # rows where the declared boolean SQL is false OR null
+            bad = ~F.coalesce(F.expr(ex["sql"]), F.lit(False))
+        elif check == "unique":
+            cols = ex.get("columns") or [col]
+            aggs.append((F.count(F.lit(1))
+                         - F.count_distinct(F.struct(*cols)))
+                        .alias(f"__x{i}"))
+            row_checks.append((i, ex))
+            continue
+        elif check in ("row_count_min", "row_count_max"):
+            row_checks.append((i, ex))
+            continue
+        else:
+            raise ValueError(f"unknown expectation check: {check!r}")
+        aggs.append(F.sum(bad.cast("long")).alias(f"__x{i}"))
+        row_checks.append((i, ex))
+    counters = df.agg(*aggs).collect()[0].asDict()
+    n_rows = counters["__n_rows"]
+    failures = []
+    for i, ex in enumerate(spec.expectations):
+        check = ex.get("check")
+        if check == "row_count_min":
+            failed = max(0, ex["value"] - n_rows) and 1
+        elif check == "row_count_max":
+            failed = max(0, n_rows - ex["value"]) and 1
+        else:
+            failed = int(counters.get(f"__x{i}") or 0)
+        severity = ex.get("severity", "error")
+        entry = {"check": check,
+                 "column": ex.get("column") or ex.get("columns"),
+                 "failed_rows": failed, "passed": failed == 0,
+                 "severity": severity}
+        result.expectation_results.append(entry)
+        if failed and severity == "error":
+            failures.append(entry)
+    if failures:
+        raise JobFailedError(f"expectations failed: {failures}")
 
 
 def _load_streaming(spark: SparkSession, spec: JobSpec,

@@ -55,9 +55,16 @@ def write_parquet(df: DataFrame, d: dict) -> dict:
       pattern that keeps a repeated 100 TB join from re-shuffling the fact
       table every query. Bucketed writes go through the catalog
       (``saveAsTable``), as Spark requires.
+    - ``overwrite_partitions``: dynamic partition overwrite — an overwrite
+      write replaces ONLY the partitions present in this batch and leaves
+      every other partition untouched. The idempotent daily-reload pattern
+      at 100 TB: re-running a day's load rewrites that day's directories,
+      never the whole table (static overwrite mode would truncate it all).
     """
     df, obs = _observed(_apply_layout(df, d))
     w = df.write.mode(d.get("mode", "overwrite"))
+    if d.get("overwrite_partitions"):
+        w = w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
     if d.get("compression"):
         w = w.option("compression", d["compression"])
     if d.get("max_records_per_file"):
@@ -80,9 +87,11 @@ def write_parquet(df: DataFrame, d: dict) -> dict:
 
 def write_orc(df: DataFrame, d: dict) -> dict:
     """ORC sink: same layout knobs as parquet (partition_by /
-    max_records_per_file / compression)."""
+    max_records_per_file / compression / overwrite_partitions)."""
     df, obs = _observed(_apply_layout(df, d))
     w = df.write.mode(d.get("mode", "overwrite"))
+    if d.get("overwrite_partitions"):
+        w = w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
     if d.get("compression"):
         w = w.option("compression", d["compression"])
     if d.get("max_records_per_file"):

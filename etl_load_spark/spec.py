@@ -113,6 +113,15 @@ class JobSpec:
     #: ("availableNow" default | processing time string), watermark
     #: ({"column", "delay"}), output_mode (default "append").
     streaming: dict = field(default_factory=dict)
+    #: declarative data-quality expectations, evaluated against the loaded
+    #: output during VALIDATE_LOAD in ONE aggregate pass. Each entry:
+    #:   {"check": "not_null"|"range"|"accepted_values"|"unique"|
+    #:             "expression"|"row_count_min"|"row_count_max",
+    #:    "column": ..., "columns": [...], "min"/"max"/"values"/"sql"/
+    #:    "value": ..., "severity": "error" (default) | "warn"}
+    #: error-severity violations FAIL the job; warn-severity ones are
+    #: recorded in JobResult.expectation_results and the job completes.
+    expectations: list[dict] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict) -> "JobSpec":
@@ -165,6 +174,7 @@ class JobSpec:
             batch_size=d.get("batchSize", d.get("batch_size", 10000)),
             order_by=d.get("orderBy", d.get("order_by", [])),
             streaming=d.get("streaming", {}) or {},
+            expectations=d.get("expectations", []) or [],
         )
 
     @classmethod
