@@ -58,17 +58,20 @@ def build_mapping_plan(df: DataFrame, spec: JobSpec,
     return df
 
 
-def build_plan(spark: SparkSession, spec: JobSpec) -> DataFrame:
+def build_plan(spark: SparkSession, spec: JobSpec,
+               source_df: DataFrame | None = None) -> DataFrame:
     """Full plan: read source(s), register views, apply query or mappings.
 
     When ``spec.query`` is set, the source is registered as view ``src``
     (plus ``extra_sources`` under their keys) and the query is executed by
     Spark SQL — this is where joins/aggs/windows/set-ops live (§2.9 items
-    3-8). Otherwise the mapping pipeline applies.
+    3-8). Otherwise the mapping pipeline applies. ``source_df`` overrides
+    the source read (the runner passes the HWM-filtered source for
+    incremental jobs).
     """
     from etl_load_spark.sources.registry import read_source
 
-    df = read_source(spark, spec.source)
+    df = source_df if source_df is not None else read_source(spark, spec.source)
     source_is_line = spec.source.type.upper() in ("FILE_FIXED", "TEXT")
     if spec.query:
         df.createOrReplaceTempView("src")

@@ -115,9 +115,24 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
     # Every mapping job goes through error accounting: FAIL_JOB needs it to
     # detect bad rows at all (casts are null-on-failure), the routing
     # strategies need the good/bad split.
+    inc = spec.incremental
+    inc_src = None
+    prev_mark = None
+    if inc:
+        if spec.destination is not None:
+            # appending deltas is the natural incremental sink mode
+            spec.destination.details.setdefault("mode", "append")
+        from etl_load_spark.operators.incremental import (hwm_predicate,
+                                                          load_mark)
+        inc_src = read_source(spark, spec.source)
+        prev_mark = load_mark(inc["state_path"])
+        if prev_mark is not None:
+            inc_src = inc_src.filter(
+                hwm_predicate(inc_src, inc["column"], prev_mark))
     use_error_split = bool(spec.mappings) and spec.query is None
     if use_error_split:
-        src_df = read_source(spark, spec.source)
+        src_df = inc_src if inc_src is not None \
+            else read_source(spark, spec.source)
         source_is_line = spec.source.type.upper() in ("FILE_FIXED", "TEXT")
         split = split_errors(src_df, spec, source_is_line)
         # the transform stage (U1 PYTHON_SCRIPT / SCD2_MERGE) applies to the
@@ -128,7 +143,7 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
         result.records_failed = split.error_count
         result.records_read = split.error_count  # + good, added below
     else:
-        df = build_plan(spark, spec)
+        df = build_plan(spark, spec, source_df=inc_src)
     result._output_df = df  # VALIDATE_LOAD expectations evaluate this plan
     if spec.destination is None:
         # query-only job: materialize nothing; caller uses build_plan directly
@@ -139,6 +154,14 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
     metrics = write_sink(df, spec.destination)
     result.records_written = metrics.get("records_written", 0)
     result.records_read += result.records_written
+    if inc:
+        # advance the mark only AFTER the write committed (a failed write
+        # leaves the old mark → the next run re-ingests the batch)
+        from etl_load_spark.operators.incremental import batch_max, save_mark
+        new_mark = batch_max(inc_src, inc["column"])
+        if new_mark is not None:
+            save_mark(inc["state_path"], inc["column"], new_mark,
+                      spec.job_id)
     if use_error_split:
         split.unpersist()
 
@@ -241,6 +264,10 @@ def _load_streaming(spark: SparkSession, spec: JobSpec,
     from etl_load_spark.sources.readers import read_stream_source
     from etl_load_spark.sources.writers import write_stream_sink
 
+    if spec.incremental:
+        raise ValueError("incremental (HWM) and streaming modes are "
+                         "mutually exclusive — streaming checkpoints "
+                         "already track progress")
     if not spec.streaming.get("checkpoint"):
         raise ValueError("streaming jobs require streaming.checkpoint")
     if spec.order_by:

@@ -122,6 +122,13 @@ class JobSpec:
     #: error-severity violations FAIL the job; warn-severity ones are
     #: recorded in JobResult.expectation_results and the job completes.
     expectations: list[dict] = field(default_factory=list)
+    #: batch high-water-mark incremental ingestion: {"column": <source
+    #: column, monotonically increasing>, "state_path": <json file>}.
+    #: Each run reads the persisted mark, ingests only source rows with
+    #: column > mark, and advances the mark after a successful write.
+    #: The JDBC-era "pull only new rows" pattern; the streaming block is
+    #: the file-source equivalent (checkpoint-tracked).
+    incremental: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict) -> "JobSpec":
@@ -175,6 +182,7 @@ class JobSpec:
             order_by=d.get("orderBy", d.get("order_by", [])),
             streaming=d.get("streaming", {}) or {},
             expectations=d.get("expectations", []) or [],
+            incremental=d.get("incremental", {}) or {},
         )
 
     @classmethod
