@@ -4040,3 +4040,71 @@ def q122_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(dec("l_quantity")).cast("decimal(18,2)")
                  .alias("sum_qty"))
             .orderBy("o_orderpriority"))
+
+
+@query("q123_cdc_apply", oracle="""
+WITH snap AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 10 < 8),
+ch AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 50 AS DECIMAL(12,2))
+           AS price, 'U' AS op, o_orderkey + 1 AS seq
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2)),
+         'U', o_orderkey + 2
+  FROM orders WHERE o_orderkey % 10 IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)), 'D', o_orderkey + 2
+  FROM orders WHERE o_orderkey % 10 = 2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)), 'I', o_orderkey + 2
+  FROM orders WHERE o_orderkey % 10 IN (8, 9)),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op ASC)
+         AS rn FROM ch),
+l1 AS (SELECT * FROM last WHERE rn = 1),
+unchanged AS (
+  SELECT s.* FROM snap s WHERE NOT EXISTS
+    (SELECT 1 FROM l1 WHERE l1.k = s.k))
+SELECT k, o_custkey, o_orderstatus, price FROM unchanged
+UNION ALL
+SELECT k, o_custkey, o_orderstatus, price FROM l1 WHERE op <> 'D'
+ORDER BY k
+""")
+def q123_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC Type-1 apply (operators/cdc.py): fold a derived change feed —
+    updates (with a same-key seq conflict the later seq must win),
+    deletes, and inserts — into a snapshot; last-writer-wins per key.
+    The oracle restates the fold in pure SQL.
+
+    Scale: the change feed collapses to one row per key (row_number over
+    the feed, which is deltas-sized, not snapshot-sized); the snapshot is
+    touched by exactly one key-partitioned anti join and never compared
+    row-by-row. Type-2 history semantics are q92 (SCD2).
+    """
+    from etl_load_spark.operators.cdc import apply_changes
+    o = t(spark, sf_dir, "orders")
+    price = dec("o_totalprice")
+    base = o.select(F.col("o_orderkey").alias("k"), "o_custkey",
+                    "o_orderstatus", price.alias("price"))
+    snap = base.filter(F.col("k") % 10 < 8)
+    mod10 = F.col("k") % 10
+    u1 = (base.filter(mod10 == 0)
+          .withColumn("price", (F.col("price") + 50).cast("decimal(12,2)"))
+          .withColumn("op", F.lit("U")).withColumn("seq", F.col("k") + 1))
+    u2 = (base.filter(mod10.isin(0, 1))
+          .withColumn("price", (F.col("price") + 100).cast("decimal(12,2)"))
+          .withColumn("op", F.lit("U")).withColumn("seq", F.col("k") + 2))
+    dl = (base.filter(mod10 == 2)
+          .withColumn("op", F.lit("D")).withColumn("seq", F.col("k") + 2))
+    ins = (base.filter(mod10.isin(8, 9))
+           .withColumn("op", F.lit("I")).withColumn("seq", F.col("k") + 2))
+    changes = u1.unionByName(u2).unionByName(dl).unionByName(ins)
+    return (apply_changes(snap, changes, keys=["k"], seq_col="seq")
+            .orderBy("k"))

@@ -72,3 +72,59 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             .applyInPandasWithState(_update_user_stats,
                                     STATS_OUTPUT_SCHEMA, STATS_STATE_SCHEMA,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+try:  # transformWithState API shipped in Spark 4.0
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor \
+        as _StatefulProcessorBase
+except ImportError:  # pragma: no cover - older Spark
+    _StatefulProcessorBase = object
+
+
+class UserStatsProcessor(_StatefulProcessorBase):
+    """transformWithStateInPandas form of the same per-key running stats:
+    ValueState handle, same integer micro-unit accumulation -> same
+    determinism contract as ``_update_user_stats``. Module-level class so
+    the processor pickles to executors."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", STATS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        prev = self._state.get() if self._state.exists() else None
+        n, total_micros, mx = prev if prev is not None else (0, 0, None)
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            micros = np.floor(pdf["value"].to_numpy(dtype="float64")
+                              * 1_000_000.0).astype("int64")
+            total_micros += int(micros.sum())
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        self._state.update((n, total_micros, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_micros": [total_micros],
+                            "max_value": [mx]})
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """`transformWithStateInPandas` twin of ``stateful_user_stats`` —
+    the current-generation arbitrary-state API (ValueState handles, timer
+    support, optional TTL; requires the RocksDB state store provider).
+    Batch input falls back to the same aggregate; streaming output per
+    trigger carries the running state, identical to the
+    applyInPandasWithState form (asserted equal in tests).
+    """
+    if not events.isStreaming:
+        return stateful_user_stats(events)
+    if _StatefulProcessorBase is object:
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(statefulProcessor=UserStatsProcessor(),
+                                        outputStructType=STATS_OUTPUT_SCHEMA,
+                                        outputMode="Append",
+                                        timeMode="None"))

@@ -239,3 +239,36 @@ def test_interval_left_outer_stream_equals_batch(spark, sf_dir):
     want = [r for r in _rows(batch, cols) if r[3] < final_cutoff]
     assert got == want and len(got) > 0
     assert any(r[1] is None for r in want)  # unmatched clicks present
+
+
+def test_stateful_stats_tws_stream_equals_batch(spark, batch_events,
+                                                stream_events):
+    """transformWithStateInPandas (the current-generation arbitrary-state
+    API, ValueState-backed) must produce the same final per-key stats as
+    the applyInPandasWithState form and the batch aggregate. Requires the
+    RocksDB state store provider, and its worker protocol needs protobuf
+    (absent in this container -> skip; the operator itself is pickled
+    module-level code with no extra deps)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import Window as W
+    from etl_load_spark.streaming.stateful import (stateful_user_stats,
+                                                   stateful_user_stats_tws)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        out = run_available_now_append(stateful_user_stats_tws(stream_events))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (out.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("user_id", "n_events", "total_micros", "max_value"))
+    batch = stateful_user_stats(batch_events)
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
