@@ -17,9 +17,18 @@ def test_example_spec_runs(spark, path):
     from etl_load_spark.runner import run_job
     from etl_load_spark.spec import JobSpec
     spec = JobSpec.from_dict(json.load(open(path)))
+    if spec.incremental:
+        # fresh high-water mark: a stale /tmp state from a previous test
+        # run would (correctly) yield an empty delta
+        if os.path.exists(spec.incremental["state_path"]):
+            os.remove(spec.incremental["state_path"])
     result = run_job(spark, spec)
     assert result.status == "COMPLETED", result.error
     assert result.records_written > 0
+    if spec.incremental:
+        rerun = run_job(spark, spec)
+        assert rerun.status == "COMPLETED", rerun.error
+        assert rerun.records_written == 0  # nothing new → empty delta
 
 
 def test_corpus_curation_output_shape(spark, tmp_path):
