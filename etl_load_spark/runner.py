@@ -80,8 +80,12 @@ def run_job(spark: SparkSession, spec: JobSpec,
                 _load(spark, spec, result)
             elif s == "VALIDATE_LOAD":
                 # row-count integrity (etlModel.java:170, A3): written + failed
-                # must account for everything read
-                if result.records_written + result.records_failed < result.records_read:
+                # must account for everything read. Streaming file sinks
+                # don't report numOutputRows in progress — their integrity
+                # mechanism is the checkpoint/commit log, and expectations
+                # below read the committed sink directly.
+                if not spec.streaming and \
+                        result.records_written + result.records_failed < result.records_read:
                     raise JobFailedError(
                         f"validate_load: read={result.records_read} != "
                         f"written={result.records_written} + failed={result.records_failed}")
@@ -301,3 +305,8 @@ def _load_streaming(spark: SparkSession, spec: JobSpec,
             for sink_p in [p.get("sink") or {}]:
                 n = sink_p.get("numOutputRows", -1)
                 result.records_written += max(int(n), 0)
+    if spec.expectations:
+        # streaming loads validate what actually COMMITTED: read the sink
+        # back (file/table sinks only — exactly the sinks with a committed
+        # on-disk state to validate)
+        result._output_df = read_source(spark, spec.destination)

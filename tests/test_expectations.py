@@ -123,3 +123,36 @@ def test_static_overwrite_truncates_other_partitions(spark, tmp_path):
     rows = sorted((str(r.day), r.id, r.v)
                   for r in spark.read.parquet(path).collect())
     assert rows == [("2024-01-02", 3, "c2")]
+
+
+def test_streaming_load_validates_committed_sink(spark, tmp_path):
+    """Expectations on a streaming spec evaluate against the SINK after
+    the run — validating what committed, not the unbounded plan."""
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame([(1, "a"), (2, "b")],
+                          "seq long, v string").write.parquet(src)
+    spec = JobSpec.from_dict({
+        "jobId": "stream_exp",
+        "source": {"type": "PARQUET", "path": src},
+        "destination": {"type": "PARQUET", "path": str(tmp_path / "out")},
+        "steps": ["LOAD", "VALIDATE_LOAD"],
+        "streaming": {"checkpoint": str(tmp_path / "chk")},
+        "expectations": [
+            {"check": "not_null", "column": "seq"},
+            {"check": "row_count_min", "value": 2},
+        ],
+    })
+    res = run_job(spark, spec)
+    assert res.status == "COMPLETED", res.error
+    assert all(e["passed"] for e in res.expectation_results)
+    spec2 = JobSpec.from_dict({
+        "jobId": "stream_exp2",
+        "source": {"type": "PARQUET", "path": src},
+        "destination": {"type": "PARQUET", "path": str(tmp_path / "out2")},
+        "steps": ["LOAD", "VALIDATE_LOAD"],
+        "streaming": {"checkpoint": str(tmp_path / "chk2")},
+        "expectations": [{"check": "row_count_min", "value": 99}],
+    })
+    res2 = run_job(spark, spec2)
+    assert res2.status == "FAILED"
+    assert "expectations failed" in res2.error
