@@ -4108,3 +4108,91 @@ def q123_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = u1.unionByName(u2).unionByName(dl).unionByName(ins)
     return (apply_changes(snap, changes, keys=["k"], seq_col="seq")
             .orderBy("k"))
+
+
+@query("q124_string_breadth", oracle="""
+SELECT c_custkey,
+       lpad(c_name, 25, '*') AS padded_l,
+       rpad(c_name, 25, '*') AS padded_r,
+       translate(c_name, '#0', '_O') AS translated,
+       replace(c_name, 'Customer', 'Cust') AS replaced,
+       repeat(left(c_name, 2), 2) AS repeated,
+       reverse(c_name) AS reversed,
+       split_part(c_name, '#', 2) AS after_hash,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       left(c_name, 8) AS prefix8,
+       right(c_name, 3) AS suffix3
+FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+""")
+def q124_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth (§2.6): pad, translate, replace, repeat,
+    reverse, split_part, position, left/right — Spark names differ
+    (locate, element_at(split), substring arithmetic) but semantics align
+    exactly with the DuckDB oracle.
+
+    Scale: pure narrow projection — runs at scan speed inside one
+    whole-stage-codegen'd pass, no shuffle except the final test ORDER BY.
+    """
+    c = (t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200))
+    name = F.col("c_name")
+    return (c.select(
+                "c_custkey",
+                F.lpad(name, 25, "*").alias("padded_l"),
+                F.rpad(name, 25, "*").alias("padded_r"),
+                F.translate(name, "#0", "_O").alias("translated"),
+                F.regexp_replace(name, "Customer", "Cust").alias("replaced"),
+                F.repeat(F.substring(name, 1, 2), 2).alias("repeated"),
+                F.reverse(name).alias("reversed"),
+                F.element_at(F.split(name, "#"), 2).alias("after_hash"),
+                F.locate("#", name).cast("bigint").alias("hash_pos"),
+                F.substring(name, 1, 8).alias("prefix8"),
+                name.substr(F.length(name) - 2, F.lit(3)).alias("suffix3"))
+            .orderBy("c_custkey"))
+
+
+@query("q125_math_breadth", oracle="""
+SELECT l_orderkey, l_linenumber,
+       power(CAST(l_quantity AS DOUBLE), 2) AS qty_sq,
+       sqrt(CAST(l_quantity AS DOUBLE)) * sqrt(CAST(l_quantity AS DOUBLE))
+         AS sqrt_sq,
+       round(exp(CAST(l_discount AS DOUBLE)), 6) AS exp_disc,
+       round(ln(CAST(l_extendedprice AS DOUBLE)), 6) AS ln_price,
+       round(log10(CAST(l_extendedprice AS DOUBLE)), 6) AS log10_price,
+       CAST(mod(l_orderkey, 7) AS BIGINT) AS key_mod,
+       CAST(sign(CAST(l_discount AS DOUBLE) - 0.05) AS BIGINT) AS disc_sign,
+       greatest(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE) * 100)
+         AS biggest,
+       least(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE) * 100)
+         AS smallest,
+       CAST(ceil(CAST(l_quantity AS DOUBLE) / 7) AS BIGINT) AS qty_ceil,
+       CAST(floor(CAST(l_quantity AS DOUBLE) / 7) AS BIGINT) AS qty_floor
+FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber
+""")
+def q125_math_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function breadth (§2.6): power, sqrt, exp, ln, log10, mod,
+    sign, greatest/least, ceil/floor. Transcendentals round to 6 dp so a
+    last-ulp libm difference can't flip the hash; everything else is
+    IEEE-deterministic on both engines.
+
+    Scale: narrow codegen'd projection, scan-speed, no shuffle beyond the
+    test ORDER BY.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    tax100 = F.col("l_tax").cast("double") * 100
+    return (l.select(
+                "l_orderkey", "l_linenumber",
+                F.pow(qty, 2).alias("qty_sq"),
+                (F.sqrt(qty) * F.sqrt(qty)).alias("sqrt_sq"),
+                F.round(F.exp(disc), 6).alias("exp_disc"),
+                F.round(F.log(price), 6).alias("ln_price"),
+                F.round(F.log10(price), 6).alias("log10_price"),
+                (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+                F.signum(disc - 0.05).cast("bigint").alias("disc_sign"),
+                F.greatest(qty, tax100).alias("biggest"),
+                F.least(qty, tax100).alias("smallest"),
+                F.ceil(qty / 7).cast("bigint").alias("qty_ceil"),
+                F.floor(qty / 7).cast("bigint").alias("qty_floor"))
+            .orderBy("l_orderkey", "l_linenumber"))
