@@ -1,0 +1,38 @@
+"""Small-file compaction (operators/maintenance.py)."""
+
+import glob
+
+from etl_load_spark.operators.maintenance import compact_files
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "many")
+    # 40 tiny files (one per partition of the write)
+    (spark.range(0, 4000).selectExpr("id", "id % 7 AS k")
+     .repartition(40).write.parquet(path))
+    before = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+    m = compact_files(spark, path, target_file_mb=128)
+    assert m["files_before"] == 40
+    assert m["files_after"] == 1  # 4000 ints ≪ 128 MB
+    assert m["rows"] == 4000
+    after = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # no temp/backup residue
+    assert not glob.glob(str(tmp_path / "many.compact_tmp*"))
+    assert not glob.glob(str(tmp_path / "many.pre_compact*"))
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    path = str(tmp_path / "bydate")
+    (spark.createDataFrame(
+        [(d, i) for d in ("2024-01-01", "2024-01-02") for i in range(100)],
+        "day string, n int")
+     .repartition(20).write.partitionBy("day").parquet(path))
+    m = compact_files(spark, path, partition_by=["day"])
+    assert m["files_before"] > m["files_after"]
+    got = spark.read.parquet(path)
+    assert got.count() == 200
+    # hive layout intact: day survives as a partition directory
+    assert sorted(str(r.day) for r in got.select("day").distinct().collect()) \
+        == ["2024-01-01", "2024-01-02"]
+    assert glob.glob(str(tmp_path / "bydate" / "day=2024-01-01" / "*.parquet"))
