@@ -78,6 +78,17 @@ def cmd_explain(path: str) -> dict:
             "columns": df.columns}
 
 
+def cmd_compact(path: str, target_mb: int, fmt: str,
+                partition_by: str | None) -> dict:
+    """Small-file compaction as an ops command (see
+    operators/maintenance.py for the swap-safe protocol)."""
+    from etl_load_spark.operators.maintenance import compact_files
+    spark = _build_spark("etl_load_spark_compact")
+    cols = [c for c in (partition_by or "").split(",") if c] or None
+    return compact_files(spark, path, target_file_mb=target_mb, fmt=fmt,
+                         partition_by=cols)
+
+
 def cmd_serve(host: str, port: int) -> int:
     """Run the REST submit/status API (SURVEY §3.2) in the foreground."""
     from etl_load_spark.api import serve
@@ -105,11 +116,22 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
+    cp = sub.add_parser("compact")
+    cp.add_argument("path")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--format", default="parquet", choices=["parquet", "orc"])
+    cp.add_argument("--partition-by", default=None,
+                    help="comma-separated hive partition columns")
+    cp.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     if args.cmd == "serve":
         return cmd_serve(args.host, args.port)
-    out = {"run": cmd_run, "validate": cmd_validate,
-           "explain": cmd_explain}[args.cmd](args.spec_path)
+    if args.cmd == "compact":
+        out = cmd_compact(args.path, args.target_mb, args.format,
+                          args.partition_by)
+    else:
+        out = {"run": cmd_run, "validate": cmd_validate,
+               "explain": cmd_explain}[args.cmd](args.spec_path)
     if args.json:
         print(json.dumps(out, default=str))
     else:
@@ -119,6 +141,8 @@ def main(argv: list[str] | None = None) -> int:
         ok = out.get("status") == "COMPLETED"
     elif args.cmd == "validate":
         ok = out.get("valid", False)
+    elif args.cmd == "compact":
+        ok = out.get("files_after", 0) >= 1
     else:
         ok = bool(out.get("plan"))
     return 0 if ok else 1

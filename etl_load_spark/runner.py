@@ -91,6 +91,27 @@ def run_job(spark: SparkSession, spec: JobSpec,
                         f"written={result.records_written} + failed={result.records_failed}")
                 if spec.expectations:
                     _check_expectations(spec, result)
+            elif s == "COMPACT_DESTINATION":
+                # post-load small-file compaction (maintenance.py): rewrite
+                # the just-written sink to ~target-size files. Path-based
+                # parquet/orc sinks only — the sinks that fragment.
+                from etl_load_spark.operators.maintenance import compact_files
+                dest = spec.destination
+                if dest is None or "path" not in dest.details:
+                    raise JobFailedError(
+                        "COMPACT_DESTINATION requires a path-based sink")
+                fmt = dest.type.split("_")[-1].lower()
+                if fmt not in ("parquet", "orc"):
+                    raise JobFailedError(
+                        f"COMPACT_DESTINATION unsupported for {dest.type}")
+                m = compact_files(
+                    spark, dest.details["path"],
+                    target_file_mb=int(dest.details.get(
+                        "compact_target_mb", 128)),
+                    fmt=fmt, partition_by=dest.details.get("partition_by"))
+                result.step_log[-1] = (f"COMPACT_DESTINATION:"
+                                       f"{m['files_before']}->"
+                                       f"{m['files_after']}")
             elif s in ("NOTIFY_SUCCESS", "NOTIFY_FAILURE"):
                 pass  # emitted in the finally-style epilogue below
             else:

@@ -36,3 +36,32 @@ def test_compaction_preserves_partition_layout(spark, tmp_path):
     assert sorted(str(r.day) for r in got.select("day").distinct().collect()) \
         == ["2024-01-01", "2024-01-02"]
     assert glob.glob(str(tmp_path / "bydate" / "day=2024-01-01" / "*.parquet"))
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from etl_load_spark.cli import main
+    path = str(tmp_path / "cli_many")
+    spark.range(0, 1000).repartition(20).write.parquet(path)
+    rc = main(["compact", path, "--target-mb", "64", "--json"])
+    assert rc == 0
+    import json
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_before"] == 20 and out["files_after"] == 1
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_compact_destination_step(spark, sf_dir, tmp_path):
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    dst = str(tmp_path / "stepped")
+    res = run_job(spark, JobSpec.from_dict({
+        "jobId": "compact_step",
+        "source": {"type": "PARQUET", "path": f"{sf_dir}/orders.parquet"},
+        "destination": {"type": "PARQUET", "path": dst,
+                        "repartition": 16, "compact_target_mb": 64},
+        "query": "SELECT * FROM src",
+        "steps": ["LOAD", "VALIDATE_LOAD", "COMPACT_DESTINATION"],
+    }))
+    assert res.status == "COMPLETED", res.error
+    assert any(s.startswith("COMPACT_DESTINATION:16->") for s in res.step_log)
+    assert spark.read.parquet(dst).count() == res.records_written
