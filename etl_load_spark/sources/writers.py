@@ -39,6 +39,15 @@ def _apply_layout(df: DataFrame, d: dict) -> DataFrame:
         cols = d["range_by"]
         n = int(d.get("repartition") or df.sparkSession.sparkContext.defaultParallelism)
         df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    if d.get("zorder_by"):
+        # multi-column generalization of range_by: Morton-code clustering
+        # so predicates on ANY clustered column skip files
+        # (operators/clustering.py)
+        from etl_load_spark.operators.clustering import zorder_layout
+        n = int(d.get("repartition")
+                or df.sparkSession.sparkContext.defaultParallelism)
+        df = zorder_layout(df, d["zorder_by"], n,
+                           bits=int(d.get("zorder_bits", 8)))
     if d.get("single_file"):
         df = df.coalesce(1)
     return df
