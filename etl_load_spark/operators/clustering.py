@@ -38,12 +38,32 @@ def morton_interleave(bucket_cols: list[Column], bits: int) -> Column:
     return reduce(lambda a, t: a.bitwiseOR(t), terms)
 
 
-def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
-    """Morton code over linear per-column buckets (global min/max — ONE
-    extra aggregate job on the batch). Null values bucket to 0."""
+def zorder_code(df: DataFrame, cols: list[str], bits: int = 8,
+                method: str = "linear") -> Column:
+    """Morton code over per-column buckets. Null values bucket to 0.
+
+    ``method="linear"``: equal-width bins between global min/max (ONE
+    extra aggregate job). Right when values are roughly uniform.
+    ``method="rank"``: equal-FREQUENCY bins from approxQuantile
+    boundaries (a mergeable sketch pass) — the skew-robust form: a
+    power-law column still spreads across all 2^bits buckets instead of
+    collapsing into one, at the cost of a when-chain of 2^bits-1
+    codegen'd comparisons per row (keep bits ≤ 6 for this method).
+    """
+    buckets = []
+    if method == "rank":
+        nb = 1 << bits
+        for c in cols:
+            qs = df.stat.approxQuantile(
+                c, [i / nb for i in range(1, nb)], 0.001)
+            b = F.lit(0).cast("long")
+            for i, boundary in enumerate(qs):
+                b = F.when(F.col(c).cast("double") > float(boundary),
+                           F.lit(i + 1).cast("long")).otherwise(b)
+            buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+        return morton_interleave(buckets, bits)
     stats = df.agg(*[f(c).alias(f"{n}_{c}") for c in cols
                      for n, f in (("mn", F.min), ("mx", F.max))]).collect()[0]
-    buckets = []
     for c in cols:
         lo, hi = stats[f"mn_{c}"], stats[f"mx_{c}"]
         span = float(hi - lo) if hi is not None and hi != lo else 1.0
@@ -56,10 +76,10 @@ def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
 
 
 def zorder_layout(df: DataFrame, cols: list[str], n_files: int,
-                  bits: int = 8) -> DataFrame:
+                  bits: int = 8, method: str = "linear") -> DataFrame:
     """Range-partition + sort by the Morton code → n_files files, each
     covering a compact hyper-rectangle of the clustered columns."""
-    coded = df.withColumn("_zcode", zorder_code(df, cols, bits))
+    coded = df.withColumn("_zcode", zorder_code(df, cols, bits, method))
     return (coded.repartitionByRange(n_files, "_zcode")
             .sortWithinPartitions("_zcode")
             .drop("_zcode"))

@@ -47,7 +47,8 @@ def _apply_layout(df: DataFrame, d: dict) -> DataFrame:
         n = int(d.get("repartition")
                 or df.sparkSession.sparkContext.defaultParallelism)
         df = zorder_layout(df, d["zorder_by"], n,
-                           bits=int(d.get("zorder_bits", 8)))
+                           bits=int(d.get("zorder_bits", 8)),
+                           method=d.get("zorder_method", "linear"))
     if d.get("single_file"):
         df = df.coalesce(1)
     return df

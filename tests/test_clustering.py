@@ -68,3 +68,24 @@ def test_single_key_range_by_still_tighter_on_its_key(spark, tmp_path):
     span = float(side - 1)
     assert _avg_range_fraction(rng, "x", span) < 0.15
     assert _avg_range_fraction(rng, "y", span) > 0.9
+
+
+def test_rank_zorder_handles_skew(spark, tmp_path):
+    """Power-law column: linear bucketing collapses most rows into one
+    bucket (files span nearly the full domain of the OTHER column too,
+    because the code carries no information); rank bucketing spreads by
+    frequency and keeps both dimensions clustered."""
+    n = 40_000
+    df = (spark.range(n)
+          .selectExpr(
+              # x: heavy skew — 90% of rows in [0,10), long tail to 10k
+              "CAST(CASE WHEN id % 10 < 9 THEN id % 10 "
+              "     ELSE 10 + (id * 37) % 9990 END AS LONG) AS x",
+              "CAST((id * 13) % 200 AS LONG) AS y"))
+    ranked = str(tmp_path / "ranked")
+    write_parquet(df, {"path": ranked, "repartition": 16,
+                       "zorder_by": ["x", "y"], "zorder_bits": 6,
+                       "zorder_method": "rank"})
+    # y is uniform [0,200): rank-coded files must still cluster it
+    assert _avg_range_fraction(ranked, "y", 199.0) < 0.6
+    assert spark.read.parquet(ranked).count() == n

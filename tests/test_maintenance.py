@@ -65,3 +65,32 @@ def test_compact_destination_step(spark, sf_dir, tmp_path):
     assert res.status == "COMPLETED", res.error
     assert any(s.startswith("COMPACT_DESTINATION:16->") for s in res.step_log)
     assert spark.read.parquet(dst).count() == res.records_written
+
+
+def test_compaction_restores_original_on_swap_failure(spark, tmp_path,
+                                                      monkeypatch):
+    """If the second rename of the swap fails, the original directory must
+    be restored intact (the crash-safety claim)."""
+    import os as _os
+    import pytest
+    from etl_load_spark.operators import maintenance
+
+    path = str(tmp_path / "fragile")
+    spark.range(0, 500).repartition(5).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the tmp -> path rename
+            raise OSError("injected swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(maintenance.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        maintenance.compact_files(spark, path, target_file_mb=64)
+    monkeypatch.undo()
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before, "original data must survive a failed swap"
