@@ -43,3 +43,39 @@ def test_latest_changes_composite_key(spark):
     last = latest_changes(ch, ["k", "sub"], "seq")
     assert _rows(last.select("k", "sub", "v")) == [
         (1, "x", "v2"), (1, "y", "w1")]
+
+
+def test_apply_changes_matches_python_fold(spark):
+    """Differential property test: for random change feeds, apply_changes
+    must equal an independent sequential Python fold of the same feed.
+    One Spark job per batch of generated feeds (hypothesis examples are
+    pre-drawn so Spark runs once per example set)."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = st.integers(min_value=0, max_value=6)
+    ops = st.sampled_from(["I", "U", "D"])
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(keys, st.text("ab", max_size=2), ops),
+                    max_size=12))
+    def check(feed):
+        snap_rows = [(k, f"s{k}") for k in range(4)]
+        # seq = position in the feed (unique, monotone)
+        ch_rows = [(k, v, op, i) for i, (k, v, op) in enumerate(feed)]
+        # reference: sequential fold, last write wins
+        state = dict(snap_rows)
+        for k, v, op in feed:
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        snap = spark.createDataFrame(snap_rows, "k long, v string")
+        ch = spark.createDataFrame(
+            ch_rows, "k long, v string, op string, seq long") \
+            if ch_rows else spark.createDataFrame(
+                [], "k long, v string, op string, seq long")
+        got = sorted(tuple(r) for r in
+                     apply_changes(snap, ch, ["k"], "seq").collect())
+        assert got == sorted(state.items())
+
+    check()
