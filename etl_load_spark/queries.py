@@ -4196,3 +4196,43 @@ def q125_math_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.ceil(qty / 7).cast("bigint").alias("qty_ceil"),
                 F.floor(qty / 7).cast("bigint").alias("qty_floor"))
             .orderBy("l_orderkey", "l_linenumber"))
+
+
+@query("q126_rolling_hour", oracle="""
+WITH e AS (SELECT event_id, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS us,
+                  CAST(value AS DECIMAL(12,2)) AS val
+           FROM events WHERE value IS NOT NULL)
+SELECT user_id, us, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(val) OVER w AS DECIMAL(18,2)) AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, us, event_id
+""")
+def q126_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour window per user (trailing count + decimal sum) via a
+    numeric RANGE frame over integer epoch-micros — the time-based sliding
+    aggregate that q55's value-range frame and q39's hopping windows don't
+    cover: every ROW gets its own trailing window, not a bucketed one.
+    Ties in ts share the frame (RANGE semantics), so the result is
+    deterministic without a unique orderBy key.
+
+    Scale: one shuffle on user_id; the frame evaluates in a single sorted
+    partition-local pass with a sliding two-pointer over the ordered rows
+    — state is the in-frame aggregate, never the whole partition. The
+    streaming analogue with bounded state is q39's sliding window (hop
+    granularity trades per-row exactness for watermark eviction).
+    """
+    e = (t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+         .select("event_id", "user_id",
+                 F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+                 dec("value").alias("val")))
+    w = (W.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-3_600_000_000, 0))
+    return (e.select("user_id", "us", "event_id",
+                     F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+                     F.sum("val").over(w).cast("decimal(18,2)")
+                     .alias("sum_1h"))
+            .orderBy("user_id", "us", "event_id"))
