@@ -334,3 +334,11 @@ def test_shuffle_hash_hint_skips_sorts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q122_shuffle_hash_join")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rolling_hour_single_exchange(spark, sf_dir):
+    """q126: both trailing-frame aggregates share one (user_id) window
+    exchange; no second shuffle between count and sum."""
+    plan = plan_of(spark, sf_dir, "q126_rolling_hour")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert plan.count("Window") == 1
