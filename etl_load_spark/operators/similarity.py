@@ -301,3 +301,146 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                            F.col("_u").alias("_ub")), "id_b")
             .select("id_a", "id_b", sim.alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold))
+
+
+def fit_pq_codebooks(vectors: DataFrame, vec_col: str = "embedding",
+                     m: int = 8, n_codes: int = 16, seed: int = 42,
+                     max_iter: int = 8,
+                     fit_sample: int = 100_000) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the (unit-normalized) vector
+    into ``m`` contiguous subspaces and k-means each to ``n_codes``
+    centroids — the faiss-PQ training pattern. Like ``fit_centroids``,
+    training runs on a bounded driver sample (quantizer quality needs
+    O(m · n_codes · dim) information, not the corpus); encoding and search
+    stay distributed. Deterministic for a given seed and sample.
+
+    Memory story at 100 TB: an encoded vector is ``m`` small ints
+    (m=8 → 8 bytes) instead of dim floats (64 dims → 256 bytes) — the
+    whole encoded corpus fits where 3% of the raw vectors would, which is
+    what makes exhaustive ADC scans over billions of vectors feasible.
+    """
+    import numpy as np
+    n = vectors.count()
+    s = vectors.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if n > fit_sample:
+        s = s.sample(fraction=fit_sample / n, seed=seed)
+    x = np.stack([r._v for r in s.collect()])
+    x = x[np.isfinite(x).all(axis=1)]
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+    books = []
+    rng = np.random.RandomState(seed)
+    for sub in np.array_split(x, m, axis=1):
+        kk = min(n_codes, len(sub))
+        cent = sub[rng.choice(len(sub), kk, replace=False)].copy()
+        for _ in range(max_iter):
+            d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = d.argmin(axis=1)
+            for c in range(kk):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid codes (Arrow-batched
+    numpy; codebooks ride in the closure — O(m · n_codes · dim) doubles).
+    Input is unit-normalized inside the UDF so codes match the codebooks'
+    training space."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(cents)
+
+    def _enc(v):
+        import pandas as pd
+        x = np.stack(v.to_numpy())
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        x = x / nrm
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for i, sub in enumerate(np.array_split(x, m, axis=1)):
+            c = cents[i]
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+            codes[:, i] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return pandas_udf(_enc, returnType="array<int>")(vec.cast("array<double>"))
+
+
+def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            m: int = 8, n_codes: int = 16, pool_factor: int = 4,
+            codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance (ADC) + exact
+    re-rank: encode the corpus to m-byte codes, score every code against
+    per-query lookup tables (query·centroid dots — queries stay
+    full-precision, hence "asymmetric"), pool the global ADC top
+    ``pool_factor·k`` deterministically, then exact-cosine re-rank the
+    pool to k. Returns (q_id, n_id, cosine_sim, rank).
+
+    Scale: the scan side carries only (id, m-byte code); scoring is a
+    per-batch numpy table-gather emitting batch-local top-pool rows per
+    query (global top-pool ⊆ union of batch top-pools, so the reduction
+    is exact w.r.t. ADC); only the pooled candidates ever touch the
+    full-precision vectors again. Recall rises with m / n_codes /
+    pool_factor; memory per corpus vector is m bytes instead of 4·dim.
+    """
+    import numpy as np
+    books = codebooks or fit_pq_codebooks(vectors, vec_col, m, n_codes)
+    cents = [np.asarray(b, dtype=np.float64) for b in books]
+    qrows = queries.select(F.col(id_col).alias("q_id"),
+                           F.col(vec_col).cast("array<double>").alias("_qv")
+                           ).collect()
+    q_ids = np.asarray([r.q_id for r in qrows], dtype=np.int64)
+    qx = np.stack([r._qv for r in qrows])
+    qn = np.linalg.norm(qx, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qx = qx / qn
+    # tables[q][i][c] = <q_sub_i, centroid_c> ; ADC score = Σ_i table lookup
+    tables = [sub @ cents[i].T
+              for i, sub in enumerate(np.array_split(qx, len(cents), axis=1))]
+    pool = pool_factor * k
+
+    codes = vectors.select(F.col(id_col).alias("n_id"),
+                           pq_encode(F.col(vec_col), books).alias("_code"))
+
+    def _score(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cb = np.stack(pdf["_code"].to_numpy())            # (batch, m)
+            nid = pdf["n_id"].to_numpy()
+            # scores (Q, batch): gather per subspace table at the code
+            scores = np.zeros((len(q_ids), len(cb)))
+            for i, tbl in enumerate(tables):                  # tbl (Q, codes)
+                scores += tbl[:, cb[:, i]]
+            take = min(pool, len(cb))
+            idx = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            out_q = np.repeat(q_ids, take)
+            out_n = nid[idx].ravel()
+            out_s = np.take_along_axis(scores, idx, axis=1).ravel()
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n,
+                                "adc": out_s})
+
+    cand = codes.mapInPandas(_score, schema="q_id long, n_id long, adc double")
+    w_adc = W.partitionBy("q_id").orderBy(F.col("adc").desc(), "n_id")
+    pooled = (cand.filter(F.col("q_id") != F.col("n_id"))
+              .withColumn("_r", F.row_number().over(w_adc))
+              .filter(F.col("_r") <= pool).select("q_id", "n_id"))
+    u = unit_vectors(vectors, id_col, vec_col)
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    sim = _null_if_nan(F.round(cosine(F.col("_qv"), F.col("_nv")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), "n_id")
+    return (pooled
+            .join(u.select(F.col("_id").alias("n_id"),
+                           F.col("_u").alias("_nv")), "n_id")
+            .join(F.broadcast(qv), "q_id")
+            .select("q_id", "n_id", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim").isNotNull())
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))

@@ -4236,3 +4236,17 @@ def q126_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("val").over(w).cast("decimal(18,2)")
                      .alias("sum_1h"))
             .orderBy("user_id", "us", "event_id"))
+
+
+@query("q127_sim_topk_pq")  # no oracle: approximate by design (PQ/ADC)
+def q127_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k: the corpus compresses to
+    8-byte codes (vs 256-byte raw vectors), asymmetric-distance lookup
+    tables score every code, the global ADC top pool re-ranks with exact
+    cosine. The memory-bound ANN rung below IVF (q47) and LSH (q31) —
+    at 100 TB the encoded corpus fits where 3% of the raw vectors would.
+    Recall vs the exact baseline is asserted in tests/test_similarity.py.
+    """
+    from etl_load_spark.operators.similarity import pq_topk
+    e = t(spark, sf_dir, "embeddings")
+    return pq_topk(e, e.filter(F.col("vec_id") < 10), k=5, m=8, n_codes=16)

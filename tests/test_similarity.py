@@ -115,3 +115,25 @@ def test_degenerate_vectors_never_match(spark):
     assert all(r.q_id not in (1, 4) and r.n_id not in (1, 4) for r in lsh)
     ivf = ivf_topk(vec, q, k=4, n_cells=2, n_probe=2).collect()
     assert all(r.q_id not in (1, 4) and r.n_id not in (1, 4) for r in ivf)
+
+
+def test_pq_recall_vs_exact(spark, vectors):
+    """PQ/ADC with exact re-rank must recover most of the exact top-10
+    (8 subspaces × 16 codes on 64-dim unit vectors, pool 4k)."""
+    from etl_load_spark.operators.similarity import cosine_topk, pq_topk
+    q = vectors.filter("vec_id < 5")
+    exact = {(r.q_id, r.n_id)
+             for r in cosine_topk(vectors, q, k=10).collect()}
+    approx = {(r.q_id, r.n_id)
+              for r in pq_topk(vectors, q, k=10, m=8, n_codes=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+
+
+def test_pq_deterministic_across_runs(spark, vectors):
+    from etl_load_spark.operators.similarity import pq_topk
+    q = vectors.filter("vec_id < 3")
+    a = sorted(map(tuple, pq_topk(vectors, q, k=5).collect()))
+    b = sorted(map(tuple, pq_topk(vectors, q, k=5,
+                                  ).collect()))
+    assert a == b and len(a) > 0
