@@ -10,6 +10,17 @@ canonicalized results. Conventions that make the hashes deterministic:
     engines, so every revenue-style aggregate casts to decimal first and
     casts the final result to double. Identical values regardless of
     partitioning / AQE / summation order.
+  - **No DECIMAL in any final output schema.** The driver's harness
+    converts results through pandas, where DuckDB decimals become float64
+    but Spark decimals stay ``Decimal`` objects — a value with trailing
+    zeros then stringifies differently (``Decimal('1.2300')`` vs ``1.23``)
+    and hash-mismatches even though the values are equal (the round-1
+    q01/q59 failures). Rule: accumulate exact (decimal or integer), ROUND
+    to a pinned scale, and cast the final column to DOUBLE on BOTH sides.
+  - **No decimal/decimal or decimal/int division in oracle SQL.** DuckDB's
+    ``/`` and ``AVG`` on decimals return DOUBLE (last-ulp drift vs Spark's
+    decimal division). Ratios use exact integer half-up fixed-point:
+    ``(2*n*10^s + d) // (2*d)`` then one exact int→double cast (q59).
   - **Every aggregate/computed column is aliased identically** in Spark and
     SQL (driver sorts columns by name before hashing).
   - **Total order with a unique tiebreaker before any LIMIT**, and unique
@@ -74,12 +85,12 @@ WITH a AS (
     -- truncates where Spark's rounds half-up
     CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                   * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
-             AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_disc_price,
+             AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_disc_price,
     CAST(ROUND(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                        * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
                   AS DECIMAL(18,6))
                   * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(8,4))
-             AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_charge,
+             AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_charge,
     CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc,
     COUNT(*) AS count_order
   FROM lineitem
@@ -113,11 +124,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            # two-multiply money aggregates stay decimal end-to-end: the
-            # decimal->double conversion rounds differently in DuckDB vs the
-            # JVM at the last ulp; decimal->decimal is exact in both
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,4)").alias("sum_charge"),
+            # two-multiply money aggregates accumulate in decimal (exact,
+            # order-independent), round to a pinned scale, then cast the
+            # FINAL value to double — never expose decimal in the output
+            # schema (see module docstring)
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
             F.sum(dec("l_discount", 8, 4)).cast("double").alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -1254,7 +1266,7 @@ def q57_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n_name,
        CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (1 - CAST(l_discount AS DECIMAL(8,4)))
-           AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS revenue
+           AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -1286,7 +1298,7 @@ def q58_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(s), (F.col("s_suppkey") == F.col("l_suppkey"))
                   & (F.col("s_nationkey") == F.col("c_nationkey")))
             .groupBy("n_name")
-            .agg(F.round(rev, 4).cast("decimal(18,4)").alias("revenue"))
+            .agg(F.round(rev, 4).cast("double").alias("revenue"))
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
@@ -1299,11 +1311,14 @@ WITH tok AS (
 df_tab AS (SELECT tk, COUNT(*) AS dfreq FROM tok GROUP BY tk)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       CAST(ROUND(AVG(CAST(dfreq AS DECIMAL(18,6))), 4) AS DECIMAL(18,4))
-         AS mean_df,
-       CAST(ROUND(CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)
-                       AS DECIMAL(18,6)) / COUNT(*), 4) AS DECIMAL(18,4))
-         AS rare_ratio
+       -- half-up fixed-point division in pure integer arithmetic: DuckDB's
+       -- decimal '/' and AVG both return DOUBLE, which drifts vs Spark's
+       -- decimal division in the last ulp; (2*n*10^4 + d) // (2*d) is exact
+       -- and identical in both engines, then one exact int->double cast
+       CAST((SUM(dfreq) * 20000 + COUNT(*)) // (2 * COUNT(*))
+            AS DOUBLE) / 10000.0 AS mean_df,
+       CAST((SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS rare_ratio
 FROM tok JOIN df_tab USING (tk)
 GROUP BY doc_id ORDER BY doc_id
 """)
@@ -1325,11 +1340,15 @@ def q59_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = tok.join(F.broadcast(df_tab), "tk")
     return (joined.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-                 F.round(F.avg(F.col("dfreq").cast("decimal(18,6)")), 4)
-                 .cast("decimal(18,4)").alias("mean_df"),
-                 F.round(F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
-                         .cast("decimal(18,6)") / F.count(F.lit(1)), 4)
-                 .cast("decimal(18,4)").alias("rare_ratio"))
+                 # same exact half-up integer division as the oracle (see
+                 # oracle comment): bigint-only until one final exact
+                 # int->double cast — bit-identical across engines
+                 F.expr("CAST((SUM(dfreq) * 20000 + COUNT(1)) DIV "
+                        "(2 * COUNT(1)) AS DOUBLE) / 10000.0")
+                 .alias("mean_df"),
+                 F.expr("CAST((SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)"
+                        " * 20000 + COUNT(1)) DIV (2 * COUNT(1)) AS DOUBLE)"
+                        " / 10000.0").alias("rare_ratio"))
             .orderBy("doc_id"))
 
 
@@ -3166,7 +3185,7 @@ WITH rev AS (
 SELECT supp_nation, cust_nation, CAST(ship_year AS BIGINT) AS ship_year,
        -- ROUND before the narrowing cast: DuckDB's decimal downscale
        -- truncates, Spark's rounds half-up
-       CAST(ROUND(SUM(volume), 2) AS DECIMAL(18,2)) AS revenue
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
 FROM rev GROUP BY supp_nation, cust_nation, ship_year
 ORDER BY supp_nation, cust_nation, ship_year
 """)
@@ -3197,7 +3216,7 @@ def q102_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.col("sk") != F.col("ck"))))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").cast("bigint").alias("ship_year"))
-            .agg(F.round(F.sum(vol), 2).cast("decimal(18,2)")
+            .agg(F.round(F.sum(vol), 2).cast("double")
                  .alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "ship_year"))
 
@@ -3205,7 +3224,7 @@ def q102_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q103_disjunctive_predicates", oracle="""
 SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
          * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
-         AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+         AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -3236,7 +3255,7 @@ def q103_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
          & F.col("p_size").between(1, 10) & (q >= 10) & (q <= 40)))
     return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
             .filter(cond)
-            .agg(F.round(F.sum(rev), 2).cast("decimal(18,2)")
+            .agg(F.round(F.sum(rev), 2).cast("double")
                  .alias("revenue"),
                  F.count(F.lit(1)).cast("bigint").alias("n_lines")))
 
@@ -3317,7 +3336,7 @@ def q104_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey, c_name,
        CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
               * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
-           AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        c_acctbal, n_name
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
@@ -3348,7 +3367,7 @@ def q105_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-            .agg(F.round(F.sum(vol), 2).cast("decimal(18,2)")
+            .agg(F.round(F.sum(vol), 2).cast("double")
                  .alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
             .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -3400,7 +3419,7 @@ WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
          CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
-             AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_revenue
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY 1)
@@ -3424,7 +3443,7 @@ def q107_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_f = (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
     vol = (dec("l_extendedprice") * disc_f).cast("decimal(18,6)")
     rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(F.round(F.sum(vol), 2).cast("decimal(18,2)")
+           .agg(F.round(F.sum(vol), 2).cast("double")
                 .alias("total_revenue")))
     best = rev.withColumn(
         "max_rev", F.max("total_revenue").over(W.partitionBy()))
@@ -3512,7 +3531,7 @@ def q109_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q110_large_volume_orders", oracle="""
 WITH big AS (
   SELECT l_orderkey AS ok,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
            AS sum_qty
   FROM lineitem GROUP BY 1
   HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200)
@@ -3537,7 +3556,7 @@ def q110_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (l.groupBy(F.col("l_orderkey").alias("ok"))
            .agg(F.sum(dec("l_quantity")).alias("raw_qty"))
            .filter(F.col("raw_qty") > 200)
-           .select("ok", F.col("raw_qty").cast("decimal(18,2)")
+           .select("ok", F.col("raw_qty").cast("double")
                    .alias("sum_qty")))
     return (big.join(o, big.ok == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -3556,7 +3575,7 @@ SELECT n_name AS nation,
              AS DECIMAL(18,6))
          - CAST(CAST(p_retailprice AS DECIMAL(12,2))
                 * CAST(l_quantity AS DECIMAL(12,2))
-             AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_profit
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -3588,7 +3607,7 @@ def q111_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(o, l.l_orderkey == o.o_orderkey)
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("bigint").alias("o_year"))
-            .agg(F.round(F.sum(rev - cost), 2).cast("decimal(18,2)")
+            .agg(F.round(F.sum(rev - cost), 2).cast("double")
                  .alias("sum_profit")))
 
 
@@ -3623,7 +3642,7 @@ def q112_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
          AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -3642,7 +3661,7 @@ def q113_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_returnflag", "l_linestatus")
             .agg(F.grouping_id().cast("bigint").alias("gid"),
                  F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-                 F.sum(dec("l_quantity")).cast("decimal(18,2)")
+                 F.sum(dec("l_quantity")).cast("double")
                  .alias("sum_qty")))
 
 
@@ -3760,10 +3779,10 @@ WITH spine AS (
 daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
                  COUNT(*) AS n_orders,
                  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-                      AS DECIMAL(18,2)) AS day_total
+                      AS DOUBLE) AS day_total
           FROM orders GROUP BY 1)
 SELECT spine.day, CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
-       CAST(COALESCE(daily.day_total, 0) AS DECIMAL(18,2)) AS day_total
+       CAST(COALESCE(daily.day_total, 0) AS DOUBLE) AS day_total
 FROM spine LEFT JOIN daily USING (day) ORDER BY spine.day
 """)
 def q116_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3785,13 +3804,13 @@ def q116_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")))
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(F.count(F.lit(1)).alias("n_orders"),
-                  F.sum(dec("o_totalprice")).cast("decimal(18,2)")
+                  F.sum(dec("o_totalprice")).cast("double")
                   .alias("day_total")))
     return (spine.join(F.broadcast(daily), "day", "left")
             .select("day",
                     F.coalesce("n_orders", F.lit(0)).cast("bigint")
                     .alias("n_orders"),
-                    F.coalesce("day_total", F.lit(0)).cast("decimal(18,2)")
+                    F.coalesce("day_total", F.lit(0)).cast("double")
                     .alias("day_total"))
             .orderBy("day"))
 
@@ -4010,7 +4029,7 @@ def q121_date_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q122_shuffle_hash_join", oracle="""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
          AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -4037,7 +4056,7 @@ def q122_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-                 F.sum(dec("l_quantity")).cast("decimal(18,2)")
+                 F.sum(dec("l_quantity")).cast("double")
                  .alias("sum_qty"))
             .orderBy("o_orderpriority"))
 
@@ -4072,9 +4091,11 @@ l1 AS (SELECT * FROM last WHERE rn = 1),
 unchanged AS (
   SELECT s.* FROM snap s WHERE NOT EXISTS
     (SELECT 1 FROM l1 WHERE l1.k = s.k))
-SELECT k, o_custkey, o_orderstatus, price FROM unchanged
+SELECT k, o_custkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+FROM unchanged
 UNION ALL
-SELECT k, o_custkey, o_orderstatus, price FROM l1 WHERE op <> 'D'
+SELECT k, o_custkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+FROM l1 WHERE op <> 'D'
 ORDER BY k
 """)
 def q123_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4107,6 +4128,7 @@ def q123_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("op", F.lit("I")).withColumn("seq", F.col("k") + 2))
     changes = u1.unionByName(u2).unionByName(dl).unionByName(ins)
     return (apply_changes(snap, changes, keys=["k"], seq_col="seq")
+            .withColumn("price", F.col("price").cast("double"))
             .orderBy("k"))
 
 
@@ -4205,7 +4227,7 @@ WITH e AS (SELECT event_id, user_id,
            FROM events WHERE value IS NOT NULL)
 SELECT user_id, us, event_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-       CAST(SUM(val) OVER w AS DECIMAL(18,2)) AS sum_1h
+       CAST(SUM(val) OVER w AS DOUBLE) AS sum_1h
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -4233,7 +4255,7 @@ def q126_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-3_600_000_000, 0))
     return (e.select("user_id", "us", "event_id",
                      F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
-                     F.sum("val").over(w).cast("decimal(18,2)")
+                     F.sum("val").over(w).cast("double")
                      .alias("sum_1h"))
             .orderBy("user_id", "us", "event_id"))
 

@@ -61,6 +61,9 @@ def compare(spark_df, con, sql: str, float_digits: int = 4):
     _, cs = canonicalize(s_cols, s_rows, float_digits)
     _, cd = canonicalize(d_cols, d_rows, float_digits)
     for i, (a, b) in enumerate(zip(cs, cd)):
-        if a != b:
+        # str-level too: Decimal('1.2300') == Decimal('1.23') numerically,
+        # but the driver hashes representations (via pandas), where scale
+        # and trailing zeros matter — catch that class locally
+        if a != b or tuple(map(str, a)) != tuple(map(str, b)):
             return False, f"first differing row #{i}:\n  spark : {a}\n  duckdb: {b}"
     return True, "ok"

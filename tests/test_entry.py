@@ -36,6 +36,29 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_no_decimal_in_any_output_schema(spark, sf_dir, con):
+    """The driver's hash canonicalizes results through pandas, where DuckDB
+    decimals become float64 but Spark decimals stay Decimal objects — any
+    value with trailing zeros then hash-mismatches despite being equal
+    (round-1 q01/q59). Gate: no query may expose a DECIMAL column; compute
+    exact in decimal/integer, then cast the final column to DOUBLE on both
+    sides. Schema-only, so this is cheap (no execution)."""
+    from pyspark.sql.types import DecimalType
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        decs = [f.name for f in fn(spark, sf_dir).schema.fields
+                if isinstance(f.dataType, DecimalType)]
+        if decs:
+            offenders.append((name, "spark", decs))
+    for name, sql in entry_mod.oracle_sql().items():
+        rel = con.sql(sql)
+        decs = [c for c, t in zip(rel.columns, rel.types)
+                if "DECIMAL" in str(t).upper()]
+        if decs:
+            offenders.append((name, "oracle", decs))
+    assert not offenders, f"decimal-typed output columns: {offenders}"
+
+
 @pytest.mark.parametrize("name", sorted(set(entry_mod.queries())
                                         - set(entry_mod.oracle_sql())))
 def test_rows_only_queries_run(spark, sf_dir, name):
