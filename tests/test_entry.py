@@ -36,6 +36,17 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_driver_window_order():
+    """The driver correctness harness checks the first 50 registered
+    queries; pin that the curated per-operator-family window (queries.py
+    DRIVER_WINDOW) is what both QUERIES and the entry-module dicts expose
+    first — a regression here silently drops driver coverage for whole
+    operator families (the round-1 lesson)."""
+    from etl_load_spark.queries import DRIVER_WINDOW, QUERIES
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
+    assert list(entry_mod.queries())[:50] == DRIVER_WINDOW
+
+
 def test_no_decimal_in_any_output_schema(spark, sf_dir, con):
     """The driver's hash canonicalizes results through pandas, where DuckDB
     decimals become float64 but Spark decimals stay Decimal objects — any
