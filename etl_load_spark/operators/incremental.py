@@ -55,14 +55,46 @@ def hwm_predicate(df: DataFrame, column: str, mark) -> Column:
     return F.col(column) > F.lit(str(mark)).cast(dt)
 
 
-def batch_max(df: DataFrame, column: str):
-    """MAX(column) over the batch, serialized for the JSON state file.
-    None when the batch is empty."""
-    row = df.agg(F.max(column).alias("m")).collect()[0]
-    v = row["m"]
+def serialize_mark(v):
+    """Serialize a mark value for the JSON state file (None passes through:
+    empty batch → no mark advance)."""
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
             else v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)
     return v
+
+
+def batch_max(df: DataFrame, column: str):
+    """MAX(column) over the batch, serialized for the JSON state file.
+    None when the batch is empty.
+
+    NOTE: this runs a second action over the source plan. For file sources
+    that re-read the same snapshot (InMemoryFileIndex lists files at read
+    time), but for LIVE sources (JDBC) rows committed between the load and
+    this max would advance the mark past data never written — which is why
+    the runner uses ``attach_hwm_observation`` (the mark rides the write
+    action itself) and this helper is for tests/ad-hoc use only."""
+    row = df.agg(F.max(column).alias("m")).collect()[0]
+    return serialize_mark(row["m"])
+
+
+def attach_hwm_observation(df: DataFrame, column: str):
+    """Attach a CollectMetrics node computing MAX(column) to the batch plan
+    and return ``(df, observation)``.
+
+    The new high-water mark is then computed BY THE WRITE ACTION from
+    exactly the rows it scanned — never a second query against a live
+    source (a JDBC table can receive commits between the write and a
+    re-executed max; those rows would be skipped forever). Zero extra
+    passes: CollectMetrics folds a map-side max into the existing scan."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    return df.observe(obs, F.max(F.col(column)).alias("hwm")), obs
+
+
+def observed_mark(obs) -> object:
+    """Serialized mark from a completed observation (call only after the
+    write action finished; ``Observation.get`` would otherwise block)."""
+    return serialize_mark(obs.get.get("hwm"))

@@ -194,17 +194,34 @@ def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q21_approx_distinct")  # no oracle: approximate by design (±rsd)
+@query("q21_approx_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(*) AS n_rows,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
 def q21_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path for cardinality
     (exact distinct on a 100 TB key column is a full shuffle; HLL sketches
-    merge map-side). Driver records rows-only; tests assert the estimate is
-    within rsd of exact."""
+    merge map-side).
+
+    The HLL estimate itself is engine-specific, so the hashed output
+    carries the oracle-checkable CLAIM instead of the raw sketch value:
+    ``approx_ok`` = |HLL − exact| ≤ 5%·exact (2.5× the declared 2% rsd).
+    DuckDB asserts TRUE per group — the driver's hash compare then fails
+    iff the sketch drifts out of tolerance. The exact distinct rides along
+    only to anchor the comparison (dropped at 100 TB, where HLL exists
+    precisely to avoid it)."""
     l = t(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-             F.count(F.lit(1)).alias("n_rows"))
+        .agg(F.countDistinct("l_orderkey").alias("exact_orders"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"))
+        .select("l_returnflag", "exact_orders", "n_rows",
+                (F.abs(F.col("_approx") - F.col("exact_orders"))
+                 <= F.col("exact_orders") * 0.05).alias("approx_ok"))
         .orderBy("l_returnflag")
     )
 
@@ -775,20 +792,52 @@ def q26_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_copies").orderBy("doc_id"))
 
 
-@query("q27_dedup_minhash")  # no oracle: LSH banding not SQL-expressible
+@query("q27_dedup_minhash", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[s:s+2], ' ')
+         for s in generate_series(1, greatest(len(ws)-2, 1))])) AS s
+  FROM tk),
+shf AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / (sa.n + sb.n - c) >= 0.2
+ORDER BY id_a, id_b
+""")
 def q27_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (Jaccard ≥ 0.2 on 3-gram shingles).
-    Deterministic (fixed hash constants) → stable rows-only check; recall
-    quality is asserted against planted duplicates in tests/test_dedup.py."""
+
+    The operator ends in an exact-Jaccard verify over LSH candidates, so
+    its output is a SUBSET of the all-pairs exact answer by construction —
+    equal to it whenever LSH recall is total. The oracle IS that all-pairs
+    exact answer (same shingles/threshold, q29's inverted-index SQL without
+    the hot-shingle cap): the driver's hash compare therefore certifies
+    recall = 100% on this corpus, not merely row stability. (16 bands × 4
+    rows at t=0.2 give per-pair miss probability < 1e-8 at the planted-dup
+    similarity levels; deterministic hashes make the check reproducible.)"""
     from etl_load_spark.operators.dedup import minhash_near_dup_pairs
     d = t(spark, sf_dir, "documents")
     return (minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2)
             .orderBy("id_a", "id_b"))
 
 
-@query("q28_dedup_simhash")  # no oracle: banded hamming join not SQL-expressible
+@query("q28_dedup_simhash")  # oracle generated below (_register_text_oracles)
 def q28_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (Hamming ≤ 10 on 64-bit signatures)."""
+    """SimHash near-duplicate pairs (Hamming ≤ 10 on 64-bit signatures).
+
+    Token hashes are md5-derived (portable_hash64), so the ENTIRE pipeline
+    — hash, per-bit majority, 4×16-bit pigeonhole bands, banded candidate
+    join, Hamming verify — replays as generated DuckDB SQL
+    (dedup.simhash_near_dup_sql): the oracle checks algorithm equality,
+    not a recall approximation."""
     from etl_load_spark.operators.dedup import simhash_near_dup_pairs
     d = t(spark, sf_dir, "documents")
     return (simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=10)
@@ -969,20 +1018,43 @@ def q36_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("s_suppkey"))
 
 
-@query("q37_multimodal_features")  # no oracle: Arrow-batched UDF pipeline
+@query("q37_multimodal_features", oracle="""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         -- high nibble of byte i == hex char 2i of hex(content): keeping
+         -- the first char of every hex pair replays fake_decode's
+         -- (byte >> 4) binning without byte-extraction functions
+         regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS nib,
+         greatest(octet_length(encode(text)), 1) AS n
+  FROM documents)
+SELECT media_id, 16 AS feat_dim,
+       round(CAST(length(nib) - length(replace(nib, '0', '')) AS BIGINT)
+             / n, 4) AS f0,
+       round(CAST(length(nib) - length(replace(nib, 'F', '')) AS BIGINT)
+             / n, 4) AS f15
+FROM h ORDER BY media_id
+""")
 def q37_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary content column + metadata struct →
     Arrow-batched feature extraction (deterministic fake decoder — codec
-    libs absent in this container; production swaps the decoder only)."""
+    libs absent in this container; production swaps the decoder only).
+
+    Oracle: fake_decode is a 16-bin HIGH-NIBBLE byte histogram, and a
+    byte's high nibble is exactly the first hex character of its hex()
+    pair — so DuckDB replays bins 0 and 15 from hex(content) and verifies
+    the Arrow plumbing end-to-end (binary cast, batching, schema) against
+    an independent formulation."""
     from etl_load_spark.operators.multimodal import attach_metadata, extract_features
     d = t(spark, sf_dir, "documents")
     media = attach_metadata(
         d.select(F.col("doc_id").alias("media_id"),
                  F.col("text").cast("binary").alias("content")))
     feats = extract_features(media)
-    return (feats.select("media_id", "feat_dim",
-                         F.round(F.element_at("feature", 1), 4).alias("f0"),
-                         F.round(F.element_at("feature", 16), 4).alias("f15"))
+    return (feats.select("media_id", F.col("feat_dim").cast("int").alias("feat_dim"),
+                         F.round(F.element_at("feature", 1).cast("double"), 4)
+                         .alias("f0"),
+                         F.round(F.element_at("feature", 16).cast("double"), 4)
+                         .alias("f15"))
             .orderBy("media_id"))
 
 
@@ -990,9 +1062,12 @@ def q37_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constants as the Column expressions — see operators/text.py).
 def _register_text_oracles() -> None:
     from etl_load_spark.operators import text as tx
-    from etl_load_spark.operators.dedup import normalize_text_sql
+    from etl_load_spark.operators.dedup import (normalize_text_sql,
+                                                simhash_near_dup_sql)
 
     d = "duckdb"
+    QUERIES["q28_dedup_simhash"].oracle = simhash_near_dup_sql(
+        max_hamming=10, dialect=d)
     QUERIES["q26_dedup_normalized"].oracle = f"""
 WITH n AS (SELECT doc_id, {normalize_text_sql('text', d)} AS norm_text
            FROM documents)

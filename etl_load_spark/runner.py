@@ -147,13 +147,17 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
         if spec.destination is not None:
             # appending deltas is the natural incremental sink mode
             spec.destination.details.setdefault("mode", "append")
-        from etl_load_spark.operators.incremental import (hwm_predicate,
-                                                          load_mark)
+        from etl_load_spark.operators.incremental import (
+            attach_hwm_observation, hwm_predicate, load_mark)
         inc_src = read_source(spark, spec.source)
         prev_mark = load_mark(inc["state_path"])
         if prev_mark is not None:
             inc_src = inc_src.filter(
                 hwm_predicate(inc_src, inc["column"], prev_mark))
+        # the new mark is observed on the write's own scan — a re-executed
+        # MAX against a live (JDBC) source would advance past rows
+        # committed after the load and silently skip them forever
+        inc_src, hwm_obs = attach_hwm_observation(inc_src, inc["column"])
     use_error_split = bool(spec.mappings) and spec.query is None
     if use_error_split:
         src_df = inc_src if inc_src is not None \
@@ -181,9 +185,11 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
     result.records_read += result.records_written
     if inc:
         # advance the mark only AFTER the write committed (a failed write
-        # leaves the old mark → the next run re-ingests the batch)
-        from etl_load_spark.operators.incremental import batch_max, save_mark
-        new_mark = batch_max(inc_src, inc["column"])
+        # leaves the old mark → the next run re-ingests the batch); the
+        # value comes from the write's own observation, not a re-query
+        from etl_load_spark.operators.incremental import (observed_mark,
+                                                          save_mark)
+        new_mark = observed_mark(hwm_obs)
         if new_mark is not None:
             save_mark(inc["state_path"], inc["column"], new_mark,
                       spec.job_id)
