@@ -93,9 +93,9 @@ def read_jdbc(spark: SparkSession, d: dict) -> DataFrame:
     are declared.
 
     Mirrors ETLCoreJdbcReader.java:131-162's build-SQL-or-passthrough, with
-    Spark's partitioned read replacing the docx's paging design (S4). No
-    JDBC driver ships in this environment; the options dict is real and
-    tested for shape, execution requires a driver jar on the classpath.
+    Spark's partitioned read replacing the docx's paging design (S4).
+    Executed for real against embedded Derby (Spark's own jars) in
+    tests/test_jdbc.py: table scan, raw query, fetchsize, partitioned read.
     """
     reader = (spark.read.format("jdbc")
               .option("url", d["url"])
