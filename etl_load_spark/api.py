@@ -70,6 +70,24 @@ class JobRegistry:
         with self._lock:
             self._status[job_id] = payload
 
+    def run_sync(self, spec_dict: dict) -> tuple[int, dict]:
+        """Validate + admission-dedupe like ``submit``, but execute the job
+        on the calling thread and return its FINAL status — the queue
+        listener's ack-after-completion mode needs the outcome before it
+        may acknowledge the message (at-least-once)."""
+        try:
+            spec = JobSpec.from_dict(spec_dict)
+        except Exception as e:
+            return 400, {"error": f"invalid job spec: {e}"}
+        job_id = spec.job_id or f"job-{uuid.uuid4().hex[:8]}"
+        with self._lock:
+            cur = self._status.get(job_id, {}).get("status")
+            if cur in ("SUBMITTED", "RUNNING"):
+                return 409, {"jobId": job_id, "error": "job already running"}
+            self._status[job_id] = {"jobId": job_id, "status": "SUBMITTED"}
+        self._run(job_id, spec)
+        return 200, self._status[job_id]
+
     def status(self, job_id: str) -> tuple[int, dict]:
         with self._lock:
             st = self._status.get(job_id)

@@ -105,6 +105,25 @@ def cmd_serve(host: str, port: int) -> int:
     return 0
 
 
+def cmd_listen(queue_dir: str, ack_after: str, poll_interval: float,
+               drain: bool) -> dict:
+    """Queue-triggered control plane (the reference's primary entry point,
+    wfqueuelistener.java:130-155): consume job-spec JSON from a spool
+    directory and run each job. ``--drain`` processes the backlog and
+    exits (cron mode); without it the listener polls forever."""
+    from etl_load_spark.queue_listener import FileQueueTransport, QueueListener
+    spark = _build_spark("etl_load_spark_listener")
+    listener = QueueListener(spark, FileQueueTransport(queue_dir),
+                             ack_after=ack_after)
+    if drain:
+        results = listener.drain()
+        return {"processed": len(results), "results": results}
+    print(f"etl_load_spark queue listener polling {queue_dir}/pending "
+          f"every {poll_interval}s (ack after {ack_after})")
+    listener.run_forever(poll_interval)
+    return {"processed": "interrupted"}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_load_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -123,10 +142,21 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--partition-by", default=None,
                     help="comma-separated hive partition columns")
     cp.add_argument("--json", action="store_true")
+    ln = sub.add_parser("listen")
+    ln.add_argument("queue_dir")
+    ln.add_argument("--ack-after", default="completion",
+                    choices=["completion", "launch"])
+    ln.add_argument("--poll-interval", type=float, default=2.0)
+    ln.add_argument("--drain", action="store_true",
+                    help="process the backlog then exit (cron mode)")
+    ln.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     if args.cmd == "serve":
         return cmd_serve(args.host, args.port)
-    if args.cmd == "compact":
+    if args.cmd == "listen":
+        out = cmd_listen(args.queue_dir, args.ack_after, args.poll_interval,
+                         args.drain)
+    elif args.cmd == "compact":
         out = cmd_compact(args.path, args.target_mb, args.format,
                           args.partition_by)
     else:
@@ -143,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
         ok = out.get("valid", False)
     elif args.cmd == "compact":
         ok = out.get("files_after", 0) >= 1
+    elif args.cmd == "listen":
+        # drain mode: success = no message FAILED/REJECTED (empty queue ok)
+        ok = all(r.get("status") == "COMPLETED"
+                 for r in out.get("results", []))
     else:
         ok = bool(out.get("plan"))
     return 0 if ok else 1
