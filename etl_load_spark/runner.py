@@ -180,9 +180,30 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
         result.records_read += n
         result.records_written = n
         return
+    # Expectations must see the rows actually COMMITTED, not a re-execution
+    # of the plan (non-deterministic plans — unordered LIMIT, sampling —
+    # can produce different rows on the second run). Self-describing path
+    # sinks are read back after the write (as the streaming path does);
+    # other sinks persist the output so the write and the validation share
+    # one materialization.
+    readback = False
+    if spec.expectations:
+        fmt = spec.destination.type.split("_")[-1].lower()
+        # append-mode sinks can't be read back batch-scoped (the sink holds
+        # PRIOR batches too, and VALIDATE_LOAD's contract is "validate this
+        # load") — those use the persist path below instead
+        readback = "path" in spec.destination.details \
+            and fmt in ("parquet", "orc") \
+            and spec.destination.details.get("mode", "overwrite") == "overwrite"
+        if not readback:
+            df = df.persist()
+            result._unpersist_after_validate = df
+            result._output_df = df
     metrics = write_sink(df, spec.destination)
     result.records_written = metrics.get("records_written", 0)
     result.records_read += result.records_written
+    if readback:
+        result._output_df = read_source(spark, spec.destination)
     if inc:
         # advance the mark only AFTER the write committed (a failed write
         # leaves the old mark → the next run re-ingests the batch); the
@@ -218,7 +239,6 @@ def _check_expectations(spec: JobSpec, result: JobResult) -> None:
         raise JobFailedError("expectations require a LOAD step before "
                              "VALIDATE_LOAD")
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    row_checks = []  # (index, expectation) for checks with a counter agg
     for i, ex in enumerate(spec.expectations):
         check = ex.get("check")
         col = ex.get("column")
@@ -243,16 +263,17 @@ def _check_expectations(spec: JobSpec, result: JobResult) -> None:
             aggs.append((F.count(F.lit(1))
                          - F.count_distinct(F.struct(*cols)))
                         .alias(f"__x{i}"))
-            row_checks.append((i, ex))
             continue
         elif check in ("row_count_min", "row_count_max"):
-            row_checks.append((i, ex))
             continue
         else:
             raise ValueError(f"unknown expectation check: {check!r}")
         aggs.append(F.sum(bad.cast("long")).alias(f"__x{i}"))
-        row_checks.append((i, ex))
     counters = df.agg(*aggs).collect()[0].asDict()
+    cached = getattr(result, "_unpersist_after_validate", None)
+    if cached is not None:
+        cached.unpersist()
+        result._unpersist_after_validate = None
     n_rows = counters["__n_rows"]
     failures = []
     for i, ex in enumerate(spec.expectations):

@@ -177,7 +177,12 @@ class JobSpec:
                 script_path=tr.get("scriptPath", tr.get("script_path")),
                 parameters=tr.get("parameters", {}) or {},
             ),
-            steps=d.get("steps", ["LOAD"]),
+            # declaring expectations without declaring steps must not
+            # silently skip them — default in the VALIDATE_LOAD step that
+            # evaluates them; an explicit steps list is always respected
+            steps=d.get("steps") or (
+                ["LOAD", "VALIDATE_LOAD"] if d.get("expectations")
+                else ["LOAD"]),
             batch_size=d.get("batchSize", d.get("batch_size", 10000)),
             order_by=d.get("orderBy", d.get("order_by", [])),
             streaming=d.get("streaming", {}) or {},

@@ -156,3 +156,24 @@ def test_streaming_load_validates_committed_sink(spark, tmp_path):
     res2 = run_job(spark, spec2)
     assert res2.status == "FAILED"
     assert "expectations failed" in res2.error
+
+
+def test_expectations_run_without_explicit_steps(spark, sf_dir, tmp_path):
+    """Declaring expectations but no steps list must still evaluate them
+    (the default gains VALIDATE_LOAD) — previously they were silently
+    skipped because the spec default is steps=[LOAD]."""
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    r = run_job(spark, JobSpec.from_dict({
+        "jobId": "exp_default_steps",
+        "source": {"type": "PARQUET",
+                   "details": {"path": f"{sf_dir}/orders.parquet"}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out")}},
+        "expectations": [{"check": "not_null", "column": "o_orderkey"},
+                         {"check": "row_count_min", "value": 10**9,
+                          "severity": "warn"}],
+    }))
+    assert r.status == "COMPLETED", r.error
+    assert [(e["check"], e["passed"]) for e in r.expectation_results] == \
+        [("not_null", True), ("row_count_min", False)]

@@ -94,3 +94,43 @@ def test_compaction_restores_original_on_swap_failure(spark, tmp_path,
     monkeypatch.undo()
     after = sorted(r.id for r in spark.read.parquet(path).collect())
     assert after == before, "original data must survive a failed swap"
+
+
+def test_compaction_recovers_from_interrupted_swap(spark, tmp_path):
+    """A crash BETWEEN the two swap renames leaves no dataset at path and
+    the original stranded in .pre_compact; the next compact_files call must
+    restore it before proceeding (the recovery protocol)."""
+    import os as _os
+
+    path = str(tmp_path / "interrupted")
+    spark.range(0, 300).repartition(6).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    # simulate the crash state: path moved to backup, nothing at path
+    _os.rename(path, path + ".pre_compact")
+    m = compact_files(spark, path, target_file_mb=64)
+    assert m["rows"] == 300
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_compaction_splits_large_partition(spark, tmp_path):
+    """With partition_by, a hive partition larger than the target must be
+    written as MULTIPLE files (salt + maxRecordsPerFile), not one oversized
+    file per partition."""
+    path = str(tmp_path / "skewed")
+    # incompressible payloads so on-disk bytes reflect real volume
+    big = spark.range(40_000).selectExpr(
+        "'big' AS part", "id AS n",
+        "repeat(md5(cast(id AS string)), 8) AS payload")
+    small = spark.range(50).selectExpr(
+        "'small' AS part", "id AS n",
+        "md5(cast(id AS string)) AS payload")
+    (big.union(small)
+     .repartition(30).write.partitionBy("part").parquet(path))
+    compact_files(spark, path, target_file_mb=1, partition_by=["part"])
+    big_files = glob.glob(str(tmp_path / "skewed" / "part=big" / "*.parquet"))
+    small_files = glob.glob(str(tmp_path / "skewed" / "part=small" / "*.parquet"))
+    assert len(big_files) > 1, "large partition must split near the target"
+    assert len(small_files) == 1, "small partition must not re-fragment"
+    got = spark.read.parquet(path)
+    assert got.count() == 40_050
