@@ -194,15 +194,29 @@ def chunk_media(media: DataFrame, chunk_bytes: int = 2048,
                                 chunk_bytes).alias("chunk")))
 
 
+def fake_energy(chunk: bytes) -> float:
+    """Deterministic stand-in for a real PCM RMS-energy kernel: mean
+    high-nibble of the raw bytes scaled to [0, 1]. Computed as ONE IEEE
+    division of two exactly-representable integers, so any engine that
+    replays the integer nibble sum reproduces the double bit-for-bit
+    (q100's generated DuckDB oracle does, via hex-pair extraction).
+    Replace with a real soundfile/scipy kernel in production."""
+    if chunk is None or len(chunk) == 0:
+        return 0.0
+    import numpy as np
+    arr = np.frombuffer(chunk, dtype=np.uint8)
+    return int((arr >> 4).sum(dtype=np.int64)) / (15.0 * len(arr))
+
+
 def chunk_features(media: DataFrame, chunk_bytes: int = 2048,
-                   decoder: Callable[[bytes], list[float]] = fake_decode,
+                   energy_fn: Callable[[bytes], float] = fake_energy,
                    content_col: str = "content",
                    id_col: str = "media_id") -> DataFrame:
     """Per-chunk feature extraction (RMS-energy-shaped): chunk JVM-side,
-    then one Arrow-batched pass computes a scalar per chunk from the
-    decoder's feature vector (deterministic fake here; a real audio
-    decoder is a drop-in — reference treats media as opaque bytes, so the
-    engine owns only the plumbing: schema, batching, partitioning)."""
+    then one Arrow-batched pass computes a scalar per chunk through the
+    injected kernel (deterministic fake here; a real audio decoder is a
+    drop-in — reference treats media as opaque bytes, so the engine owns
+    only the plumbing: schema, batching, partitioning)."""
     from typing import Iterator
 
     import pandas as pd
@@ -211,14 +225,11 @@ def chunk_features(media: DataFrame, chunk_bytes: int = 2048,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decoder(c) for c in pdf["chunk"]]
-            # proxy energy: mean of the decoder's normalized feature bins
-            energy = [float(sum(f)) / max(len(f), 1) for f in feats]
             yield pd.DataFrame({
                 "media_id": pdf[id_col],
                 "chunk_no": pdf["chunk_no"],
                 "n_bytes": [len(c) if c is not None else 0
                             for c in pdf["chunk"]],
-                "energy": energy})
+                "energy": [energy_fn(c) for c in pdf["chunk"]]})
 
     return chunks.mapInPandas(run, schema=CHUNK_FEATURE_SCHEMA)

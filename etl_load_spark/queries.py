@@ -934,17 +934,43 @@ def q47_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_cells=8, n_probe=4)
 
 
-@query("q32_embedding_near_dup")  # no oracle: LSH blocking
+@query("q32_embedding_near_dup", oracle="""
+WITH pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+  FROM embeddings),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM pert),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6)
+           AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.8
+ORDER BY id_a, id_b
+""")
 def q32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with LSH band blocking — no
-    all-pairs scan. Threshold 0.35 because the synthetic embeddings have no
-    pairs above 0.51 cosine (verified offline); candidates found through the
-    deterministic md5-derived planes, so the (partial-recall) result is
-    stable across runs — real near-dups recall ≥ 93% at cosine 0.9, ~100%
-    by 0.99 (64 planes, 8 bands of 8 bits)."""
+    all-pairs scan (64 md5-derived planes, 8 bands of 8 bits).
+
+    Oracle: the corpus is augmented with a scaled copy (×1.01) of every
+    vector — the classic same-direction duplicate. Scaling preserves every
+    hyperplane sign, so each copy shares ALL its original's band keys and
+    the planted pair is structurally guaranteed through the bucket join;
+    the synthetic corpus has no natural pairs above 0.51 cosine (verified
+    offline), so the exact all-pairs answer at threshold 0.8 is precisely
+    the planted pairs. DuckDB computes that exact answer independently
+    (list_cosine_similarity over the same augmented corpus) — a hash match
+    certifies 100% recall AND precision of the whole LSH pipeline, not
+    row stability."""
     from etl_load_spark.operators.similarity import embedding_near_dup_pairs
-    e = t(spark, sf_dir, "embeddings")
-    return (embedding_near_dup_pairs(e, threshold=0.35,
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.01).cast("float"))
+        .alias("embedding"))
+    return (embedding_near_dup_pairs(e.unionByName(planted), threshold=0.8,
                                      n_planes=64, bands=8)
             .orderBy("id_a", "id_b"))
 
@@ -1809,13 +1835,19 @@ def q63_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_mktsegment", "c_custkey"))
 
 
-@query("q64_media_resize")  # no oracle: Arrow-batched binary kernel (rows-only)
+@query("q64_media_resize")  # oracle generated (_register_multimodal_oracles)
 def q64_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage (north-star §2.9 item 10): binary content →
     fixed 8x8 payload via mapInPandas with the deterministic fake kernel
-    (real kernel is an injection point, operators/multimodal.py). The
-    resized bytes are pinned by crc32 so our own tests catch kernel drift
-    even though the driver check is rows-only."""
+    (real kernel is an injection point, operators/multimodal.py).
+
+    Oracle (generated): fake_resize is a nearest-neighbor byte sample at
+    indices trunc(k·(len−1)/63) — each sampled byte is one hex PAIR of
+    hex(content), so DuckDB rebuilds the resized payload's hex string and
+    both engines hash it with md5. IEEE note: numpy's linspace computes
+    k·step with step=(len−1)/63 rounded once — the identical double
+    arithmetic DuckDB runs — and pins the endpoint to len−1 exactly, which
+    the generated SQL special-cases, so truncation agrees bit-for-bit."""
     from etl_load_spark.operators.multimodal import resize_media
     d = t(spark, sf_dir, "documents")
     media = d.select(F.col("doc_id").alias("media_id"),
@@ -1825,7 +1857,7 @@ def q64_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("out_width").cast("bigint").alias("out_width"),
                     F.col("out_height").cast("bigint").alias("out_height"),
                     F.col("out_len").cast("bigint").alias("out_len"),
-                    F.crc32("content").alias("content_crc"))
+                    F.md5(F.hex("content")).alias("content_md5"))
             .orderBy("media_id"))
 
 
@@ -1886,20 +1918,39 @@ def q66_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(100))
 
 
-@query("q67_approx_percentile")  # no oracle: sketch-based (GK) — engine-specific
+@query("q67_approx_percentile", oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
 def q67_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group (Greenwald-Khanna sketch,
-    accuracy=10000 → error ≤ 0.01%): the 100 TB path for q54's exact
+    accuracy=10000 → rank error ≤ 0.01%): the 100 TB path for q54's exact
     percentiles — mergeable fixed-size sketches instead of a per-group
-    sort, one map-side-combinable aggregation pass. DuckDB's approx
-    sketch differs, so the driver check is rows-only; the local test
-    bounds the error against the exact q54 values."""
+    sort, one map-side-combinable aggregation pass.
+
+    The sketch value is engine-specific, so the hashed output carries the
+    oracle-checkable CLAIM (the q21 pattern): ``p50_ok``/``p95_ok`` assert
+    the GK estimate lands between the exact ±1%-rank order statistics
+    (100× the sketch's declared rank error). DuckDB asserts TRUE per
+    group — the driver's hash compare fails iff a sketch drifts out of
+    its rank-error contract. The exact percentiles ride along only at
+    test scale to anchor the claim (at 100 TB the sketch exists precisely
+    to avoid computing them)."""
     l = t(spark, sf_dir, "lineitem")
     pcts = F.expr(
         "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.49D, 0.51D, 0.94D, 0.96D))")
     return (l.groupBy("l_returnflag")
-            .agg(pcts[0].alias("p50_approx"), pcts[1].alias("p95_approx"),
+            .agg(pcts.alias("_ap"), exact.alias("_ex"),
                  F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select("l_returnflag", "n_rows",
+                    F.col("_ap")[0].between(F.col("_ex")[0], F.col("_ex")[1])
+                    .alias("p50_ok"),
+                    F.col("_ap")[1].between(F.col("_ex")[2], F.col("_ex")[3])
+                    .alias("p95_ok"))
             .orderBy("l_returnflag"))
 
 
@@ -1990,22 +2041,41 @@ def q70_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("click_id", "err_id"))
 
 
-@query("q71_sketch_rollup")  # no oracle: datasketches HLL binary — engine-specific
+@query("q71_sketch_rollup", oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
+       TRUE AS merge_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""")
 def q71_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count rollup (the 100 TB pattern): one HLL
     sketch per (day, event_type) partition, merged across days with
     hll_union_agg — distinct users per type without re-scanning history.
     Register updates are max-based → order-independent and mergeable, so
     a materialized daily sketch table rolls up to any coarser grain.
-    Estimates are datasketches-specific → rows-only driver check; accuracy
-    vs exact is pinned in tests/test_entry.py."""
+
+    The datasketches binary is engine-specific, so the hashed output
+    carries the oracle-checkable CLAIM (q21 pattern): ``merge_ok`` =
+    |merged-HLL estimate − exact| ≤ 5%·exact (lgK=14 → ~0.8% rsd; 6σ).
+    The exact distinct and the per-type day count are independently
+    recomputed by DuckDB, so a hash match certifies both the sketch
+    accuracy after merging and the daily-partition bookkeeping. The
+    exact distinct rides along only to anchor the claim at test scale."""
     e = t(spark, sf_dir, "events")
     daily = (e.groupBy(F.to_date("ts").alias("day"), "event_type")
              .agg(F.hll_sketch_agg("user_id", 14).alias("sk")))
-    return (daily.groupBy("event_type")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .cast("bigint").alias("distinct_users_est"),
-                 F.count(F.lit(1)).cast("bigint").alias("n_day_sketches"))
+    merged = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .cast("bigint").alias("_est"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_day_sketches")))
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("exact_users")))
+    return (merged.join(exact, "event_type")
+            .select("event_type", "exact_users", "n_day_sketches",
+                    (F.abs(F.col("_est") - F.col("exact_users"))
+                     <= F.col("exact_users") * 0.05).alias("merge_ok"))
             .orderBy("event_type"))
 
 
@@ -3179,23 +3249,80 @@ def q99_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("rep_ratio"), "doc_id").limit(100))
 
 
-@query("q100_audio_chunks")  # rows-only: Arrow-batched Python decode path
+@query("q100_audio_chunks")  # oracle generated (_register_multimodal_oracles)
 def q100_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style chunked feature extraction (multimodal §: the audio
     analogue of q49's frame sampling): binary streams are windowed into
     fixed 2 KiB chunks JVM-side (posexplode + substring — plan-visible
     fan-out, no Python), then one Arrow-batched pass computes per-chunk
-    energy through the injected decoder (deterministic fake here; a real
+    energy through the injected kernel (deterministic fake here; a real
     PCM/soundfile decoder is a drop-in). Per-doc chunk counts and summed
-    bytes reconcile with the source lengths by construction."""
+    bytes reconcile with the source lengths by construction.
+
+    Oracle (generated, _register_multimodal_oracles): fake_energy is one
+    IEEE division of two integers (nibble sum / 15·n), so DuckDB replays
+    the whole pipeline — chunk boundaries included — from hex(content)
+    and matches the doubles bit-for-bit: the hash certifies algorithm
+    equality through the Arrow batch path, not just row stability."""
     from etl_load_spark.operators.multimodal import chunk_features
     d = t(spark, sf_dir, "documents")
     media = d.select(F.col("doc_id").alias("media_id"),
                      F.col("text").cast("binary").alias("content"))
     cf = chunk_features(media, chunk_bytes=2048)
-    return (cf.select("media_id", "chunk_no", "n_bytes",
-                      F.round("energy", 6).alias("energy"))
+    return (cf.select("media_id", "chunk_no", "n_bytes", "energy")
             .orderBy("media_id", "chunk_no"))
+
+
+# Generated oracles for the multimodal fake kernels: both replay the exact
+# byte-level computation from hex(content) — one hex char per high nibble
+# (q100), one hex pair per sampled byte (q64) — so a driver hash match
+# certifies algorithm equality through the Arrow mapInPandas path.
+def _register_multimodal_oracles() -> None:
+    nibsum = " + ".join(
+        f"{v} * (length(cn) - length(replace(cn, '{c}', '')))"
+        for v, c in enumerate("0123456789ABCDEF") if v > 0)
+    QUERIES["q100_audio_chunks"].oracle = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS nib
+  FROM documents),
+c AS (
+  SELECT media_id,
+         CAST(unnest(range(greatest(
+             CAST(ceil(length(nib) / 2048.0) AS BIGINT), 1))) AS INT)
+           AS chunk_no,
+         nib FROM h),
+k AS (
+  SELECT media_id, chunk_no,
+         substring(nib, chunk_no * 2048 + 1, 2048) AS cn
+  FROM c)
+SELECT media_id, chunk_no, CAST(length(cn) AS INT) AS n_bytes,
+       CASE WHEN length(cn) = 0 THEN 0.0
+            ELSE CAST({nibsum} AS DOUBLE) / (15.0 * length(cn))
+       END AS energy
+FROM k ORDER BY media_id, chunk_no
+"""
+    # fake_resize samples byte k at index trunc(k*(len-1)/63) for k<63 and
+    # pins the endpoint to len-1 (numpy linspace endpoint semantics).
+    pairs = ", ".join(
+        f"substring(hx, 2 * CAST(trunc({k} * ((len - 1) / 63.0)) AS BIGINT)"
+        " + 1, 2)" for k in range(63))
+    QUERIES["q64_media_resize"].oracle = f"""
+WITH h AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS len
+  FROM documents)
+SELECT media_id,
+       CAST(8 AS BIGINT) AS out_width, CAST(8 AS BIGINT) AS out_height,
+       CAST(64 AS BIGINT) AS out_len,
+       md5(CASE WHEN len = 0 THEN repeat('00', 64)
+                ELSE concat({pairs}, substring(hx, 2 * (len - 1) + 1, 2))
+           END) AS content_md5
+FROM h ORDER BY media_id
+"""
+
+
+_register_multimodal_oracles()
 
 
 @query("q101_sole_returning_supplier", oracle="""

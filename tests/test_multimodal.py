@@ -108,5 +108,6 @@ def test_chunking_reconciles_with_lengths(spark):
     assert agg[2].total == 2048 and agg[3].total == 10
     e = {(r.media_id, r.chunk_no): r.energy for r in feats.collect()}
     assert all(0.0 <= v <= 1.0 for v in e.values())
-    # single-valued buffers concentrate all mass in one bin -> energy 1/16
-    assert abs(e[(2, 0)] - 1.0 / 16) < 1e-9
+    # single-valued buffer: every byte is 'y' (0x79) -> mean nibble 7/15
+    assert abs(e[(2, 0)] - 7.0 / 15) < 1e-9
+    assert e[(4, 0)] == 0.0
