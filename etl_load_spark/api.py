@@ -30,25 +30,109 @@ from etl_load_spark.spec import JobSpec
 API_PREFIX = "/api/etl/v1/jobs"
 
 
+class AdmissionControl:
+    """Resource-based admission (U10, wfqueuelistener.java:344-375): refuse
+    to start a job while the JVM heap is above ``max_heap_pct`` of its cap
+    or the 1-minute system load exceeds ``max_cpu_pct`` of the core count —
+    the reference's two `isResourceConstrained` probes, same default
+    thresholds (85% heap / 90% CPU). ``max_running`` additionally bounds
+    concurrent jobs (the reference delegates that to its TaskExecutor
+    pool).
+
+    Deferral, not failure: a constrained submit returns 503 and records
+    DEFERRED — the queue listener then simply does NOT ack, so the broker
+    redelivers and the spool becomes the waiting room (the queuing
+    mechanism the reference leaves as a TODO at wfqueuelistener.java:272).
+    Probes fail SAFE (monitoring error → admit), mirroring the reference's
+    catch-all. At cluster scale this guards the driver/control plane only;
+    executor-side capacity is the cluster manager's job (YARN/K8s queues,
+    `spark.scheduler.mode=FAIR` — SURVEY §4)."""
+
+    def __init__(self, max_heap_pct: float = 85.0, max_cpu_pct: float = 90.0,
+                 max_running: int | None = None,
+                 heap_pct_fn=None, cpu_pct_fn=None):
+        self.max_heap_pct = max_heap_pct
+        self.max_cpu_pct = max_cpu_pct
+        self.max_running = max_running
+        self._heap_pct_fn = heap_pct_fn
+        self._cpu_pct_fn = cpu_pct_fn
+
+    def _heap_pct(self, spark) -> float:
+        if self._heap_pct_fn is not None:
+            return self._heap_pct_fn()
+        # the data plane's heap is the Spark JVM's, not this Python process
+        mx = (spark._jvm.java.lang.management.ManagementFactory
+              .getMemoryMXBean().getHeapMemoryUsage())
+        cap = mx.getMax()
+        return (mx.getUsed() / cap) * 100.0 if cap > 0 else 0.0
+
+    def _cpu_pct(self) -> float:
+        if self._cpu_pct_fn is not None:
+            return self._cpu_pct_fn()
+        import os
+        load1, _, _ = os.getloadavg()
+        cores = os.cpu_count() or 1
+        return (load1 / cores) * 100.0 if load1 > 0 else 0.0
+
+    def deferral_reason(self, spark, n_active: int) -> str | None:
+        """None when the job may start, else a human-readable reason."""
+        if self.max_running is not None and n_active >= self.max_running:
+            return f"{n_active} jobs already active (max {self.max_running})"
+        try:
+            heap = self._heap_pct(spark)
+            if heap > self.max_heap_pct:
+                return (f"heap usage {heap:.1f}% above "
+                        f"{self.max_heap_pct:.0f}% threshold")
+            cpu = self._cpu_pct()
+            if cpu > self.max_cpu_pct:
+                return (f"cpu load {cpu:.1f}% above "
+                        f"{self.max_cpu_pct:.0f}% threshold")
+        except Exception:
+            return None  # fail safe: monitoring breakage must not block jobs
+        return None
+
+
 class JobRegistry:
     """In-memory status/result maps (the reference's WorkflowManager maps)."""
 
-    def __init__(self, spark):
+    def __init__(self, spark, admission: AdmissionControl | None = None):
         self.spark = spark
+        self.admission = admission
         self._lock = threading.Lock()
         self._status: dict[str, dict] = {}
 
-    def submit(self, spec_dict: dict) -> tuple[int, dict]:
+    def _admit(self, spec_dict: dict):
+        """Shared admission path: spec validation → duplicate-RUNNING dedupe
+        → resource check → reserve SUBMITTED. Returns (job_id, spec, None)
+        on admit, (None, None, (code, payload)) on refusal."""
         try:
             spec = JobSpec.from_dict(spec_dict)
         except Exception as e:  # malformed config → 400, like MVC binding
-            return 400, {"error": f"invalid job spec: {e}"}
+            return None, None, (400, {"error": f"invalid job spec: {e}"})
         job_id = spec.job_id or f"job-{uuid.uuid4().hex[:8]}"
         with self._lock:
             cur = self._status.get(job_id, {}).get("status")
             if cur in ("SUBMITTED", "RUNNING"):
-                return 409, {"jobId": job_id, "error": "job already running"}
+                return None, None, (409, {"jobId": job_id,
+                                          "error": "job already running"})
+            if self.admission is not None:
+                n_active = sum(1 for st in self._status.values()
+                               if st.get("status") in ("SUBMITTED", "RUNNING"))
+                reason = self.admission.deferral_reason(self.spark, n_active)
+                if reason is not None:
+                    self._status[job_id] = {"jobId": job_id,
+                                            "status": "DEFERRED",
+                                            "error": reason}
+                    return None, None, (503, {"jobId": job_id,
+                                              "status": "DEFERRED",
+                                              "error": reason})
             self._status[job_id] = {"jobId": job_id, "status": "SUBMITTED"}
+        return job_id, spec, None
+
+    def submit(self, spec_dict: dict) -> tuple[int, dict]:
+        job_id, spec, refusal = self._admit(spec_dict)
+        if refusal is not None:
+            return refusal
         t = threading.Thread(target=self._run, args=(job_id, spec), daemon=True)
         t.start()
         return 202, {"jobId": job_id, "status": "SUBMITTED"}
@@ -75,16 +159,9 @@ class JobRegistry:
         on the calling thread and return its FINAL status — the queue
         listener's ack-after-completion mode needs the outcome before it
         may acknowledge the message (at-least-once)."""
-        try:
-            spec = JobSpec.from_dict(spec_dict)
-        except Exception as e:
-            return 400, {"error": f"invalid job spec: {e}"}
-        job_id = spec.job_id or f"job-{uuid.uuid4().hex[:8]}"
-        with self._lock:
-            cur = self._status.get(job_id, {}).get("status")
-            if cur in ("SUBMITTED", "RUNNING"):
-                return 409, {"jobId": job_id, "error": "job already running"}
-            self._status[job_id] = {"jobId": job_id, "status": "SUBMITTED"}
+        job_id, spec, refusal = self._admit(spec_dict)
+        if refusal is not None:
+            return refusal
         self._run(job_id, spec)
         return 200, self._status[job_id]
 
@@ -142,10 +219,11 @@ def _handler(registry: JobRegistry):
     return Handler
 
 
-def serve(spark, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def serve(spark, host: str = "127.0.0.1", port: int = 0,
+          admission: AdmissionControl | None = None) -> ThreadingHTTPServer:
     """Start the API server on a background thread; returns the server
     (``server.server_address`` has the bound port; ``shutdown()`` stops it)."""
-    registry = JobRegistry(spark)
+    registry = JobRegistry(spark, admission=admission)
     srv = ThreadingHTTPServer((host, port), _handler(registry))
     srv.registry = registry
     threading.Thread(target=srv.serve_forever, daemon=True).start()

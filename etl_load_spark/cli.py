@@ -89,11 +89,15 @@ def cmd_compact(path: str, target_mb: int, fmt: str,
                          partition_by=cols)
 
 
-def cmd_serve(host: str, port: int) -> int:
+def cmd_serve(host: str, port: int,
+              max_heap_pct: float = 85.0, max_cpu_pct: float = 90.0,
+              max_running: int | None = None) -> int:
     """Run the REST submit/status API (SURVEY §3.2) in the foreground."""
-    from etl_load_spark.api import serve
+    from etl_load_spark.api import AdmissionControl, serve
     spark = _build_spark("etl_load_spark_api")
-    srv = serve(spark, host=host, port=port)
+    srv = serve(spark, host=host, port=port,
+                admission=AdmissionControl(max_heap_pct, max_cpu_pct,
+                                           max_running))
     h, p = srv.server_address
     print(f"etl_load_spark API listening on http://{h}:{p}"
           f"  (POST {h}:{p}/api/etl/v1/jobs/submit)")
@@ -106,15 +110,20 @@ def cmd_serve(host: str, port: int) -> int:
 
 
 def cmd_listen(queue_dir: str, ack_after: str, poll_interval: float,
-               drain: bool) -> dict:
+               drain: bool, max_heap_pct: float = 85.0,
+               max_cpu_pct: float = 90.0,
+               max_running: int | None = None) -> dict:
     """Queue-triggered control plane (the reference's primary entry point,
     wfqueuelistener.java:130-155): consume job-spec JSON from a spool
     directory and run each job. ``--drain`` processes the backlog and
     exits (cron mode); without it the listener polls forever."""
+    from etl_load_spark.api import AdmissionControl, JobRegistry
     from etl_load_spark.queue_listener import FileQueueTransport, QueueListener
     spark = _build_spark("etl_load_spark_listener")
+    registry = JobRegistry(spark, admission=AdmissionControl(
+        max_heap_pct, max_cpu_pct, max_running))
     listener = QueueListener(spark, FileQueueTransport(queue_dir),
-                             ack_after=ack_after)
+                             ack_after=ack_after, registry=registry)
     if drain:
         results = listener.drain()
         return {"processed": len(results), "results": results}
@@ -122,6 +131,14 @@ def cmd_listen(queue_dir: str, ack_after: str, poll_interval: float,
           f"every {poll_interval}s (ack after {ack_after})")
     listener.run_forever(poll_interval)
     return {"processed": "interrupted"}
+
+
+def _admission_args(sp) -> None:
+    """U10 admission thresholds (reference defaults: 85% heap, 90% CPU)."""
+    sp.add_argument("--max-heap-pct", type=float, default=85.0)
+    sp.add_argument("--max-cpu-pct", type=float, default=90.0)
+    sp.add_argument("--max-running", type=int, default=None,
+                    help="bound concurrently active jobs (default: unbounded)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -135,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
+    _admission_args(sv)
     cp = sub.add_parser("compact")
     cp.add_argument("path")
     cp.add_argument("--target-mb", type=int, default=128)
@@ -150,12 +168,15 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--drain", action="store_true",
                     help="process the backlog then exit (cron mode)")
     ln.add_argument("--json", action="store_true")
+    _admission_args(ln)
     args = p.parse_args(argv)
     if args.cmd == "serve":
-        return cmd_serve(args.host, args.port)
+        return cmd_serve(args.host, args.port, args.max_heap_pct,
+                         args.max_cpu_pct, args.max_running)
     if args.cmd == "listen":
         out = cmd_listen(args.queue_dir, args.ack_after, args.poll_interval,
-                         args.drain)
+                         args.drain, args.max_heap_pct, args.max_cpu_pct,
+                         args.max_running)
     elif args.cmd == "compact":
         out = cmd_compact(args.path, args.target_mb, args.format,
                           args.partition_by)

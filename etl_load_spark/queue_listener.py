@@ -150,16 +150,25 @@ class QueueListener:
                     "error": f"bad message: {e}"}
         if self.ack_after == "launch":
             code, payload = self.registry.submit(spec_dict)
+            if code == 503:  # resource deferral: leave pending → redelivered
+                return {"messageId": msg.message_id, **payload}
             self.transport.ack(msg, "done" if code == 202 else "failed")
         else:
             code, payload = self.registry.run_sync(spec_dict)
+            if code == 503:
+                return {"messageId": msg.message_id, **payload}
             ok = code == 200 and payload.get("status") == "COMPLETED"
             self.transport.ack(msg, "done" if ok else "failed")
         return {"messageId": msg.message_id, **payload}
 
     def drain(self, max_messages: int | None = None) -> list[dict]:
         """Process until the queue is empty (or max_messages); returns the
-        per-message outcomes. The batch-mode entry for tests/cron."""
+        per-message outcomes. The batch-mode entry for tests/cron.
+
+        Deferred messages (admission control, U10) stay un-acked in the
+        queue; a poll round that only defers makes no progress, so drain
+        returns and the next cycle retries — the spool IS the waiting
+        room."""
         results = []
         while not self._stop:
             budget = 16 if max_messages is None \
@@ -169,7 +178,10 @@ class QueueListener:
             msgs = self.transport.poll(budget)
             if not msgs:
                 break
-            results.extend(self.process_one(m) for m in msgs)
+            round_results = [self.process_one(m) for m in msgs]
+            results.extend(round_results)
+            if all(r.get("status") == "DEFERRED" for r in round_results):
+                break
         return results
 
     def run_forever(self, poll_interval: float = 2.0) -> None:

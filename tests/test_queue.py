@@ -124,3 +124,54 @@ def test_queue_cli_drain(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["processed"] == 1
     assert out["results"][0]["status"] == "COMPLETED"
+
+
+def test_admission_defers_then_redelivers(spark, tmp_path):
+    """U10 (wfqueuelistener.java:344-375): under resource pressure the job
+    is NOT started and the message is NOT acked — the spool is the waiting
+    room; once pressure clears, redelivery runs it to completion."""
+    from etl_load_spark.api import AdmissionControl, JobRegistry
+    cpu = {"pct": 100.0}  # above the 90% threshold
+    adm = AdmissionControl(cpu_pct_fn=lambda: cpu["pct"],
+                           heap_pct_fn=lambda: 10.0)
+    q = FileQueueTransport(str(tmp_path / "q"))
+    q.submit(_spec(tmp_path, "deferred_job"))
+    listener = QueueListener(spark, q,
+                             registry=JobRegistry(spark, admission=adm))
+    results = listener.drain()
+    assert [r["status"] for r in results] == ["DEFERRED"]
+    assert "cpu load" in results[0]["error"]
+    # not acked: still pending, nothing in done/, no output written
+    assert len(os.listdir(tmp_path / "q" / "pending")) == 1
+    assert os.listdir(tmp_path / "q" / "done") == []
+    assert not (tmp_path / "out_deferred_job").exists()
+    assert listener.registry.status("deferred_job")[1]["status"] == "DEFERRED"
+    cpu["pct"] = 5.0  # pressure clears → redelivery succeeds
+    results = listener.drain()
+    assert [r["status"] for r in results] == ["COMPLETED"]
+    assert os.listdir(tmp_path / "q" / "pending") == []
+    assert spark.read.parquet(str(tmp_path / "out_deferred_job")).count() == 5
+
+
+def test_admission_max_running_bounds_concurrency(spark, tmp_path):
+    """max_running is the TaskExecutor-pool analogue: the (n+1)th active
+    job defers with 503 instead of starting."""
+    from etl_load_spark.api import AdmissionControl, JobRegistry
+    reg = JobRegistry(spark, admission=AdmissionControl(
+        max_running=0, heap_pct_fn=lambda: 0.0, cpu_pct_fn=lambda: 0.0))
+    code, payload = reg.submit(_spec(tmp_path, "never_starts"))
+    assert code == 503 and payload["status"] == "DEFERRED"
+    assert "active" in payload["error"]
+
+
+def test_admission_live_probes_and_fail_safe(spark):
+    """The default probes read the Spark JVM heap bean and os.getloadavg —
+    they must return sane values; a broken probe must ADMIT (the
+    reference's catch-all fail-safe), never block jobs."""
+    from etl_load_spark.api import AdmissionControl
+    adm = AdmissionControl()
+    assert 0.0 < adm._heap_pct(spark) < 100.0
+    assert adm._cpu_pct() >= 0.0
+    broken = AdmissionControl(
+        heap_pct_fn=lambda: (_ for _ in ()).throw(RuntimeError("probe down")))
+    assert broken.deferral_reason(spark, n_active=0) is None
