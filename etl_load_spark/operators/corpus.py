@@ -1,0 +1,220 @@
+"""Corpus-curation operators a training-data pipeline needs at 100 TB:
+passage-level dedup (the Dolma/CCNet paragraph-dedup pattern), rule-based
+quality filtering (Gopher-style), and deterministic weighted source mixing.
+
+The reference has no corpus ops (it moves rows between RDBMS/CSV endpoints,
+ETLCoreMappingProcessor.java:1-241); these are north-star extensions in the
+same declarative style: every rule/threshold is data, every computation is a
+Catalyst expression (no Python in the hot path), and every operator has an
+exact SQL twin so the DuckDB oracle replays the full algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (paragraph dedup for separator-less corpora)
+# ---------------------------------------------------------------------------
+
+def passage_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  block_tokens: int = 16) -> DataFrame:
+    """Remove duplicated passages ACROSS the corpus, keeping each passage's
+    first occurrence (document order, then position) — the paragraph-dedup
+    stage of a pretraining pipeline, expressed over fixed ``block_tokens``
+    token windows because the synthetic corpus has no paragraph separators
+    (swap the tokenizer for a split on ``\\n\\n`` when the data has one).
+
+    Returns (id, text_deduped, n_blocks, n_kept) — documents whose every
+    passage was seen earlier come back with an empty string, mirroring how
+    paragraph dedup can empty a page.
+
+    100 TB shape: two shuffles. (1) first-occurrence resolution is a
+    min-struct aggregate over (block_hash, block_text) — map-side partial
+    combine collapses repeats before the wire, and the 8-byte hash leads
+    the shuffle key so equality checks short-circuit; grouping on the text
+    too keeps the operator EXACT under hash collision (a certainty at
+    100 TB block counts), unlike hash-only Bloom dedup. The probe join
+    back is an equi-join on the same keys, so AQE plans both sides off one
+    Exchange profile — never a window sort over the corpus. (2) reassembly
+    groups by document id, carrying each surviving block once.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_blocks = F.greatest(F.ceil(F.size(toks) / F.lit(block_tokens))
+                          .cast("int"), F.lit(1))
+    blocks = (df.select(F.col(id_col), toks.alias("_toks"),
+                        F.posexplode(F.sequence(F.lit(0), n_blocks - 1))
+                        .alias("_bno", "_i"))
+              .select(id_col, "_bno",
+                      F.array_join(
+                          F.slice("_toks",
+                                  F.col("_bno") * block_tokens + 1,
+                                  block_tokens), " ").alias("_btext"))
+              .withColumn("_bhash", F.xxhash64("_btext"))
+              # one Exchange feeds both the first-occurrence aggregate and
+              # the probe side (ReusedExchange): the tokenize+block subplan
+              # runs once, not once per branch. The explicit not-null
+              # filters mirror the join's inferred ones so both branches
+              # stay byte-identical (reuse requires identical subplans).
+              .filter(F.col(id_col).isNotNull() & F.col("_btext").isNotNull())
+              .repartition("_bhash", "_btext"))
+    first = (blocks.groupBy("_bhash", "_btext")
+             .agg(F.min(F.struct(id_col, "_bno")).alias("_first")))
+    kept = (blocks.join(first, ["_bhash", "_btext"])
+            .filter((F.col(f"_first.{id_col}") == F.col(id_col))
+                    & (F.col("_first._bno") == F.col("_bno"))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_bno", "_btext"))),
+                            lambda s: s["_btext"]), " ")
+                    .alias("text_deduped"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_kept")))
+    totals = df.select(F.col(id_col), n_blocks.cast("bigint")
+                       .alias("n_blocks"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+                    "n_blocks",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
+def passage_dedup_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", block_tokens: int = 16,
+                      dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``passage_dedup`` (xxhash64 is Spark-only, but the
+    hash only BUCKETS identical strings — the oracle dedups on the block
+    text itself, which is the same equivalence relation)."""
+    bt = block_tokens
+    return f"""
+WITH d AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}),
+nb AS (
+  SELECT {id_col}, toks,
+         greatest(CAST(ceil(len(toks) / {bt}.0) AS BIGINT), 1) AS n_blocks
+  FROM d),
+b AS (
+  SELECT {id_col}, n_blocks,
+         CAST(unnest(range(n_blocks)) AS INT) AS bno, toks
+  FROM nb),
+bt AS (
+  SELECT {id_col}, n_blocks, bno,
+         array_to_string(list_slice(toks, bno * {bt} + 1,
+                                    (bno + 1) * {bt}), ' ') AS btext
+  FROM b),
+k AS (
+  SELECT {id_col}, n_blocks, bno, btext,
+         row_number() OVER (PARTITION BY btext
+                            ORDER BY {id_col}, bno) AS rn
+  FROM bt)
+SELECT {id_col},
+       coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' '
+                           ORDER BY bno), '') AS text_deduped,
+       any_value(n_blocks) AS n_blocks,
+       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+FROM k GROUP BY {id_col} ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+#: (rule name, threshold description) — the rule set is DATA: each entry
+#: becomes one boolean column and one conjunct of ``keep``.
+QUALITY_RULE_NAMES = ("r_word_count", "r_mean_word_len", "r_stopwords",
+                     "r_distinct_ratio")
+
+
+def quality_rules(col: Column, min_words: int = 30, max_words: int = 100_000,
+                  min_mean_len: float = 2.0, max_mean_len: float = 12.0,
+                  min_stopwords: int = 1,
+                  min_distinct_ratio: float = 0.1) -> list[Column]:
+    """Gopher-style repetition/shape filters as pure Catalyst expressions
+    (Rae et al. 2021 §A1.1 thresholds, adapted): word-count bounds, mean
+    word length bounds, a minimum stopword count, and a minimum
+    distinct-token ratio (mass repetition ⇒ ratio → 0). Returns the rule
+    columns in ``QUALITY_RULE_NAMES`` order; ``keep`` is their AND.
+
+    All four are per-row projections — at 100 TB this stage is map-side
+    only: no shuffle, no UDF, pushed straight onto the scan."""
+    from etl_load_spark.operators.text import stopword_count, token_count
+    n = token_count(col)
+    # mean word length from total non-space chars: one pass, no HOF fold
+    chars = F.length(F.regexp_replace(col, " ", ""))
+    mean_len = chars / n
+    distinct_ratio = F.size(F.array_distinct(F.split(col, " "))) / n
+    return [
+        n.between(min_words, max_words).alias("r_word_count"),
+        mean_len.between(min_mean_len, max_mean_len).alias("r_mean_word_len"),
+        (stopword_count(col) >= min_stopwords).alias("r_stopwords"),
+        (distinct_ratio >= min_distinct_ratio).alias("r_distinct_ratio"),
+    ]
+
+
+def quality_rules_sql(col: str, min_words: int = 30,
+                      max_words: int = 100_000, min_mean_len: float = 2.0,
+                      max_mean_len: float = 12.0, min_stopwords: int = 1,
+                      min_distinct_ratio: float = 0.1,
+                      dialect: str = "duckdb") -> dict[str, str]:
+    """SQL twins of ``quality_rules`` keyed by rule name."""
+    from etl_load_spark.operators.text import (stopword_count_sql,
+                                               token_count_sql)
+    n = token_count_sql(col, dialect)
+    g = ", 'g'" if dialect == "duckdb" else ""
+    chars = f"length(regexp_replace({col}, ' ', ''{g}))"
+    distinct = f"len(list_distinct(string_split({col}, ' ')))"
+    return {
+        "r_word_count": f"({n} BETWEEN {min_words} AND {max_words})",
+        "r_mean_word_len": (f"(({chars} * 1.0 / {n}) BETWEEN {min_mean_len} "
+                            f"AND {max_mean_len})"),
+        "r_stopwords": f"({stopword_count_sql(col, dialect)} >= {min_stopwords})",
+        "r_distinct_ratio": (f"(({distinct} * 1.0 / {n}) >= "
+                             f"{min_distinct_ratio})"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted source mixing
+# ---------------------------------------------------------------------------
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   id_col: str = "doc_id", key_col: str = "source",
+                   default_weight: float = 0.0,
+                   salt: str = "mix") -> DataFrame:
+    """Weighted per-source sampling — the data-mixing stage that turns raw
+    corpus proportions into a training mixture. Deterministic: row ``i`` is
+    kept iff ``pmod(portable_hash64(id || ':' || salt), 1e6) < w·1e6`` for
+    its source's weight ``w`` — no RNG, stable under re-runs, engines and
+    partitionings, and re-executable incrementally (a re-run over the same
+    ids picks the same rows, so downstream caches stay valid).
+
+    100 TB: a pure map-side filter (hash + literal map lookup) fused into
+    the scan; changing the mixture re-runs only this projection. The
+    weights map is a LITERAL, not a join — mixtures are dozens of entries,
+    never data-sized."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w = F.coalesce(wmap[F.col(key_col)], F.lit(float(default_weight)))
+    u = F.pmod(portable_hash64(F.concat(F.col(id_col).cast("string"),
+                                        F.lit(":" + salt))),
+               F.lit(1_000_000))
+    return df.withColumn("_keep", u < w * 1_000_000).filter("_keep") \
+             .drop("_keep")
+
+
+def mixture_sample_sql(table: str, weights: dict[str, float],
+                       id_col: str = "doc_id", key_col: str = "source",
+                       default_weight: float = 0.0, salt: str = "mix",
+                       dialect: str = "duckdb") -> str:
+    """SQL twin of ``mixture_sample`` (a filtered SELECT over ``table``)."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    h = portable_hash64_sql(
+        f"CAST({id_col} AS VARCHAR) || ':{salt}'", dialect)
+    u = f"((({h}) % 1000000 + 1000000) % 1000000)"
+    cases = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in weights.items())
+    w = f"(CASE {key_col} {cases} ELSE {default_weight!r} END)"
+    return f"SELECT * FROM {table} WHERE {u} < {w} * 1000000"

@@ -4478,6 +4478,103 @@ def q127_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver correctness window (round-2 lesson)
+@query("q128_passage_dedup")  # oracle generated (_register_corpus_oracles)
+def q128_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup across the corpus (the Dolma/CCNet
+    paragraph-dedup stage, over 16-token blocks since the synthetic text
+    has no paragraph separators): every repeated passage keeps only its
+    first occurrence (doc order, then position) and documents are
+    reassembled from the survivors. Exact under hash collision — see
+    operators/corpus.py for the two-shuffle 100 TB shape.
+
+    Oracle: the generated DuckDB SQL replays the whole algorithm
+    (tokenize → block → first-occurrence → reassemble); rebuilt text is
+    compared by md5 to keep the hashed surface compact."""
+    from etl_load_spark.operators.corpus import passage_dedup
+    d = t(spark, sf_dir, "documents")
+    return (passage_dedup(d, "doc_id", "text", block_tokens=16)
+            .select("doc_id", F.md5("text_deduped").alias("dedup_md5"),
+                    "n_blocks", "n_kept")
+            .orderBy("doc_id"))
+
+
+@query("q129_quality_rules")  # oracle generated (_register_corpus_oracles)
+def q129_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021 §A1.1, adapted):
+    word-count bounds, mean-word-length bounds, minimum stopword count,
+    minimum distinct-token ratio; ``keep`` is the conjunction. Pure
+    map-side projections — the 100 TB posture is a fused scan+filter with
+    zero shuffles (pinned in test_plans). Rule thresholds are data, the
+    rule set is shared with the SQL twin generator (operators/corpus.py),
+    so the oracle verifies the exact computation of every rule."""
+    from etl_load_spark.operators.corpus import quality_rules
+    d = t(spark, sf_dir, "documents")
+    rules = quality_rules(F.col("text"))
+    keep = rules[0] & rules[1] & rules[2] & rules[3]
+    return (d.select("doc_id", *rules, keep.alias("keep"))
+            .orderBy("doc_id"))
+
+
+@query("q130_data_mixture")  # oracle generated (_register_corpus_oracles)
+def q130_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing (the data-mixture stage that
+    reweights raw corpus proportions for training): even-numbered sources
+    keep 100%, odd keep 30%, selected by a portable md5-derived hash of
+    the doc id — no RNG, stable across runs/engines/partitionings. The
+    sample itself is a map-side filter fused into the scan; this query
+    reports per-source totals vs sampled counts, which both engines must
+    reproduce EXACTLY (same hash → same rows, not same-rate-in-
+    expectation)."""
+    from etl_load_spark.operators.corpus import mixture_sample
+    weights = {f"src{i}": (1.0 if i % 2 == 0 else 0.3) for i in range(20)}
+    d = t(spark, sf_dir, "documents")
+    sampled = (mixture_sample(d, weights, "doc_id", "source")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled")))
+    totals = (d.groupBy("source")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
+    return (totals.join(sampled, "source", "left")
+            .select("source", "n_total",
+                    F.coalesce("n_sampled", F.lit(0)).cast("bigint")
+                    .alias("n_sampled"))
+            .orderBy("source"))
+
+
+def _register_corpus_oracles() -> None:
+    from etl_load_spark.operators.corpus import (mixture_sample_sql,
+                                                 passage_dedup_sql,
+                                                 quality_rules_sql)
+    QUERIES["q128_passage_dedup"].oracle = f"""
+WITH pd AS ({passage_dedup_sql('documents', 'doc_id', 'text', 16)})
+SELECT doc_id, md5(text_deduped) AS dedup_md5, n_blocks, n_kept
+FROM pd ORDER BY doc_id
+"""
+    rules = quality_rules_sql("text")
+    rule_cols = ",\n       ".join(f"{sql} AS {name}"
+                                  for name, sql in rules.items())
+    conj = " AND ".join(rules.values())
+    QUERIES["q129_quality_rules"].oracle = f"""
+SELECT doc_id,
+       {rule_cols},
+       ({conj}) AS keep
+FROM documents ORDER BY doc_id
+"""
+    weights = {f"src{i}": (1.0 if i % 2 == 0 else 0.3) for i in range(20)}
+    QUERIES["q130_data_mixture"].oracle = f"""
+WITH s AS ({mixture_sample_sql('documents', weights, 'doc_id', 'source')})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(coalesce(any_value(sc.n_sampled), 0) AS BIGINT) AS n_sampled
+FROM documents d
+LEFT JOIN (SELECT source, COUNT(*) AS n_sampled FROM s GROUP BY source) sc
+  ON d.source = sc.source
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+_register_corpus_oracles()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

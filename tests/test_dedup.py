@@ -162,3 +162,37 @@ def test_edit_distance_blocking_catches_boundary_pairs(spark):
                df, "doc_id", "text", "n_chars", block_col="lang",
                max_len_diff=5, prefix_len=40, max_dist=8).collect()}
     assert got == {(1, 2): 2, (1, 5): 1, (2, 5): 2}
+
+
+def test_passage_dedup_first_occurrence_semantics(spark):
+    """Later copies of a block vanish, the first survives; a document whose
+    every block was seen before comes back empty."""
+    from etl_load_spark.operators.corpus import passage_dedup
+    a = " ".join(f"a{i}" for i in range(16))
+    b = " ".join(f"b{i}" for i in range(16))
+    c = " ".join(f"c{i}" for i in range(16))
+    rows = [(1, f"{a} {b}"), (2, f"{b} {c}"), (3, a)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in passage_dedup(df, block_tokens=16).collect()}
+    assert out[1].text_deduped == f"{a} {b}" and out[1].n_kept == 2
+    assert out[2].text_deduped == c and out[2].n_kept == 1  # b seen in doc 1
+    assert out[3].text_deduped == "" and out[3].n_kept == 0  # fully dup
+    assert out[3].n_blocks == 1
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    """Same ids -> same sample on re-run; weight 0 drops everything,
+    weight 1 keeps everything; unknown sources use the default weight."""
+    from etl_load_spark.operators.corpus import mixture_sample
+    rows = [(i, "keep_all" if i % 3 == 0 else
+             ("half" if i % 3 == 1 else "mystery")) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    w = {"keep_all": 1.0, "half": 0.5}
+    got = sorted(r.doc_id for r in mixture_sample(df, w).collect())
+    again = sorted(r.doc_id for r in mixture_sample(df, w).collect())
+    assert got == again and len(got) > 0
+    by_src = {s: [r for r in got if rows[r][1] == s]
+              for s in ("keep_all", "half", "mystery")}
+    assert len(by_src["keep_all"]) == 100       # weight 1.0: all kept
+    assert len(by_src["mystery"]) == 0          # default weight 0.0
+    assert 25 <= len(by_src["half"]) <= 75      # ~50% by hash

@@ -342,3 +342,32 @@ def test_rolling_hour_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q126_rolling_hour")
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
     assert plan.count("Window") == 1
+
+
+def test_passage_dedup_reuses_block_exchange(spark, sf_dir):
+    """q128: the tokenize+block subplan must feed both the first-occurrence
+    aggregate and the probe join off ONE Exchange (ReusedExchange), never
+    run twice; dedup is blocked, so no cartesian fallback."""
+    plan = plan_of(spark, sf_dir, "q128_passage_dedup", execute=True)
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_rules_is_scan_fused(spark, sf_dir):
+    """q129: the rule filter is a pure per-row projection — no shuffle for
+    the rules themselves (the only exchange allowed is the output sort),
+    no Python, a single scan of documents."""
+    plan = plan_of(spark, sf_dir, "q129_quality_rules")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_data_mixture_filter_reaches_scan_side(spark, sf_dir):
+    """q130: the mixture sample is a map-side filter (hash + literal map
+    lookup) — no join against a weights table, no Python."""
+    plan = plan_of(spark, sf_dir, "q130_data_mixture")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two scans (totals + sampled branch), both over documents only
+    assert plan.count("FileScan parquet") <= 2
