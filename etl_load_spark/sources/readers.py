@@ -175,6 +175,30 @@ def read_kafka(spark: SparkSession, d: dict) -> DataFrame:
     return out
 
 
+def read_elasticsearch(spark: SparkSession, d: dict) -> DataFrame:
+    """ELASTICSEARCH source via es-hadoop (one Spark partition per index
+    shard; ``query`` pushes the ES query DSL down to the cluster so only
+    matching docs cross the wire). Package-gated like KAFKA.
+
+    details: nodes, port, index, query (ES DSL JSON), user/password."""
+    from etl_load_spark.sources.writers import es_options
+    return (spark.read.format("org.elasticsearch.spark.sql")
+            .options(**es_options(d)).load())
+
+
+def read_mongodb(spark: SparkSession, d: dict) -> DataFrame:
+    """MONGODB source via the mongo-spark connector (partitioned by the
+    connector's sample-based splitter; ``pipeline`` pushes an aggregation
+    stage down so filtering/projection happen server-side).
+
+    details: uri, database, collection, pipeline (JSON array string)."""
+    from etl_load_spark.sources.writers import mongo_options
+    reader = spark.read.format("mongodb").options(**mongo_options(d))
+    if d.get("pipeline"):
+        reader = reader.option("aggregation.pipeline", d["pipeline"])
+    return reader.load()
+
+
 #: file formats that support incremental (streaming) reads
 _STREAM_FILE_FORMATS = {"PARQUET": "parquet", "FILE_PARQUET": "parquet",
                         "ORC": "orc", "FILE_ORC": "orc",

@@ -8,7 +8,8 @@ themselves via ``register_reader`` / ``register_writer``.
 Covered source types (SURVEY.md §2.1 S1-S9):
   PARQUET, FILE_CSV, FILE_JSON, FILE_ORC, FILE_FIXED/TEXT, ORACLE_DB/MSSQL_DB/JDBC,
   API_REST (driver-side fetch), KAFKA (batch/stream, package-gated),
-  MEMORY (inline rows for tests).
+  ELASTICSEARCH / MONGODB (connector-format plumbing, package-gated — the
+  reference declares both and implements neither), MEMORY (inline rows).
 """
 
 from __future__ import annotations
@@ -36,6 +37,8 @@ _READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "JDBC": readers.read_jdbc,
     "API_REST": readers.read_rest,
     "KAFKA": readers.read_kafka,
+    "ELASTICSEARCH": readers.read_elasticsearch,
+    "MONGODB": readers.read_mongodb,
     "MEMORY": readers.read_memory,
 }
 
@@ -53,6 +56,8 @@ _WRITERS: dict[str, Callable[[DataFrame, dict], dict]] = {
     "JDBC": writers.write_jdbc,
     "API_REST": writers.write_rest,
     "KAFKA": writers.write_kafka,
+    "ELASTICSEARCH": writers.write_elasticsearch,
+    "MONGODB": writers.write_mongodb,
     "MEMORY": writers.write_memory,
 }
 

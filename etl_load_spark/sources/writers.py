@@ -221,6 +221,73 @@ def write_kafka(df: DataFrame, d: dict) -> dict:
     return {"records_written": -1}  # kafka sink reports no count
 
 
+def es_options(d: dict) -> dict:
+    """ELASTICSEARCH sink/source option map (the destination type the
+    reference declares but never implements — CoreLibInterfaces.java:436,
+    wfqueuelistener.java:51; client deps in etlcorepom.xml:124-127).
+    Maps the spec's neutral names onto the es-hadoop connector's."""
+    opts = {"es.nodes": d.get("nodes", "localhost"),
+            "es.port": str(d.get("port", 9200)),
+            "es.resource": d["index"],
+            "es.batch.size.entries": str(d.get("batch_size", 1000)),
+            "es.nodes.wan.only": str(d.get("wan_only", False)).lower()}
+    if d.get("id_column"):       # idempotent upserts keyed by a column
+        opts["es.mapping.id"] = d["id_column"]
+        opts["es.write.operation"] = d.get("write_operation", "upsert")
+    if d.get("user"):
+        opts["es.net.http.auth.user"] = d["user"]
+        opts["es.net.http.auth.pass"] = d.get("password", "")
+    if d.get("query"):           # source-side pushdown
+        opts["es.query"] = d["query"]
+    return opts
+
+
+def write_elasticsearch(df: DataFrame, d: dict) -> dict:
+    """ELASTICSEARCH sink via the es-hadoop Spark connector (distributed
+    per-partition bulk writes — never a driver-side client loop). The
+    connector jar isn't bundled in this container; a missing package
+    raises Spark's standard DATA_SOURCE_NOT_FOUND naming the coordinates.
+
+    details: nodes, port, index (as "index/type" resource), batch_size,
+    id_column (+write_operation upsert/index), user/password, wan_only."""
+    df, obs = _observed(df)
+    (df.write.format("org.elasticsearch.spark.sql")
+     .options(**es_options(d))
+     .mode(d.get("mode", "append"))
+     .save())
+    return _finish(obs)
+
+
+def mongo_options(d: dict) -> dict:
+    """MONGODB sink/source option map (declared alongside ES in the
+    reference: mongodb-driver-sync in etlcorepom.xml:119-121)."""
+    opts = {"connection.uri": d.get("uri", "mongodb://localhost:27017"),
+            "database": d["database"],
+            "collection": d["collection"]}
+    if d.get("id_column"):
+        opts["idFieldList"] = d["id_column"]
+        opts["operationType"] = d.get("write_operation", "replace")
+    if d.get("max_batch_size") or d.get("batch_size"):
+        opts["maxBatchSize"] = str(d.get("max_batch_size",
+                                         d.get("batch_size")))
+    return opts
+
+
+def write_mongodb(df: DataFrame, d: dict) -> dict:
+    """MONGODB sink via the official mongo-spark connector (v10 "mongodb"
+    format; executors write partitions in parallel). Package-gated like
+    KAFKA/ELASTICSEARCH.
+
+    details: uri, database, collection, id_column (+write_operation
+    replace/update), batch_size."""
+    df, obs = _observed(df)
+    (df.write.format("mongodb")
+     .options(**mongo_options(d))
+     .mode(d.get("mode", "append"))
+     .save())
+    return _finish(obs)
+
+
 _STREAM_SINK_FORMATS = {"PARQUET": "parquet", "FILE_PARQUET": "parquet",
                         "ORC": "orc", "FILE_ORC": "orc",
                         "CSV": "csv", "FILE_CSV": "csv",

@@ -57,3 +57,46 @@ def test_typed_roundtrip(spark, canon, tmp_path, fmt):
     # CSV renders null as "" (the reference's null-as-empty contract) and
     # reads "" back as null, so even the null-heavy rows round-trip exactly
     assert got == want
+
+
+def test_es_mongo_option_plumbing():
+    """ELASTICSEARCH / MONGODB (the reference declares both types —
+    CoreLibInterfaces.java:436, etlcorepom.xml:119-127 — and implements
+    neither): the spec's neutral names must map onto the official
+    connectors' option keys, including idempotent-upsert id mapping."""
+    from etl_load_spark.sources.writers import es_options, mongo_options
+    es = es_options({"nodes": "es1,es2", "port": 9201, "index": "docs/doc",
+                     "id_column": "doc_id", "user": "u", "password": "p",
+                     "batch_size": 500})
+    assert es["es.nodes"] == "es1,es2" and es["es.port"] == "9201"
+    assert es["es.resource"] == "docs/doc"
+    assert es["es.mapping.id"] == "doc_id"
+    assert es["es.write.operation"] == "upsert"
+    assert es["es.batch.size.entries"] == "500"
+    assert es["es.net.http.auth.user"] == "u"
+    mg = mongo_options({"uri": "mongodb://h:27017", "database": "db",
+                        "collection": "c", "id_column": "doc_id",
+                        "batch_size": 256})
+    assert mg["connection.uri"] == "mongodb://h:27017"
+    assert mg["database"] == "db" and mg["collection"] == "c"
+    assert mg["idFieldList"] == "doc_id"
+    assert mg["operationType"] == "replace"
+    assert mg["maxBatchSize"] == "256"
+
+
+def test_es_mongo_package_gated_error_names_format(spark):
+    """Without the connector jars, the write path must reach Spark's
+    data-source resolution and fail with the standard DATA_SOURCE_NOT_FOUND
+    naming the format — proving the plumbing is wired end-to-end (the same
+    contract as the KAFKA gate)."""
+    import pytest as _pt
+    from etl_load_spark.sources.registry import write_sink
+    from etl_load_spark.spec import EndpointConfig
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pt.raises(Exception, match="org.elasticsearch.spark.sql"):
+        write_sink(df, EndpointConfig(
+            type="ELASTICSEARCH", details={"index": "docs"}), max_attempts=1)
+    with _pt.raises(Exception, match="(?i)mongodb"):
+        write_sink(df, EndpointConfig(
+            type="MONGODB", details={"database": "d", "collection": "c"}),
+            max_attempts=1)
