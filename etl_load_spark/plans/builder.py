@@ -94,9 +94,12 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
         return df
     if tr.type.upper() == "SCD2_MERGE":
         return _scd2_transform(df, spark, spec)
+    if tr.type.upper() in _CORPUS_TRANSFORMS:
+        return _CORPUS_TRANSFORMS[tr.type.upper()](df, tr.parameters or {})
     if tr.type.upper() != "PYTHON_SCRIPT":
         raise ValueError(f"unknown transformation.type: {tr.type!r} "
-                         "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE)")
+                         "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE, "
+                         "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -144,3 +147,67 @@ def _scd2_transform(df: DataFrame, spark: SparkSession,
     dim = read_source(spark, spec.extra_sources["dim"])
     return scd2_merge(dim, df, list(p["keyColumns"]), list(p["attrColumns"]),
                       p["effectiveDate"])
+
+
+def _passage_dedup_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative passage-level dedup stage (operators/corpus.py wired
+    into the job spec): replaces ``textColumn`` with its first-occurrence
+    rebuild, preserving every other column. Parameters: idColumn
+    ('doc_id'), textColumn ('text'), blockTokens (16), dropEmptied (True —
+    drop documents whose every passage was seen earlier)."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.corpus import passage_dedup
+    id_col = p.get("idColumn", "doc_id")
+    text_col = p.get("textColumn", "text")
+    pd_ = passage_dedup(df, id_col, text_col,
+                        int(p.get("blockTokens", 16)))
+    if p.get("dropEmptied", True):
+        pd_ = pd_.filter(F.col("n_kept") > 0)
+    return (df.drop(text_col)
+            .join(pd_.select(id_col,
+                             F.col("text_deduped").alias(text_col)),
+                  id_col))
+
+
+def _quality_filter_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative Gopher-rule quality stage. mode='filter' (default)
+    keeps only rows passing every rule; mode='annotate' appends the rule
+    booleans + ``keep`` so downstream steps can route on them. Threshold
+    parameters mirror operators/corpus.quality_rules."""
+    from etl_load_spark.operators.corpus import quality_rules
+    rules = quality_rules(
+        df[p.get("textColumn", "text")],
+        min_words=int(p.get("minWords", 30)),
+        max_words=int(p.get("maxWords", 100_000)),
+        min_mean_len=float(p.get("minMeanWordLen", 2.0)),
+        max_mean_len=float(p.get("maxMeanWordLen", 12.0)),
+        min_stopwords=int(p.get("minStopwords", 1)),
+        min_distinct_ratio=float(p.get("minDistinctRatio", 0.1)))
+    keep = rules[0] & rules[1] & rules[2] & rules[3]
+    if p.get("mode", "filter") == "annotate":
+        return df.select("*", *rules, keep.alias("keep"))
+    return df.filter(keep)
+
+
+def _mixture_sample_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative data-mixture stage: deterministic weighted sampling by
+    a key column. Parameters: weights (dict source→fraction, required),
+    keyColumn ('source'), idColumn ('doc_id'), defaultWeight (0.0),
+    salt ('mix' — rotate to draw an independent sample)."""
+    from etl_load_spark.operators.corpus import mixture_sample
+    if not p.get("weights"):
+        raise ValueError("MIXTURE_SAMPLE requires parameters.weights")
+    return mixture_sample(
+        df, {str(k): float(v) for k, v in p["weights"].items()},
+        id_col=p.get("idColumn", "doc_id"),
+        key_col=p.get("keyColumn", "source"),
+        default_weight=float(p.get("defaultWeight", 0.0)),
+        salt=p.get("salt", "mix"))
+
+
+_CORPUS_TRANSFORMS = {
+    "PASSAGE_DEDUP": _passage_dedup_transform,
+    "QUALITY_FILTER": _quality_filter_transform,
+    "MIXTURE_SAMPLE": _mixture_sample_transform,
+}

@@ -81,7 +81,9 @@ class Transformation:
         equal input schema).
     """
 
-    type: str = "NONE"                 # NONE | PYTHON_SCRIPT
+    # NONE | PYTHON_SCRIPT | SCD2_MERGE | PASSAGE_DEDUP | QUALITY_FILTER
+    # | MIXTURE_SAMPLE (built-in stages: plans/builder.apply_transformation)
+    type: str = "NONE"
     script_path: str | None = None
     parameters: dict = field(default_factory=dict)
 

@@ -58,3 +58,59 @@ def test_none_type_is_passthrough(spark, tmp_path):
     spec.transformation.type = "NONE"
     out = {(r.id, r.v) for r in build_plan(spark, spec).collect()}
     assert out == {(1, "a"), (2, "b")}
+
+
+def _corpus_spec(tmp_path, tr_type, params):
+    a16 = " ".join(f"a{i}" for i in range(16))
+    b16 = " ".join(f"b{i}" for i in range(16))
+    rows = [
+        {"doc_id": 1, "source": "web", "text": f"{a16} {b16}"},
+        {"doc_id": 2, "source": "web", "text": a16},          # dup passage
+        {"doc_id": 3, "source": "books", "text": "the " + b16},
+        {"doc_id": 4, "source": "web", "text": "tiny"},
+    ]
+    import json as _json
+    src = tmp_path / "docs.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    return JobSpec.from_dict({
+        "jobId": "corpus-stage",
+        "source": {"type": "FILE_JSON", "details": {"path": str(src)}},
+        "transformation": {"type": tr_type, "parameters": params},
+    })
+
+
+def test_passage_dedup_stage(spark, tmp_path):
+    """Declarative PASSAGE_DEDUP: repeated passages vanish, emptied docs
+    drop, other columns survive."""
+    spec = _corpus_spec(tmp_path, "PASSAGE_DEDUP", {"blockTokens": 16})
+    out = {r.doc_id: r for r in build_plan(spark, spec).collect()}
+    assert set(out) == {1, 3, 4}           # doc 2 fully deduped away
+    assert out[1].text.startswith("a0 ") and "b0" in out[1].text
+    assert out[3].source == "books"        # non-text columns preserved
+
+
+def test_quality_filter_stage_modes(spark, tmp_path):
+    """Declarative QUALITY_FILTER: filter mode drops failing rows;
+    annotate mode appends per-rule booleans + keep."""
+    spec = _corpus_spec(tmp_path, "QUALITY_FILTER",
+                        {"minWords": 10, "minStopwords": 0})
+    got = {r.doc_id for r in build_plan(spark, spec).collect()}
+    assert got == {1, 2, 3}                # doc 4 ("tiny") fails minWords
+    spec2 = _corpus_spec(tmp_path, "QUALITY_FILTER",
+                         {"minWords": 10, "minStopwords": 0,
+                          "mode": "annotate"})
+    rows = {r.doc_id: r for r in build_plan(spark, spec2).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[4].keep is False and rows[4].r_word_count is False
+    assert rows[1].keep is True
+
+
+def test_mixture_sample_stage(spark, tmp_path):
+    """Declarative MIXTURE_SAMPLE: weight-1 sources keep everything,
+    weight-0 drop everything; missing weights raise."""
+    spec = _corpus_spec(tmp_path, "MIXTURE_SAMPLE",
+                        {"weights": {"web": 1.0, "books": 0.0}})
+    got = {r.doc_id for r in build_plan(spark, spec).collect()}
+    assert got == {1, 2, 4}
+    with pytest.raises(ValueError, match="weights"):
+        build_plan(spark, _corpus_spec(tmp_path, "MIXTURE_SAMPLE", {}))
