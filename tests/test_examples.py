@@ -49,3 +49,23 @@ def test_corpus_curation_output_shape(spark, tmp_path):
     n = back.count()
     assert back.select("doc_id").distinct().count() == n
     assert back.filter("n_tokens < 5").count() == 0
+
+
+def test_refinery_chain_through_queue(spark, tmp_path):
+    """The three-stage training-refinery example chained the way production
+    would run it: specs dropped into the spool queue in order, drained by
+    the listener (ack-after-completion), funnel monotone, mixture final."""
+    import shutil
+    from etl_load_spark.queue_listener import FileQueueTransport, QueueListener
+    shutil.rmtree("/tmp/etl_refinery", ignore_errors=True)
+    stages = [p for p in EXAMPLES if "training_refinery" in p]
+    assert len(stages) == 3
+    q = FileQueueTransport(str(tmp_path / "q"))
+    for p in stages:
+        q.submit(json.load(open(p)))
+    results = QueueListener(spark, q).drain()
+    assert [r["status"] for r in results] == ["COMPLETED"] * 3
+    n1 = spark.read.parquet("/tmp/etl_refinery/stage1_quality").count()
+    n2 = spark.read.parquet("/tmp/etl_refinery/stage2_dedup").count()
+    n3 = spark.read.parquet("/tmp/etl_refinery/final_mixture").count()
+    assert n1 >= n2 >= n3 > 0
