@@ -4540,6 +4540,42 @@ def q130_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("q131_sim_lsh_planted", oracle="""
+WITH q AS (
+  SELECT vec_id + 100000 AS q_id,
+         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS qv
+  FROM embeddings WHERE vec_id < 50),
+s AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine_sim
+  FROM q CROSS JOIN embeddings e),
+r AS (
+  SELECT q_id, n_id, cosine_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine_sim DESC, n_id) AS rk
+  FROM s WHERE cosine_sim IS NOT NULL AND NOT isnan(cosine_sim))
+SELECT q_id, n_id, cosine_sim, CAST(1 AS BIGINT) AS rank
+FROM r WHERE rk = 1 ORDER BY q_id
+""")
+def q131_sim_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k correctness certificate (the hash-checkable face of q31's
+    approximate rung): queries are scaled copies (×1.01) of 50 corpus
+    vectors. Scaling preserves every hyperplane sign, so each query shares
+    ALL its original's band keys — the original is structurally guaranteed
+    into the candidate set — and exact re-scoring puts it at rank 1
+    (cosine 1.0 vs ≤0.51 for any other corpus vector). The oracle computes
+    the exact brute-force top-1 per query; a hash match certifies the
+    whole LSH pipeline (signatures → banding → candidate join → rescore →
+    ranking) found the true nearest neighbor for every planted query."""
+    from etl_load_spark.operators.similarity import lsh_topk
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.01).cast("float"))
+        .alias("embedding"))
+    return lsh_topk(e, planted, k=1)
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,
