@@ -4540,6 +4540,36 @@ def q130_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("q132_forecast_revenue", oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue_effect,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q132_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (revenue-change forecast) — completes the 22-shape TPC-H
+    sweep: a whole-table scalar aggregate behind three pushable predicates.
+    The canonical pushdown check: every filter must reach the parquet scan
+    as PushedFilters (pinned in test_plans), the aggregate is a map-side
+    partial into a single-row final — the only shuffled data is one partial
+    row per partition at any corpus size. Money math decimal end-to-end,
+    ROUND before the final DOUBLE cast (oracle determinism rules)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (l.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & F.col("l_discount").between(0.03, 0.07)
+                & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+                 .cast("double").alias("revenue_effect"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
 @query("q131_sim_lsh_planted", oracle="""
 WITH q AS (
   SELECT vec_id + 100000 AS q_id,

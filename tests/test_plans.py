@@ -371,3 +371,14 @@ def test_data_mixture_filter_reaches_scan_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # two scans (totals + sampled branch), both over documents only
     assert plan.count("FileScan parquet") <= 2
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """q132 (TPC-H Q6): all three predicates must reach the parquet scan;
+    the only shuffle is the single-row final aggregate."""
+    plan = plan_of(spark, sf_dir, "q132_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1][:400], col
+    assert "partial" in plan.lower()
+    assert "Exchange hashpartitioning" not in plan  # global agg only
