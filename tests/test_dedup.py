@@ -196,3 +196,52 @@ def test_mixture_sample_deterministic_and_weighted(spark):
     assert len(by_src["keep_all"]) == 100       # weight 1.0: all kept
     assert len(by_src["mystery"]) == 0          # default weight 0.0
     assert 25 <= len(by_src["half"]) <= 75      # ~50% by hash
+
+
+def test_passage_dedup_matches_python_fold(spark):
+    """Differential: passage_dedup against a sequential first-occurrence
+    fold over the same block decomposition. A 2-token alphabet with
+    4-token blocks forces heavy cross- and within-document collisions.
+    Hypothesis drives the corpus; one Spark job per example batch would be
+    slow, so examples are collected first and checked in one job."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_load_spark.operators.corpus import passage_dedup
+
+    token = st.sampled_from(["aa", "bb"])
+    doc = st.lists(token, min_size=1, max_size=10).map(" ".join)
+    corpora = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def collect(docs):
+        corpora.append(list(docs))
+
+    collect()
+
+    def py_fold(docs, bt=4):
+        seen, out = set(), {}
+        for i, text in enumerate(docs):
+            toks = text.split(" ")
+            kept = []
+            n_blocks = max(-(-len(toks) // bt), 1)
+            for b in range(n_blocks):
+                blk = " ".join(toks[b * bt:(b + 1) * bt])
+                if blk not in seen:
+                    seen.add(blk)
+                    kept.append(blk)
+            out[i] = (" ".join(kept), n_blocks, len(kept))
+        return out
+
+    # distinct doc-id spaces per example; dedup is corpus-GLOBAL, so the
+    # reference fold runs over the whole union in doc_id order
+    rows = [(ex * 1000 + i, text)
+            for ex, docs in enumerate(corpora)
+            for i, text in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.text_deduped, r.n_blocks, r.n_kept)
+           for r in passage_dedup(df, block_tokens=4).collect()}
+    whole = py_fold([t for _, t in sorted(rows)], bt=4)
+    expected = {doc_id: whole[j]
+                for j, (doc_id, _) in enumerate(sorted(rows))}
+    assert got == expected
