@@ -18,6 +18,27 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 # Passage-level dedup (paragraph dedup for separator-less corpora)
 # ---------------------------------------------------------------------------
 
+def doc_blocks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", block_tokens: int = 16) -> DataFrame:
+    """Decompose documents into fixed token-window blocks:
+    (id, _bno, _btext, _bhash). Pure JVM expressions (posexplode +
+    slice + array_join) — the fan-out is plan-visible and works
+    identically on batch and streaming DataFrames; shared by
+    ``passage_dedup`` and the streaming first-occurrence filter."""
+    toks = F.split(F.col(text_col), " ")
+    n_blocks = F.greatest(F.ceil(F.size(toks) / F.lit(block_tokens))
+                          .cast("int"), F.lit(1))
+    return (df.select(F.col(id_col), toks.alias("_toks"),
+                      F.posexplode(F.sequence(F.lit(0), n_blocks - 1))
+                      .alias("_bno", "_i"))
+            .select(id_col, "_bno",
+                    F.array_join(
+                        F.slice("_toks",
+                                F.col("_bno") * block_tokens + 1,
+                                block_tokens), " ").alias("_btext"))
+            .withColumn("_bhash", F.xxhash64("_btext")))
+
+
 def passage_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   block_tokens: int = 16) -> DataFrame:
@@ -41,18 +62,7 @@ def passage_dedup(df: DataFrame, id_col: str = "doc_id",
     Exchange profile — never a window sort over the corpus. (2) reassembly
     groups by document id, carrying each surviving block once.
     """
-    toks = F.split(F.col(text_col), " ")
-    n_blocks = F.greatest(F.ceil(F.size(toks) / F.lit(block_tokens))
-                          .cast("int"), F.lit(1))
-    blocks = (df.select(F.col(id_col), toks.alias("_toks"),
-                        F.posexplode(F.sequence(F.lit(0), n_blocks - 1))
-                        .alias("_bno", "_i"))
-              .select(id_col, "_bno",
-                      F.array_join(
-                          F.slice("_toks",
-                                  F.col("_bno") * block_tokens + 1,
-                                  block_tokens), " ").alias("_btext"))
-              .withColumn("_bhash", F.xxhash64("_btext"))
+    blocks = (doc_blocks(df, id_col, text_col, block_tokens)
               # one Exchange feeds both the first-occurrence aggregate and
               # the probe side (ReusedExchange): the tokenize+block subplan
               # runs once, not once per branch. The explicit not-null
@@ -73,6 +83,9 @@ def passage_dedup(df: DataFrame, id_col: str = "doc_id",
                             lambda s: s["_btext"]), " ")
                     .alias("text_deduped"),
                     F.count(F.lit(1)).cast("bigint").alias("n_kept")))
+    n_blocks = F.greatest(
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(block_tokens))
+        .cast("int"), F.lit(1))
     totals = df.select(F.col(id_col), n_blocks.cast("bigint")
                        .alias("n_blocks"))
     return (totals.join(rebuilt, id_col, "left")

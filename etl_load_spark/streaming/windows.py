@@ -238,3 +238,35 @@ def materialize_rollup(rollup_stream: DataFrame, path: str,
             .foreachBatch(upsert)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_block_dedup(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       block_tokens: int = 16) -> DataFrame:
+    """Incremental corpus ingestion — the streaming face of
+    operators/corpus.passage_dedup's first-occurrence rule: documents
+    arriving on a stream are decomposed into token blocks (same JVM-only
+    decomposition, operators/corpus.doc_blocks) and a block is emitted
+    only the FIRST time it is ever seen, across all micro-batches —
+    ``dropDuplicates`` keeps the seen-set in the checkpointed state store,
+    so each new crawl increment dedups against the whole ingested history
+    without rescanning it.
+
+    Survivor attribution differs from the batch operator by design: batch
+    resolves first-occurrence in (doc_id, block_no) order, the stream in
+    arrival order — the SURVIVING BLOCK SET is identical (equivalence
+    pinned in tests/test_streaming.py). Emits (id, block_no, block_text)
+    append-mode; document reassembly is a downstream batch step over the
+    materialized survivors.
+
+    State: one state-store row per DISTINCT block — the same key space the
+    batch aggregate shuffles. Deliberately NO watermark: corpus dedup is
+    global by definition. At 100 TB use the RocksDB state store provider
+    (state spills off-heap) and changelog checkpointing; if the product
+    defines an eviction horizon, switch to dropDuplicatesWithinWatermark
+    for bounded state."""
+    from etl_load_spark.operators.corpus import doc_blocks
+    blocks = doc_blocks(docs, id_col, text_col, block_tokens)
+    return (blocks.dropDuplicates(["_bhash", "_btext"])
+            .select(id_col, F.col("_bno").alias("block_no"),
+                    F.col("_btext").alias("block_text")))

@@ -2,6 +2,7 @@
 Trigger.AvailableNow must equal its batch formulation; session windows also
 match the gaps-and-islands SQL oracle."""
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -272,3 +273,52 @@ def test_stateful_stats_tws_stream_equals_batch(spark, batch_events,
     got = sorted(map(tuple, final.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_block_dedup_incremental_history(spark, tmp_path):
+    """Streaming passage-level dedup (stream_block_dedup): batch 1 emits
+    its distinct blocks; batch 2, resumed from the same checkpoint, emits
+    ONLY blocks never seen in batch 1 — the seen-set lives in the state
+    store, so a crawl increment dedups against the whole ingested history.
+    The union of survivors equals the batch operator's distinct-block set."""
+    from etl_load_spark.operators.corpus import doc_blocks
+    from etl_load_spark.streaming.windows import stream_block_dedup
+
+    a16 = " ".join(f"a{i}" for i in range(16))
+    b16 = " ".join(f"b{i}" for i in range(16))
+    c16 = " ".join(f"c{i}" for i in range(16))
+    in_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")  # file sink path is fixed per checkpoint
+    schema = "doc_id bigint, text string"
+
+    def run_increment():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (stream_block_dedup(stream)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", chk)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return {(r.doc_id, r.block_text)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    batch1 = [(1, f"{a16} {b16}"), (2, a16)]
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+         .write.mode("append").parquet(in_dir)
+    out1 = run_increment()
+    assert sorted(b for _, b in out1) == sorted([a16, b16])
+
+    # batch 2: one block already ingested in batch 1, one genuinely new —
+    # the resumed checkpoint's state filters the repeat
+    batch2 = [(3, f"{b16} {c16}")]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+         .write.mode("append").parquet(in_dir)
+    out2 = run_increment()
+    assert out2 - out1 == {(3, c16)}  # b16 filtered against history
+
+    # block-set equivalence with the batch operator over the full corpus
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = {r._btext for r in doc_blocks(full).select("_btext")
+            .distinct().collect()}
+    assert {b for _, b in out2} == want
