@@ -231,3 +231,70 @@ def mixture_sample_sql(table: str, weights: dict[str, float],
     cases = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in weights.items())
     w = f"(CASE {key_col} {cases} ELSE {default_weight!r} END)"
     return f"SELECT * FROM {table} WHERE {u} < {w} * 1000000"
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classification (fastText/DCLM-style linear scorer)
+# ---------------------------------------------------------------------------
+
+def quality_classifier(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       keep_threshold: float = 0.0) -> DataFrame:
+    """Model-based quality filter — the fastText-style linear classifier
+    stage (score documents with a trained model, keep above threshold;
+    the DCLM/CCNet pattern). Score = mean token weight; a real deployment
+    broadcasts trained weights, and this deterministic stand-in derives
+    each token's weight from its md5 hash (uniform integer in
+    [-1000, 1000] — the documented injection slot, same posture as the
+    multimodal fake kernels).
+
+    Integer-exact scoring: weights are integers, the per-document sum is
+    exact, and ``mean_weight`` is ONE IEEE division — so the generated
+    DuckDB oracle (quality_classifier_sql) reproduces the doubles
+    bit-for-bit and the driver hash certifies the whole scorer.
+
+    Returns (id, n_tokens, mean_weight, keep).
+
+    100 TB: explode + broadcast-free hashing (the "model" is a hash
+    function here; a trained vocab is a broadcast map) + one combinable
+    sum aggregation keyed by document — one shuffle of (id, partial-sum)
+    rows. The mean, not a sigmoid, is the hashed surface: transcendental
+    libm calls differ across engines in the last ulp."""
+    from etl_load_spark.operators.dedup import normalize_text, portable_hash64
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("_tok"))
+    w = F.pmod(portable_hash64(F.col("_tok")), F.lit(2001)) - 1000
+    scored = (tok.groupBy(id_col)
+              .agg(F.sum(w).cast("bigint").alias("_wsum"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+    mean_w = F.col("_wsum") / (1000.0 * F.col("n_tokens"))
+    return scored.select(id_col, "n_tokens", mean_w.alias("mean_weight"),
+                         (mean_w > keep_threshold).alias("keep"))
+
+
+def quality_classifier_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text",
+                           keep_threshold: float = 0.0,
+                           dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``quality_classifier``."""
+    from etl_load_spark.operators.dedup import (normalize_text_sql,
+                                                portable_hash64_sql)
+    h = portable_hash64_sql("tok", dialect)
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+         unnest(string_split({normalize_text_sql(text_col, dialect)}, ' '))
+           AS tok
+  FROM {table}),
+s AS (
+  SELECT {id_col},
+         CAST(SUM((({h}) % 2001 + 2001) % 2001 - 1000) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY {id_col})
+SELECT {id_col}, n_tokens,
+       wsum / (1000.0 * n_tokens) AS mean_weight,
+       (wsum / (1000.0 * n_tokens)) > {keep_threshold} AS keep
+FROM s ORDER BY {id_col}
+"""

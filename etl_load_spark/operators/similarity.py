@@ -444,3 +444,43 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k)
             .orderBy("q_id", "rank"))
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_cells: int = 16, seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means blocks
+    the corpus into cells, then near-duplicate pairs are resolved by EXACT
+    pairwise cosine within each cell only — pair cost Σ|cell|² instead of
+    n², with the cluster step reusing the IVF machinery (bounded driver
+    sample for training, distributed map-side assignment).
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b and sim ≥ threshold;
+    callers drop id_b per pair (or cluster-close like q57) downstream.
+
+    Recall contract: a pair is found iff both members land in the same
+    cell. Same-direction duplicates ALWAYS do (identical unit vectors ⇒
+    identical assignment), which is the planted-recovery oracle q133
+    certifies; general near-pairs can straddle a cell boundary — raise
+    n_probe-style multi-assignment or lower n_cells when the corpus
+    clusters loosely (the SemDeDup paper's k≪n regime).
+
+    100 TB: training reads a ≤100k sample; assignment is one Arrow-batched
+    matmul pass; the only shuffle keys on the cell id, and one Exchange
+    feeds both self-join sides (ReusedExchange). Cell sizes bound executor
+    memory — n_cells scales with the corpus so Σ|cell|² stays tractable."""
+    u = (unit_vectors(vectors, id_col, vec_col)
+         .filter(~F.isnull(F.element_at("_u", 1))))
+    cents = fit_centroids(u.select(F.col("_u").alias(vec_col)),
+                          vec_col=vec_col, n_cells=n_cells, seed=seed)
+    cell = (u.withColumn("_cell", nearest_cells(F.col("_u"), cents, 1)[0])
+            .repartition("_cell"))
+    a = cell.select(F.col("_id").alias("id_a"), F.col("_u").alias("_ua"),
+                    "_cell")
+    b = cell.select(F.col("_id").alias("id_b"), F.col("_u").alias("_ub"),
+                    "_cell")
+    sim = _null_if_nan(F.round(dot(F.col("_ua"), F.col("_ub")), 6))
+    return (a.join(b, "_cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))

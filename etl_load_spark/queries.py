@@ -4570,6 +4570,61 @@ def q132_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("n_lines")))
 
 
+@query("q133_semantic_dedup", oracle="""
+WITH pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+  FROM embeddings),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM pert),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6)
+           AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.8
+ORDER BY id_a, id_b
+""")
+def q133_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (k-means cells + exact within-cell
+    cosine, operators/similarity.semantic_dedup) — the clustering-blocked
+    alternative to q32's LSH blocking, the shape the SemDeDup paper runs
+    at LAION scale.
+
+    Oracle: same planted construction as q32 — ×1.01 scaled copies have
+    IDENTICAL unit vectors, so each copy's k-means assignment equals its
+    original's and the pair is structurally guaranteed within the cell;
+    exact verification + no natural pairs above 0.51 make the exact
+    all-pairs answer the full oracle. A hash match certifies training,
+    assignment, blocking and scoring end-to-end."""
+    from etl_load_spark.operators.similarity import semantic_dedup
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.01).cast("float"))
+        .alias("embedding"))
+    return (semantic_dedup(e.unionByName(planted), threshold=0.8,
+                           n_cells=16, seed=42)
+            .orderBy("id_a", "id_b"))
+
+
+@query("q134_quality_classifier")  # oracle generated (_register_corpus_oracles)
+def q134_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText/DCLM classifier stage):
+    score = mean token weight, keep above threshold. The deterministic
+    stand-in weights are md5-derived integers (trained-model injection
+    slot, same posture as the multimodal fake kernels); integer sums + one
+    IEEE division make the scorer bit-replayable, so the generated DuckDB
+    oracle certifies the whole scoring path, not just row stability. One
+    combinable sum aggregation — one (doc, partial-sum) shuffle at any
+    corpus size."""
+    from etl_load_spark.operators.corpus import quality_classifier
+    d = t(spark, sf_dir, "documents")
+    return (quality_classifier(d, "doc_id", "text", keep_threshold=0.0)
+            .orderBy("doc_id"))
+
+
 @query("q131_sim_lsh_planted", oracle="""
 WITH q AS (
   SELECT vec_id + 100000 AS q_id,
@@ -4609,7 +4664,10 @@ def q131_sim_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,
+                                                 quality_classifier_sql,
                                                  quality_rules_sql)
+    QUERIES["q134_quality_classifier"].oracle = quality_classifier_sql(
+        "documents", "doc_id", "text", keep_threshold=0.0)
     QUERIES["q128_passage_dedup"].oracle = f"""
 WITH pd AS ({passage_dedup_sql('documents', 'doc_id', 'text', 16)})
 SELECT doc_id, md5(text_deduped) AS dedup_md5, n_blocks, n_kept

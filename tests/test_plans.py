@@ -382,3 +382,23 @@ def test_forecast_revenue_full_pushdown(spark, sf_dir):
         assert col in plan.split("PushedFilters")[1][:400], col
     assert "partial" in plan.lower()
     assert "Exchange hashpartitioning" not in plan  # global agg only
+
+
+def test_semantic_dedup_cell_blocked(spark, sf_dir):
+    """q133: within-cell self-join — one Exchange on the cell id feeds both
+    sides (ReusedExchange), never an all-pairs fallback; centroid
+    assignment is Arrow-batched, not row-at-a-time Python."""
+    plan = plan_of(spark, sf_dir, "q133_semantic_dedup", execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_classifier_one_combinable_agg(spark, sf_dir):
+    """q134: the scorer is explode + ONE partial-aggregated sum keyed by
+    document — no Python, no second corpus pass."""
+    plan = plan_of(spark, sf_dir, "q134_quality_classifier")
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
