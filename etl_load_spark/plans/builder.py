@@ -95,6 +95,17 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
     if tr.type.upper() == "SCD2_MERGE":
         return _scd2_transform(df, spark, spec)
     if tr.type.upper() in _CORPUS_TRANSFORMS:
+        if df.isStreaming and tr.type.upper() == "PASSAGE_DEDUP":
+            # global first-occurrence + reassembly = two stateful stages —
+            # not expressible as one streaming query. Fail with the right
+            # pointer instead of Spark's output-mode error.
+            raise ValueError(
+                "transformation.type=PASSAGE_DEDUP is batch-only; for "
+                "incremental ingestion use streaming.windows."
+                "stream_block_dedup (checkpointed first-occurrence block "
+                "filter) and reassemble documents in a downstream batch "
+                "job. QUALITY_FILTER and MIXTURE_SAMPLE are per-row and "
+                "work on streams.")
         return _CORPUS_TRANSFORMS[tr.type.upper()](df, tr.parameters or {})
     if tr.type.upper() != "PYTHON_SCRIPT":
         raise ValueError(f"unknown transformation.type: {tr.type!r} "

@@ -100,3 +100,48 @@ def test_streaming_requires_checkpoint(spark, tmp_path):
     spec.streaming = {"trigger": "availableNow"}
     r = run_job(spark, spec)
     assert r.status == "FAILED" and "checkpoint" in r.error
+
+
+def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
+        spark, tmp_path):
+    """Corpus stages on streaming jobs: the per-row stages (QUALITY_FILTER,
+    MIXTURE_SAMPLE) run incrementally; PASSAGE_DEDUP (two stateful stages)
+    refuses with a pointer to stream_block_dedup instead of Spark's opaque
+    output-mode error."""
+    import json
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    rows = [(1, "web", "the quick brown fox jumps over the lazy dog today"),
+            (2, "books", "tiny"),
+            (3, "web", "a stream of tokens long enough to pass the gate ok")]
+    spark.createDataFrame(rows, "doc_id bigint, source string, text string") \
+         .write.parquet(str(tmp_path / "in"))
+
+    def spec(tr_type, params, out):
+        return JobSpec.from_dict({
+            "jobId": f"stream-{tr_type.lower()}-{out}",
+            "source": {"type": "PARQUET",
+                       "details": {"path": str(tmp_path / "in"),
+                                   "schema": ("doc_id bigint, source string,"
+                                              " text string")}},
+            "transformation": {"type": tr_type, "parameters": params},
+            "destination": {"type": "PARQUET",
+                            "details": {"path": str(tmp_path / out)}},
+            "streaming": {"checkpoint": str(tmp_path / f"chk_{out}")},
+        })
+
+    r = run_job(spark, spec("QUALITY_FILTER",
+                            {"minWords": 5, "minStopwords": 0}, "q"))
+    assert r.status == "COMPLETED", r.error
+    got = {x.doc_id for x in spark.read.parquet(str(tmp_path / "q")).collect()}
+    assert got == {1, 3}  # doc 2 fails minWords
+
+    r = run_job(spark, spec("MIXTURE_SAMPLE",
+                            {"weights": {"web": 1.0, "books": 0.0}}, "m"))
+    assert r.status == "COMPLETED", r.error
+    got = {x.doc_id for x in spark.read.parquet(str(tmp_path / "m")).collect()}
+    assert got == {1, 3}
+
+    r = run_job(spark, spec("PASSAGE_DEDUP", {"blockTokens": 4}, "p"))
+    assert r.status == "FAILED"
+    assert "stream_block_dedup" in (r.error or "")
