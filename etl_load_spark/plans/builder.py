@@ -95,22 +95,20 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
     if tr.type.upper() == "SCD2_MERGE":
         return _scd2_transform(df, spark, spec)
     if tr.type.upper() in _CORPUS_TRANSFORMS:
-        if df.isStreaming and tr.type.upper() == "PASSAGE_DEDUP":
-            # global first-occurrence + reassembly = two stateful stages —
-            # not expressible as one streaming query. Fail with the right
-            # pointer instead of Spark's output-mode error.
+        if df.isStreaming and tr.type.upper() in _BATCH_ONLY_TRANSFORMS:
+            # multi-stage stateful plans are not expressible as ONE
+            # streaming query. Fail with the right pointer instead of
+            # Spark's output-mode error. (QUALITY_FILTER and
+            # MIXTURE_SAMPLE are per-row and work on streams.)
             raise ValueError(
-                "transformation.type=PASSAGE_DEDUP is batch-only; for "
-                "incremental ingestion use streaming.windows."
-                "stream_block_dedup (checkpointed first-occurrence block "
-                "filter) and reassemble documents in a downstream batch "
-                "job. QUALITY_FILTER and MIXTURE_SAMPLE are per-row and "
-                "work on streams.")
+                f"transformation.type={tr.type.upper()} is batch-only; "
+                f"{_BATCH_ONLY_TRANSFORMS[tr.type.upper()]}")
         return _CORPUS_TRANSFORMS[tr.type.upper()](df, tr.parameters or {})
     if tr.type.upper() != "PYTHON_SCRIPT":
         raise ValueError(f"unknown transformation.type: {tr.type!r} "
                          "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE, "
-                         "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE)")
+                         "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE, "
+                         "QUALITY_CLASSIFIER, SEMANTIC_DEDUP)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -217,8 +215,59 @@ def _mixture_sample_transform(df: DataFrame, p: dict) -> DataFrame:
         salt=p.get("salt", "mix"))
 
 
+
+
+
+def _quality_classifier_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative model-based quality stage (operators/corpus.
+    quality_classifier): mode='filter' (default) keeps rows the classifier
+    scores above keepThreshold; mode='annotate' appends
+    (n_tokens, mean_weight, keep). Parameters: idColumn, textColumn,
+    keepThreshold (0.0)."""
+    from etl_load_spark.operators.corpus import quality_classifier
+    id_col = p.get("idColumn", "doc_id")
+    scored = quality_classifier(df, id_col, p.get("textColumn", "text"),
+                                float(p.get("keepThreshold", 0.0)))
+    if p.get("mode", "filter") == "annotate":
+        return df.join(scored, id_col)
+    keep_ids = scored.filter("keep").select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def _semantic_dedup_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative SemDeDup stage (operators/similarity.semantic_dedup):
+    finds near-duplicate pairs via k-means-blocked exact cosine and drops
+    the HIGHER id of every pair. Parameters: idColumn ('vec_id'),
+    vectorColumn ('embedding'), threshold (0.95), nCells (16), seed (42)."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.similarity import semantic_dedup
+    id_col = p.get("idColumn", "vec_id")
+    pairs = semantic_dedup(
+        df, threshold=float(p.get("threshold", 0.95)),
+        id_col=id_col, vec_col=p.get("vectorColumn", "embedding"),
+        n_cells=int(p.get("nCells", 16)), seed=int(p.get("seed", 42)))
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 _CORPUS_TRANSFORMS = {
     "PASSAGE_DEDUP": _passage_dedup_transform,
     "QUALITY_FILTER": _quality_filter_transform,
     "MIXTURE_SAMPLE": _mixture_sample_transform,
+    "QUALITY_CLASSIFIER": _quality_classifier_transform,
+    "SEMANTIC_DEDUP": _semantic_dedup_transform,
+}
+
+#: stages whose plan needs multiple stateful stages — impossible as ONE
+#: streaming query; each error names the streaming-native alternative
+_BATCH_ONLY_TRANSFORMS = {
+    "PASSAGE_DEDUP": ("streaming.windows.stream_block_dedup (checkpointed "
+                      "first-occurrence block filter) and reassemble "
+                      "documents in a downstream batch job"),
+    "QUALITY_CLASSIFIER": ("score incrementally with a watermarked "
+                           "aggregation, or run the classifier as a "
+                           "downstream batch job over the landed stream"),
+    "SEMANTIC_DEDUP": ("dedup each landed increment in a downstream batch "
+                       "job (k-means blocking needs a corpus snapshot)"),
 }

@@ -82,7 +82,8 @@ class Transformation:
     """
 
     # NONE | PYTHON_SCRIPT | SCD2_MERGE | PASSAGE_DEDUP | QUALITY_FILTER
-    # | MIXTURE_SAMPLE (built-in stages: plans/builder.apply_transformation)
+    # | MIXTURE_SAMPLE | QUALITY_CLASSIFIER | SEMANTIC_DEDUP
+    # (built-in stages: plans/builder.apply_transformation)
     type: str = "NONE"
     script_path: str | None = None
     parameters: dict = field(default_factory=dict)

@@ -114,3 +114,38 @@ def test_mixture_sample_stage(spark, tmp_path):
     assert got == {1, 2, 4}
     with pytest.raises(ValueError, match="weights"):
         build_plan(spark, _corpus_spec(tmp_path, "MIXTURE_SAMPLE", {}))
+
+
+def test_quality_classifier_stage(spark, tmp_path):
+    """Declarative QUALITY_CLASSIFIER: filter mode keeps positively-scored
+    docs only; annotate mode appends the score columns."""
+    spec = _corpus_spec(tmp_path, "QUALITY_CLASSIFIER",
+                        {"keepThreshold": -1.1, "mode": "annotate"})
+    rows = {r.doc_id: r for r in build_plan(spark, spec).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(-1.0 <= r.mean_weight <= 1.0 for r in rows.values())
+    assert all(r.keep for r in rows.values())  # threshold below range
+    spec2 = _corpus_spec(tmp_path, "QUALITY_CLASSIFIER",
+                         {"keepThreshold": 1.1})  # above range: drop all
+    assert build_plan(spark, spec2).count() == 0
+
+
+def test_semantic_dedup_stage(spark, tmp_path):
+    """Declarative SEMANTIC_DEDUP: the higher id of each same-direction
+    duplicate pair is dropped."""
+    import json as _json
+    rows = [{"vec_id": 1, "embedding": [1.0, 0.0, 0.0, 0.0]},
+            {"vec_id": 2, "embedding": [2.0, 0.0, 0.0, 0.0]},  # dup of 1
+            {"vec_id": 3, "embedding": [0.0, 1.0, 0.0, 0.0]}]
+    src = tmp_path / "vecs.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "semdedup-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "vec_id bigint, embedding array<float>"}},
+        "transformation": {"type": "SEMANTIC_DEDUP",
+                           "parameters": {"threshold": 0.95, "nCells": 2}},
+    })
+    got = {r.vec_id for r in build_plan(spark, spec).collect()}
+    assert got == {1, 3}
