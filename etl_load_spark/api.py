@@ -120,12 +120,15 @@ class JobRegistry:
                                if st.get("status") in ("SUBMITTED", "RUNNING"))
                 reason = self.admission.deferral_reason(self.spark, n_active)
                 if reason is not None:
-                    self._status[job_id] = {"jobId": job_id,
-                                            "status": "DEFERRED",
-                                            "error": reason}
-                    return None, None, (503, {"jobId": job_id,
-                                              "status": "DEFERRED",
-                                              "error": reason})
+                    payload = {"jobId": job_id, "status": "DEFERRED",
+                               "error": reason}
+                    # record only client-known ids (one entry, overwritten
+                    # per retry). A generated id would add a fresh registry
+                    # entry per queue redelivery — unbounded growth in a
+                    # long-running listener under sustained pressure.
+                    if spec.job_id:
+                        self._status[job_id] = payload
+                    return None, None, (503, payload)
             self._status[job_id] = {"jobId": job_id, "status": "SUBMITTED"}
         return job_id, spec, None
 

@@ -195,8 +195,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         ok = out.get("files_after", 0) >= 1
     elif args.cmd == "listen":
-        # drain mode: success = no message FAILED/REJECTED (empty queue ok)
-        ok = all(r.get("status") == "COMPLETED"
+        # drain mode: success = no message FAILED/REJECTED (empty queue ok).
+        # SUBMITTED (ack-after-launch) and DEFERRED (admission; left queued
+        # for the next cycle) are healthy outcomes, not failures.
+        ok = all(r.get("status") not in ("FAILED", "REJECTED")
                  for r in out.get("results", []))
     else:
         ok = bool(out.get("plan"))

@@ -153,13 +153,21 @@ def quality_rules(col: Column, min_words: int = 30, max_words: int = 100_000,
     columns in ``QUALITY_RULE_NAMES`` order; ``keep`` is their AND.
 
     All four are per-row projections — at 100 TB this stage is map-side
-    only: no shuffle, no UDF, pushed straight onto the scan."""
+    only: no shuffle, no UDF, pushed straight onto the scan.
+
+    Every statistic is computed over the SAME normalized tokenization
+    (dedup.normalize_text, the corpus-wide canonical form): mixing raw
+    and normalized denominators would let case/punctuation variants of
+    one word defeat the repetition filter and punctuation inflate the
+    mean word length."""
+    from etl_load_spark.operators.dedup import normalize_text
     from etl_load_spark.operators.text import stopword_count, token_count
     n = token_count(col)
+    norm = normalize_text(col)
     # mean word length from total non-space chars: one pass, no HOF fold
-    chars = F.length(F.regexp_replace(col, " ", ""))
+    chars = F.length(F.regexp_replace(norm, " ", ""))
     mean_len = chars / n
-    distinct_ratio = F.size(F.array_distinct(F.split(col, " "))) / n
+    distinct_ratio = F.size(F.array_distinct(F.split(norm, " "))) / n
     return [
         n.between(min_words, max_words).alias("r_word_count"),
         mean_len.between(min_mean_len, max_mean_len).alias("r_mean_word_len"),
@@ -173,13 +181,16 @@ def quality_rules_sql(col: str, min_words: int = 30,
                       max_mean_len: float = 12.0, min_stopwords: int = 1,
                       min_distinct_ratio: float = 0.1,
                       dialect: str = "duckdb") -> dict[str, str]:
-    """SQL twins of ``quality_rules`` keyed by rule name."""
+    """SQL twins of ``quality_rules`` keyed by rule name (same normalized
+    tokenization on both engines)."""
+    from etl_load_spark.operators.dedup import normalize_text_sql
     from etl_load_spark.operators.text import (stopword_count_sql,
                                                token_count_sql)
     n = token_count_sql(col, dialect)
+    norm = normalize_text_sql(col, dialect)
     g = ", 'g'" if dialect == "duckdb" else ""
-    chars = f"length(regexp_replace({col}, ' ', ''{g}))"
-    distinct = f"len(list_distinct(string_split({col}, ' ')))"
+    chars = f"length(regexp_replace({norm}, ' ', ''{g}))"
+    distinct = f"len(list_distinct(string_split({norm}, ' ')))"
     return {
         "r_word_count": f"({n} BETWEEN {min_words} AND {max_words})",
         "r_mean_word_len": (f"(({chars} * 1.0 / {n}) BETWEEN {min_mean_len} "

@@ -84,11 +84,20 @@ def attach_hwm_observation(df: DataFrame, column: str):
     """Attach a CollectMetrics node computing MAX(column) to the batch plan
     and return ``(df, observation)``.
 
-    The new high-water mark is then computed BY THE WRITE ACTION from
-    exactly the rows it scanned — never a second query against a live
-    source (a JDBC table can receive commits between the write and a
-    re-executed max; those rows would be skipped forever). Zero extra
-    passes: CollectMetrics folds a map-side max into the existing scan."""
+    The new high-water mark is computed by the JOB'S OWN first action over
+    this plan — never a second query against a live source (a JDBC table
+    can receive commits between the write and a re-executed max; those
+    rows would be skipped forever). Zero extra passes: CollectMetrics
+    folds a map-side max into the existing scan.
+
+    Safety direction: for mapping jobs the first action is the error
+    split's count, and the write may re-scan a LIVE source at a later
+    snapshot if the intermediate cache is evicted — in that case the mark
+    LAGS the written rows, so the next run re-ingests the tail
+    (at-least-once; the sink's append-mode contract documents idempotent
+    re-runs). The mark can never EXCEED the written data — the loss mode
+    of the re-query design this replaces — because every later action
+    scans at least the first action's snapshot."""
     from pyspark.sql import Observation
     obs = Observation()
     return df.observe(obs, F.max(F.col(column)).alias("hwm")), obs

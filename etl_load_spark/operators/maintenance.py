@@ -82,17 +82,26 @@ def compact_files(spark: SparkSession, path: str, target_file_mb: int = 128,
         # width), so a big partition spreads over ~its_bytes/target tasks
         # while small partitions keep salt=0 and stay one file each.
         avg_row = max(1, total_bytes // max(rows, 1))
+        # null-safe probe join: a hive __HIVE_DEFAULT_PARTITION__ reads
+        # back as NULL, and an equality join would silently DROP those
+        # rows from the rewrite (data loss on swap)
         sizes = df.groupBy(*partition_by).agg(
             F.count(F.lit(1)).alias("_rows_p"))
+        sizes = sizes.select(
+            *[F.col(c).alias(f"_p_{c}") for c in partition_by], "_rows_p")
+        cond = None
+        for c in partition_by:
+            eq = df[c].eqNullSafe(sizes[f"_p_{c}"])
+            cond = eq if cond is None else (cond & eq)
         spread = F.greatest(
             F.lit(1),
             F.ceil(F.col("_rows_p") * F.lit(avg_row) / F.lit(target_bytes))
         ).cast("bigint")
         data_cols = [c for c in df.columns if c not in partition_by]
         salt = F.pmod(F.xxhash64(*(data_cols or df.columns)), spread)
-        out = (df.join(F.broadcast(sizes), partition_by)
+        out = (df.join(F.broadcast(sizes), cond)
                .repartition(n_out, *[F.col(c) for c in partition_by], salt)
-               .drop("_rows_p"))
+               .drop("_rows_p", *[f"_p_{c}" for c in partition_by]))
     else:
         out = df.repartition(n_out)
     w = out.write.mode("overwrite").format(fmt)

@@ -124,7 +124,15 @@ class KafkaTransport:
                 for recs in batches.values() for r in recs]
 
     def ack(self, msg, outcome: str = "done") -> None:  # pragma: no cover
-        self._consumer.commit()
+        # commit THIS record's offset only (offset+1 = next to consume).
+        # A bare commit() would commit the post-poll position for the whole
+        # batch, acking messages not yet processed — a crash mid-batch
+        # would then skip them, breaking at-least-once.
+        from kafka import TopicPartition
+        from kafka.structs import OffsetAndMetadata
+        r = msg.handle
+        self._consumer.commit({TopicPartition(r.topic, r.partition):
+                               OffsetAndMetadata(r.offset + 1, None)})
 
 
 class QueueListener:

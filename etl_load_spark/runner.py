@@ -56,7 +56,9 @@ def run_job(spark: SparkSession, spec: JobSpec,
     """Execute the spec's step list; returns the final JobResult."""
     result = JobResult(job_id=spec.job_id, status="RUNNING")
     t0 = time.monotonic()
-    steps = spec.steps or DEFAULT_STEPS
+    # None → default; an explicit [] is a deliberate no-op job and runs
+    # nothing (spec.from_dict applies the same distinction)
+    steps = spec.steps if spec.steps is not None else DEFAULT_STEPS
     # tag all actions with a cancellable job group (U6)
     spark.sparkContext.setJobGroup(f"etl_load_{spec.job_id}",
                                    f"etl_load_spark job {spec.job_id}",
@@ -122,6 +124,17 @@ def run_job(spark: SparkSession, spec: JobSpec,
         result.error = str(e)
         log.error("job %s failed: %s", spec.job_id, e)
     result.duration_sec = time.monotonic() - t0
+    # the expectations cache is normally consumed by VALIDATE_LOAD; if the
+    # write failed or the spec's explicit steps skip validation, release it
+    # here — a long-running serve/listen session must not pin one cached
+    # DataFrame per failed attempt
+    leftover = getattr(result, "_unpersist_after_validate", None)
+    if leftover is not None:
+        try:
+            leftover.unpersist()
+        except Exception:  # noqa: BLE001 — cleanup must not mask the result
+            pass
+        result._unpersist_after_validate = None
     wanted = {s.upper() for s in steps}
     if notify and (("NOTIFY_SUCCESS" in wanted and result.status == "COMPLETED")
                    or ("NOTIFY_FAILURE" in wanted and result.status == "FAILED")):
@@ -192,9 +205,13 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
         # append-mode sinks can't be read back batch-scoped (the sink holds
         # PRIOR batches too, and VALIDATE_LOAD's contract is "validate this
         # load") — those use the persist path below instead
+        # dynamic partition overwrite keeps partitions untouched by this
+        # batch, so a readback would validate historical data against
+        # "this load"'s expectations — use the batch-scoped persist path
         readback = "path" in spec.destination.details \
             and fmt in ("parquet", "orc") \
-            and spec.destination.details.get("mode", "overwrite") == "overwrite"
+            and spec.destination.details.get("mode", "overwrite") == "overwrite" \
+            and not spec.destination.details.get("overwrite_partitions")
         if not readback:
             df = df.persist()
             result._unpersist_after_validate = df

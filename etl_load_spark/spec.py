@@ -182,10 +182,11 @@ class JobSpec:
             ),
             # declaring expectations without declaring steps must not
             # silently skip them — default in the VALIDATE_LOAD step that
-            # evaluates them; an explicit steps list is always respected
-            steps=d.get("steps") or (
+            # evaluates them; an explicit steps list is always respected,
+            # INCLUDING an explicit empty list (a deliberate no-op job)
+            steps=(d.get("steps") if d.get("steps") is not None else (
                 ["LOAD", "VALIDATE_LOAD"] if d.get("expectations")
-                else ["LOAD"]),
+                else ["LOAD"])),
             batch_size=d.get("batchSize", d.get("batch_size", 10000)),
             order_by=d.get("orderBy", d.get("order_by", [])),
             streaming=d.get("streaming", {}) or {},

@@ -177,3 +177,51 @@ def test_expectations_run_without_explicit_steps(spark, sf_dir, tmp_path):
     assert r.status == "COMPLETED", r.error
     assert [(e["check"], e["passed"]) for e in r.expectation_results] == \
         [("not_null", True), ("row_count_min", False)]
+
+
+def test_partition_overwrite_expectations_are_batch_scoped(spark, tmp_path):
+    """With dynamic partition overwrite, VALIDATE_LOAD must see THIS load's
+    rows, not the accumulated table — a readback would include untouched
+    historical partitions and fail batch-scoped bounds."""
+    out = str(tmp_path / "dpo")
+
+    def spec(day, n):
+        rows = [(i, day) for i in range(n)]
+        return JobSpec.from_dict({
+            "jobId": f"dpo-{day}",
+            "source": {"type": "MEMORY",
+                       "details": {"rows": rows,
+                                   "schema": "id long, day string"}},
+            "destination": {"type": "PARQUET",
+                            "details": {"path": out, "partition_by": ["day"],
+                                        "overwrite_partitions": True}},
+            "expectations": [{"check": "row_count_max", "value": n}],
+        })
+
+    r1 = run_job(spark, spec("d1", 5))
+    assert r1.status == "COMPLETED", r1.error
+    # second batch writes a DIFFERENT partition; the table now holds 5+3
+    # rows but the row_count_max=3 expectation must only see batch 2
+    r2 = run_job(spark, spec("d2", 3))
+    assert r2.status == "COMPLETED", r2.error
+    assert spark.read.parquet(out).count() == 8  # both partitions kept
+
+
+def test_expectations_cache_released_when_validation_skipped(spark, sf_dir,
+                                                             tmp_path):
+    """Explicit steps without VALIDATE_LOAD (or a failed write) must not
+    leak the expectations persist — one cached DataFrame per attempt would
+    pin memory for a serve/listen session's lifetime."""
+    spec = JobSpec.from_dict({
+        "jobId": "skip-validate",
+        "source": {"type": "MEMORY",
+                   "details": {"rows": [(1, "a")],
+                               "schema": "id long, v string"}},
+        # non-path sink → the persist path (no readback)
+        "destination": {"type": "MEMORY", "details": {"name": "skipv"}},
+        "expectations": [{"check": "not_null", "column": "id"}],
+        "steps": ["LOAD"],
+    })
+    r = run_job(spark, spec)
+    assert r.status == "COMPLETED", r.error
+    assert getattr(r, "_unpersist_after_validate", None) is None

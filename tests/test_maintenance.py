@@ -134,3 +134,19 @@ def test_compaction_splits_large_partition(spark, tmp_path):
     assert len(small_files) == 1, "small partition must not re-fragment"
     got = spark.read.parquet(path)
     assert got.count() == 40_050
+
+
+def test_compact_partitioned_keeps_null_partition_rows(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__) must survive a
+    partitioned compaction — an equality probe join would silently drop
+    them from the rewrite."""
+    from etl_load_spark.operators.maintenance import compact_files
+    path = str(tmp_path / "nulled")
+    rows = [(i, None if i % 3 == 0 else f"d{i % 2}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, day string")
+    df.repartition(8).write.partitionBy("day").parquet(path)
+    m = compact_files(spark, path, target_file_mb=64, partition_by=["day"])
+    assert m["rows"] == 300
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert back.filter("day IS NULL").count() == 100

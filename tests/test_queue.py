@@ -175,3 +175,18 @@ def test_admission_live_probes_and_fail_safe(spark):
     broken = AdmissionControl(
         heap_pct_fn=lambda: (_ for _ in ()).throw(RuntimeError("probe down")))
     assert broken.deferral_reason(spark, n_active=0) is None
+
+
+def test_admission_repeated_deferral_registry_is_bounded(spark, tmp_path):
+    """Repeated deferrals (queue redelivery under sustained pressure) must
+    not grow the status registry — at most one overwritten entry per job
+    id, never a fresh generated id per retry."""
+    from etl_load_spark.api import AdmissionControl, JobRegistry
+    reg = JobRegistry(spark, admission=AdmissionControl(
+        max_running=0, heap_pct_fn=lambda: 0.0, cpu_pct_fn=lambda: 0.0))
+    anon = _spec(tmp_path, "x", 2)
+    del anon["jobId"]
+    for _ in range(5):
+        code, payload = reg.run_sync(anon)
+        assert code == 503 and payload["status"] == "DEFERRED"
+    assert len(reg._status) <= 1

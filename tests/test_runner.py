@@ -322,3 +322,22 @@ def test_incremental_load_anti_join(spark, sf_dir, tmp_path):
     assert r3.status == "COMPLETED", r3.error
     assert r3.records_written == 0
     assert spark.read.parquet(target).count() == total
+
+
+def test_explicit_empty_steps_is_a_noop(spark, tmp_path):
+    """steps: [] is a deliberate no-op job — it must not silently default
+    to LOAD and write the destination."""
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    out = tmp_path / "never_written"
+    spec = JobSpec.from_dict({
+        "jobId": "noop",
+        "source": {"type": "MEMORY",
+                   "details": {"rows": [(1,)], "schema": "id long"}},
+        "destination": {"type": "PARQUET", "details": {"path": str(out)}},
+        "steps": [],
+    })
+    r = run_job(spark, spec)
+    assert r.status == "COMPLETED"
+    assert r.records_written == 0
+    assert not out.exists()
