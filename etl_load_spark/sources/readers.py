@@ -132,6 +132,37 @@ def read_rest(spark: SparkSession, d: dict) -> DataFrame:
     return spark.createDataFrame(rows, schema=d.get("schema"))
 
 
+def read_xml(spark: SparkSession, d: dict) -> DataFrame:
+    """XML scan (Spark 4 built-in xml source — the reference's type bridge
+    handles SQLXML, JdbcTypeHandler.java:126-128, and its FLAT_FILE world
+    implies document interchange): one row per ``row_tag`` element.
+
+    details: path, row_tag (default "row"), schema (DDL — without it the
+    source samples and infers, an extra pass to avoid at scale),
+    attribute_prefix ("_")."""
+    reader = (spark.read.format("xml")
+              .option("rowTag", d.get("row_tag", "row")))
+    if d.get("attribute_prefix"):
+        reader = reader.option("attributePrefix", d["attribute_prefix"])
+    if d.get("schema"):
+        reader = reader.schema(d["schema"])
+    return reader.load(d["path"])
+
+
+def read_avro(spark: SparkSession, d: dict) -> DataFrame:
+    """AVRO scan (the row-oriented interchange format of Kafka/JDBC-era
+    pipelines). The spark-avro module is external — package-gated like
+    KAFKA: without it Spark raises its standard error naming the
+    deployment coordinates.
+
+    details: path, avro_schema (optional reader-schema JSON for
+    evolution)."""
+    reader = spark.read.format("avro")
+    if d.get("avro_schema"):
+        reader = reader.option("avroSchema", d["avro_schema"])
+    return reader.load(d["path"])
+
+
 def read_memory(spark: SparkSession, d: dict) -> DataFrame:
     """Inline rows (tests / fixtures)."""
     return spark.createDataFrame(d["rows"], schema=d.get("schema"))

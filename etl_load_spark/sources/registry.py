@@ -6,7 +6,8 @@ DataWriter). Registries are plain dicts; third-party connectors register
 themselves via ``register_reader`` / ``register_writer``.
 
 Covered source types (SURVEY.md §2.1 S1-S9):
-  PARQUET, FILE_CSV, FILE_JSON, FILE_ORC, FILE_FIXED/TEXT, ORACLE_DB/MSSQL_DB/JDBC,
+  PARQUET, FILE_CSV, FILE_JSON, FILE_ORC, FILE_XML (Spark 4 built-in),
+  FILE_AVRO (package-gated), FILE_FIXED/TEXT, ORACLE_DB/MSSQL_DB/JDBC,
   API_REST (driver-side fetch), KAFKA (batch/stream, package-gated),
   ELASTICSEARCH / MONGODB (connector-format plumbing, package-gated — the
   reference declares both and implements neither), MEMORY (inline rows).
@@ -30,6 +31,10 @@ _READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "JSON": readers.read_json,
     "FILE_ORC": readers.read_orc,
     "ORC": readers.read_orc,
+    "FILE_XML": readers.read_xml,
+    "XML": readers.read_xml,
+    "FILE_AVRO": readers.read_avro,
+    "AVRO": readers.read_avro,
     "FILE_FIXED": readers.read_text,
     "TEXT": readers.read_text,
     "ORACLE_DB": readers.read_jdbc,
@@ -51,6 +56,10 @@ _WRITERS: dict[str, Callable[[DataFrame, dict], dict]] = {
     "JSON": writers.write_json,
     "FILE_ORC": writers.write_orc,
     "ORC": writers.write_orc,
+    "FILE_XML": writers.write_xml,
+    "XML": writers.write_xml,
+    "FILE_AVRO": writers.write_avro,
+    "AVRO": writers.write_avro,
     "ORACLE_DB": writers.write_jdbc,
     "MSSQL_DB": writers.write_jdbc,
     "JDBC": writers.write_jdbc,

@@ -137,6 +137,33 @@ def write_json(df: DataFrame, d: dict) -> dict:
     return _finish(obs)
 
 
+def write_xml(df: DataFrame, d: dict) -> dict:
+    """XML sink (Spark 4 built-in): one ``row_tag`` element per row under
+    ``root_tag``. Null columns are omitted (standard XML absent-element
+    semantics — the read side restores them as NULL against a schema)."""
+    df, obs = _observed(_apply_layout(df, d))
+    (df.write.mode(d.get("mode", "overwrite")).format("xml")
+     .option("rootTag", d.get("root_tag", "rows"))
+     .option("rowTag", d.get("row_tag", "row"))
+     .save(d["path"]))
+    return _finish(obs)
+
+
+def write_avro(df: DataFrame, d: dict) -> dict:
+    """AVRO sink — package-gated on the external spark-avro module (its
+    absence raises Spark's standard data-source error naming it).
+
+    details: path, compression (snappy default per Spark), avro_schema."""
+    df, obs = _observed(_apply_layout(df, d))
+    wr = df.write.mode(d.get("mode", "overwrite")).format("avro")
+    if d.get("compression"):
+        wr = wr.option("compression", d["compression"])
+    if d.get("avro_schema"):
+        wr = wr.option("avroSchema", d["avro_schema"])
+    wr.save(d["path"])
+    return _finish(obs)
+
+
 def write_jdbc(df: DataFrame, d: dict) -> dict:
     """JDBC batch-insert sink (S7) + truncate-before-load (S10).
 

@@ -45,10 +45,15 @@ def _roundtrip(spark, canon, tmp_path, fmt):
     if fmt == "json":
         write_json(canon, {"path": path})
         return read_json(spark, {"path": path, "schema": CANON_SCHEMA})
+    if fmt == "xml":
+        from etl_load_spark.sources.readers import read_xml
+        from etl_load_spark.sources.writers import write_xml
+        write_xml(canon, {"path": path})
+        return read_xml(spark, {"path": path, "schema": CANON_SCHEMA})
     raise AssertionError(fmt)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
 def test_typed_roundtrip(spark, canon, tmp_path, fmt):
     back = _roundtrip(spark, canon, tmp_path, fmt)
     assert dict(back.dtypes) == dict(canon.dtypes)
@@ -99,4 +104,17 @@ def test_es_mongo_package_gated_error_names_format(spark):
     with _pt.raises(Exception, match="(?i)mongodb"):
         write_sink(df, EndpointConfig(
             type="MONGODB", details={"database": "d", "collection": "c"}),
+            max_attempts=1)
+
+
+def test_avro_package_gated_error_names_format(spark, tmp_path):
+    """Like KAFKA/ES/Mongo: without the external spark-avro module the
+    write reaches data-source resolution and raises Spark's standard error
+    naming avro — the plumbing is wired, the jar is deployment config."""
+    from etl_load_spark.sources.registry import write_sink
+    from etl_load_spark.spec import EndpointConfig
+    df = spark.range(2)
+    with pytest.raises(Exception, match="(?i)avro"):
+        write_sink(df, EndpointConfig(
+            type="AVRO", details={"path": str(tmp_path / "a")}),
             max_attempts=1)
