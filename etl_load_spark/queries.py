@@ -4540,6 +4540,40 @@ def q130_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("q135_xml_roundtrip", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_null_prio
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def q135_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector fidelity (q44's contract over the Spark-4 built-in
+    xml source): orders → engine XML writer (rowTag elements; NULL columns
+    become absent elements) → engine XML reader (declared schema restores
+    absent → NULL) → aggregate equals the oracle on the original parquet.
+    Same null-injection as q44, so the absent-element round trip is what
+    the hash certifies."""
+    from etl_load_spark.sources.registry import read_source, write_sink
+    from etl_load_spark.spec import EndpointConfig
+
+    path = _roundtrip_dir(sf_dir, "xml")
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    write_sink(src, EndpointConfig("FILE_XML", {"path": path}))
+    back = read_source(spark, EndpointConfig("FILE_XML", {
+        "path": path,
+        "schema": ("o_orderkey bigint, o_orderstatus string, "
+                   "o_totalprice double, o_orderpriority string")}))
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "total_price"),
+                 F.count_if(F.col("o_orderpriority").isNull())
+                  .alias("n_null_prio"))
+            .orderBy("o_orderstatus"))
+
+
 @query("q132_forecast_revenue", oracle="""
 SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                       * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE)
