@@ -385,13 +385,14 @@ def test_forecast_revenue_full_pushdown(spark, sf_dir):
 
 
 def test_semantic_dedup_cell_blocked(spark, sf_dir):
-    """q133: within-cell self-join — one Exchange on the cell id feeds both
-    sides (ReusedExchange), never an all-pairs fallback; centroid
-    assignment is Arrow-batched, not row-at-a-time Python."""
-    plan = plan_of(spark, sf_dir, "q133_semantic_dedup", execute=True)
+    """q133: each vector shuffles ONCE (keyed by cell) into a per-cell BLAS
+    gram-matrix group — no pair join relation, no all-pairs fallback, no
+    row-at-a-time Python; assignment + scoring are Arrow-batched."""
+    plan = plan_of(spark, sf_dir, "q133_semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning(_cell") == 1
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "ReusedExchange" in plan
     assert "BatchEvalPython" not in plan
 
 
