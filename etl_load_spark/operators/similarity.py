@@ -162,7 +162,7 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .dropDuplicates(["q_id", "n_id"]))
     qu = unit_vectors(queries, id_col, vec_col)
     cu = unit_vectors(vectors, id_col, vec_col).repartition("_id")
-    sim = _null_if_nan(F.round(dot(F.col("_qu"), F.col("_nu")), 6))
+    sim = _null_if_nan(F.round(dot_batch(F.col("_qu"), F.col("_nu")), 6))
     w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
     return (cand
             .join(F.broadcast(qu.select(F.col("_id").alias("q_id"),
@@ -303,7 +303,7 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
     u = unit_vectors(vectors, id_col, vec_col).repartition("_id")
-    sim = _null_if_nan(F.round(dot(F.col("_ua"), F.col("_ub")), 6))
+    sim = _null_if_nan(F.round(dot_batch(F.col("_ua"), F.col("_ub")), 6))
     return (cand
             .join(u.select(F.col("_id").alias("id_a"),
                            F.col("_u").alias("_ua")), "id_a")
@@ -469,8 +469,11 @@ def dot_batch(a: Column, b: Column) -> Column:
     def _dot(x, y):
         import numpy as np
         import pandas as pd
-        xm = np.stack(x.to_numpy())
-        ym = np.stack(y.to_numpy())
+        # asarray(dtype=float) maps NULL elements (degenerate unit vectors)
+        # to NaN, which the _null_if_nan wrapper downstream turns into the
+        # operator contract's NULL-similarity
+        xm = np.array([np.asarray(r, dtype=np.float64) for r in x.to_numpy()])
+        ym = np.array([np.asarray(r, dtype=np.float64) for r in y.to_numpy()])
         return pd.Series(np.einsum("ij,ij->i", xm, ym))
 
     return _dot(a, b)
