@@ -196,7 +196,10 @@ def fit_centroids(vectors: DataFrame, vec_col: str = "embedding",
     s = vectors.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if n > fit_sample:
         s = s.sample(fraction=fit_sample / n, seed=seed)
-    x = np.stack([r._v for r in s.collect()])
+    # per-element conversion: NULL vectors are skipped, NULL elements
+    # become NaN and fall to the isfinite filter below
+    x = np.array([np.asarray(r._v, dtype=np.float64)
+                  for r in s.collect() if r._v is not None])
     x = x[np.isfinite(x).all(axis=1)]  # NaN/inf rows would poison the means
     if normalize:
         n = np.linalg.norm(x, axis=1, keepdims=True)
@@ -230,7 +233,12 @@ def nearest_cells(vec: Column, centroids: list[list[float]],
 
     def _cells(v):
         import pandas as pd
-        m = np.stack(v.to_numpy())                        # (batch, dim)
+        dim = cent.shape[1]
+        # NULL rows/elements become NaN rows: assigned arbitrarily and
+        # dropped by downstream degenerate-row filters
+        m = np.array([np.full(dim, np.nan) if r is None
+                      else np.asarray(r, dtype=np.float64)
+                      for r in v.to_numpy()])             # (batch, dim)
         if normalize:
             # L2-normalize in the SAME numpy pass — callers working in
             # cosine space then never pay the per-element HOF transform
@@ -510,25 +518,35 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     ~√-sized and Σ|cell|² tractable."""
     import pandas as pd
 
-    # everything downstream normalizes inside its own numpy pass — no
-    # per-element HOF transform, and the shuffle carries the raw float32
-    # arrays (half the bytes of materialized unit-vector doubles)
-    raw = vectors.select(F.col(id_col).alias("_id"),
-                         F.col(vec_col).alias("_v"))
-    cents = fit_centroids(vectors, vec_col=vec_col, n_cells=n_cells,
+    # NULL embeddings are degenerate input ("no matches", module contract)
+    # — filter JVM-side so the numpy kernels never see a None row; rows
+    # with NULL ELEMENTS or zero norm are dropped in find_pairs (their
+    # nan-normalization marks them). Everything downstream normalizes
+    # inside its own numpy pass — no per-element HOF transform, and the
+    # shuffle carries the raw float32 arrays (half the bytes of
+    # materialized unit-vector doubles).
+    clean = vectors.filter(F.col(vec_col).isNotNull())
+    raw = clean.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).alias("_v"))
+    cents = fit_centroids(clean, vec_col=vec_col, n_cells=n_cells,
                           seed=seed, normalize=True)
     cell = raw.withColumn(
         "_cell", nearest_cells(F.col("_v"), cents, 1, normalize=True)[0])
+    # output ids keep the caller's id type (string/uuid keys work)
+    id_type = dict(vectors.dtypes)[id_col]
 
     def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         ids = pdf["_id"].to_numpy()
-        empty = pd.DataFrame({"id_a": [], "id_b": [],
-                              "cosine_sim": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"})
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object),
+                              "cosine_sim": pd.Series([], dtype="float64")})
         if len(ids) < 2:
             return empty
-        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        # per-element conversion maps NULL elements to NaN instead of
+        # raising on an object array
+        m = np.array([np.asarray(r, dtype=np.float64)
+                      for r in pdf["_v"].to_numpy()])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         ok = (norms > 0).ravel() & np.isfinite(m).all(axis=1)
         ids, m, norms = ids[ok], m[ok], norms[ok]
@@ -541,8 +559,12 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
         ia, ib = ia[keep], ib[keep]
         id_a = np.minimum(ids[ia], ids[ib])
         id_b = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b,
-                             "cosine_sim": sims[ia, ib]})
+        # duplicated id VALUES (a dedup stage's natural input) would pair
+        # with themselves — the id_a < id_b contract excludes self-pairs
+        neq = id_a != id_b
+        return pd.DataFrame({"id_a": id_a[neq], "id_b": id_b[neq],
+                             "cosine_sim": sims[ia, ib][neq]})
 
     return cell.groupBy("_cell").applyInPandas(
-        find_pairs, schema="id_a bigint, id_b bigint, cosine_sim double")
+        find_pairs,
+        schema=f"id_a {id_type}, id_b {id_type}, cosine_sim double")

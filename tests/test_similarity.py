@@ -137,3 +137,23 @@ def test_pq_deterministic_across_runs(spark, vectors):
     b = sorted(map(tuple, pq_topk(vectors, q, k=5,
                                   ).collect()))
     assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_degenerate_dup_and_string_ids(spark):
+    """Review regressions pinned: NULL embeddings are ignored (not a
+    crash), duplicated id values never emit self-pairs, and the output id
+    columns keep the caller's id type (string keys)."""
+    from etl_load_spark.operators.similarity import semantic_dedup
+    rows = [("a", [1.0, 0.0, 0.0, 0.0]),
+            ("a", [1.0, 0.0, 0.0, 0.0]),      # duplicate id value
+            ("b", [2.0, 0.0, 0.0, 0.0]),      # same direction as "a"
+            ("z", None),                       # NULL embedding
+            ("n", [0.0, 0.0, 0.0, 0.0]),      # zero norm
+            ("c", [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.95, n_cells=2)
+    assert dict(out.dtypes)["id_a"] == "string"
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert ("a", "b") in pairs
+    assert all(a != b for a, b in pairs)       # no self-pairs
+    assert all("z" not in p and "n" not in p for p in pairs)
