@@ -119,16 +119,30 @@ bt AS (
                                     (bno + 1) * {bt}), ' ') AS btext
   FROM b),
 k AS (
+  -- NULL-id / NULL-btext blocks are excluded BEFORE first-occurrence
+  -- resolution, matching the Spark side's filters (a NULL-id block must
+  -- not claim rn=1 of a btext it shares with a real doc, and a NULL
+  -- btext must not count toward n_kept on real data)
   SELECT {id_col}, n_blocks, bno, btext,
          row_number() OVER (PARTITION BY btext
                             ORDER BY {id_col}, bno) AS rn
-  FROM bt)
-SELECT {id_col},
-       coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' '
-                           ORDER BY bno), '') AS text_deduped,
-       any_value(n_blocks) AS n_blocks,
-       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
-FROM k GROUP BY {id_col} ORDER BY {id_col}
+  FROM bt
+  WHERE {id_col} IS NOT NULL AND btext IS NOT NULL),
+agg AS (
+  SELECT {id_col},
+         string_agg(CASE WHEN rn = 1 THEN btext END, ' '
+                    ORDER BY bno) AS text_deduped,
+         CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+  FROM k GROUP BY {id_col})
+-- totals-side LEFT JOIN mirrors the Spark operator: every input doc stays
+-- in the output (NULL-id / NULL-text docs get '', 0) — the filters above
+-- only govern dedup resolution, not output membership
+SELECT nb.{id_col},
+       coalesce(agg.text_deduped, '') AS text_deduped,
+       nb.n_blocks,
+       coalesce(agg.n_kept, 0) AS n_kept
+FROM nb LEFT JOIN agg ON nb.{id_col} = agg.{id_col}
+ORDER BY nb.{id_col}
 """
 
 

@@ -198,9 +198,22 @@ def fit_centroids(vectors: DataFrame, vec_col: str = "embedding",
         s = s.sample(fraction=fit_sample / n, seed=seed)
     # per-element conversion: NULL vectors are skipped, NULL elements
     # become NaN and fall to the isfinite filter below
-    x = np.array([np.asarray(r._v, dtype=np.float64)
-                  for r in s.collect() if r._v is not None])
+    rows = [np.asarray(r._v, dtype=np.float64)
+            for r in s.collect() if r._v is not None]
+    # degenerate inputs: an empty / all-NULL sample would build a 1-D (0,)
+    # array (AxisError below), and ragged vector lengths an object array
+    # that breaks the matmul — fail soft with an empty model / hard with a
+    # clear message instead
+    if not rows:
+        return []
+    if len({len(r) for r in rows}) != 1:
+        raise ValueError(
+            f"ragged {vec_col!r} lengths in k-means sample: "
+            f"{sorted({len(r) for r in rows})[:5]}")
+    x = np.stack(rows)
     x = x[np.isfinite(x).all(axis=1)]  # NaN/inf rows would poison the means
+    if not len(x):
+        return []
     if normalize:
         n = np.linalg.norm(x, axis=1, keepdims=True)
         x = np.divide(x, n, out=np.zeros_like(x), where=n > 0)
@@ -262,14 +275,28 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     The scale path when the corpus outgrows broadcast: corpus partitioned
     (and pre-partitionable/bucketable) by cell id; each query touches
     n_probe/n_cells of the data. Recall rises with n_probe (n_probe =
-    n_cells degrades gracefully to exact brute force)."""
-    cents = centroids or fit_centroids(vectors, vec_col, n_cells)
+    n_cells degrades gracefully to exact brute force).
+
+    Assignment runs in COSINE space (train + assign on unit vectors):
+    scoring is cosine, so clustering raw magnitudes would scatter
+    same-direction vectors across cells. This also makes q136's planted
+    certificate structural: unit(2·x) is bit-identical to unit(x) in IEEE
+    float (power-of-two scaling is exact through square/sum/sqrt/divide),
+    so a ×2-scaled query probes exactly its original's cell first."""
+    cents = (centroids if centroids is not None
+             else fit_centroids(vectors, vec_col, n_cells, normalize=True))
+    if not cents:  # degenerate corpus (empty / all-NULL embeddings)
+        spark = vectors.sparkSession
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, cosine_sim double, rank bigint")
     c = vectors.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"),
-        F.element_at(nearest_cells(F.col(vec_col), cents, 1), 1).alias("_cell"))
+        F.element_at(nearest_cells(F.col(vec_col), cents, 1,
+                                   normalize=True), 1).alias("_cell"))
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
-        F.explode(nearest_cells(F.col(vec_col), cents, n_probe)).alias("_cell"))
+        F.explode(nearest_cells(F.col(vec_col), cents, n_probe,
+                                normalize=True)).alias("_cell"))
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
     return (c.join(F.broadcast(q), "_cell")
@@ -342,10 +369,20 @@ def fit_pq_codebooks(vectors: DataFrame, vec_col: str = "embedding",
     s = vectors.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if n > fit_sample:
         s = s.sample(fraction=fit_sample / n, seed=seed)
-    x = np.stack([r._v for r in s.collect()])
+    rows = [np.asarray(r._v, dtype=np.float64)
+            for r in s.collect() if r._v is not None]
+    if not rows:
+        return []
+    if len({len(r) for r in rows}) != 1:
+        raise ValueError(
+            f"ragged {vec_col!r} lengths in PQ training sample: "
+            f"{sorted({len(r) for r in rows})[:5]}")
+    x = np.stack(rows)
     x = x[np.isfinite(x).all(axis=1)]
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     x = x[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+    if not len(x):
+        return []
     books = []
     rng = np.random.RandomState(seed)
     for sub in np.array_split(x, m, axis=1):
@@ -489,7 +526,8 @@ def dot_batch(a: Column, b: Column) -> Column:
 
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   n_cells: int = 16, seed: int = 42) -> DataFrame:
+                   n_cells: int = 16, seed: int = 42,
+                   max_cell_rows: int = 100_000) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means blocks
     the corpus into cells, then near-duplicate pairs are resolved by EXACT
     pairwise cosine within each cell only — pair cost Σ|cell|² instead of
@@ -507,15 +545,27 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     clusters loosely (the SemDeDup paper's k≪n regime).
 
     100 TB: training reads a ≤100k sample; assignment is one Arrow-batched
-    matmul pass; the ONLY shuffle moves each vector once, keyed by cell.
-    Within a cell the pair search is one BLAS gram matrix (C·Cᵀ) in an
-    ``applyInPandas`` group — pairs are never materialized as a join
-    relation (a 10k-vector corpus already means ~3M joined pair rows
-    carrying two 512-byte arrays each; the gram form was measured 5×
-    faster at that size and the gap grows quadratically). Executor memory
-    is bounded by the largest cell (|cell|·dim doubles + the |cell|²
-    upper-triangle scan) — n_cells scales with the corpus so cells stay
-    ~√-sized and Σ|cell|² tractable."""
+    matmul pass; the main shuffle moves each vector once, keyed by cell
+    (plus salt replicas for oversized cells, below). Within a cell the
+    pair search is one BLAS gram matrix (C·Cᵀ) in an ``applyInPandas``
+    group — pairs are never materialized as a join relation (a 10k-vector
+    corpus already means ~3M joined pair rows carrying two 512-byte arrays
+    each; the gram form was measured 5× faster at that size and the gap
+    grows quadratically).
+
+    Per-task memory is HARD-BOUNDED by ``max_cell_rows``: k-means cells
+    skew on real corpora, and an unbounded cell would OOM a task at scale.
+    A cell of n > max_cell_rows rows is triangle-salt-blocked: rows get a
+    deterministic salt r ∈ [0, s) with s = ⌈n / max_cell_rows⌉, and every
+    unordered salt pair (i ≤ j) becomes its own group — diagonal groups
+    (i, i) compute the within-salt upper triangle, off-diagonal groups
+    (i, j) only the i×j cross block — so each of the s(s+1)/2 groups
+    holds ≤ ~2·max_cell_rows rows regardless of cell skew, every pair is
+    computed exactly once, and the result set is IDENTICAL to the
+    unsalted gram. Replication cost: each row is shuffled s times — paid
+    only by rows in oversized cells. Sizing the salts needs per-cell
+    counts, so the assignment pass runs twice (count + main); at cluster
+    scale persist/checkpoint the assignment frame between the passes."""
     import pandas as pd
 
     # NULL embeddings are degenerate input ("no matches", module contract)
@@ -530,41 +580,84 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                        F.col(vec_col).alias("_v"))
     cents = fit_centroids(clean, vec_col=vec_col, n_cells=n_cells,
                           seed=seed, normalize=True)
-    cell = raw.withColumn(
-        "_cell", nearest_cells(F.col("_v"), cents, 1, normalize=True)[0])
     # output ids keep the caller's id type (string/uuid keys work)
     id_type = dict(vectors.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    if not cents:  # degenerate corpus (empty / all-NULL embeddings)
+        return vectors.sparkSession.createDataFrame([], out_schema)
+    cell = raw.withColumn(
+        "_cell", nearest_cells(F.col("_v"), cents, 1, normalize=True)[0])
+    # per-cell salt count s = ⌈|cell| / max_cell_rows⌉ (1 ⇒ no salting);
+    # the sizes relation is ≤ n_cells rows — always broadcastable
+    sizes = cell.groupBy("_cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(max_cell_rows))
+        .cast("int").alias("_s"))
+    salt = F.pmod(F.xxhash64(F.col("_id")), F.col("_s")).cast("int")
+    grp = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.col("_s") - 1),
+        lambda j: F.struct(F.least(F.col("_salt"), j).alias("i"),
+                           F.greatest(F.col("_salt"), j).alias("j"))))
+    salted = (cell.join(F.broadcast(sizes), "_cell")
+              .withColumn("_salt", salt)
+              .select("_id", "_v", "_cell", "_salt",
+                      F.explode(grp).alias("_g"))
+              .select("_id", "_v", "_cell", "_salt",
+                      F.col("_g.i").alias("_gi"), F.col("_g.j").alias("_gj")))
 
-    def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pairs_from(ids_a, m_a, ids_b, m_b, cross: bool):
         import numpy as np
-        ids = pdf["_id"].to_numpy()
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                              "id_b": pd.Series([], dtype=object),
-                              "cosine_sim": pd.Series([], dtype="float64")})
-        if len(ids) < 2:
-            return empty
-        # per-element conversion maps NULL elements to NaN instead of
-        # raising on an object array
-        m = np.array([np.asarray(r, dtype=np.float64)
-                      for r in pdf["_v"].to_numpy()])
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        ok = (norms > 0).ravel() & np.isfinite(m).all(axis=1)
-        ids, m, norms = ids[ok], m[ok], norms[ok]
-        if len(ids) < 2:
-            return empty
-        m = m / norms
-        sims = np.round(m @ m.T, 6)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        ia, ib = ia[keep], ib[keep]
-        id_a = np.minimum(ids[ia], ids[ib])
-        id_b = np.maximum(ids[ia], ids[ib])
+        if cross:
+            sims = np.round(m_a @ m_b.T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            sim = sims[ia, ib]
+            left, right = ids_a[ia], ids_b[ib]
+        else:
+            sims = np.round(m_a @ m_a.T, 6)
+            ia, ib = np.triu_indices(len(ids_a), k=1)
+            keep = sims[ia, ib] >= threshold
+            ia, ib = ia[keep], ib[keep]
+            sim = sims[ia, ib]
+            left, right = ids_a[ia], ids_a[ib]
+        id_a = np.minimum(left, right)
+        id_b = np.maximum(left, right)
         # duplicated id VALUES (a dedup stage's natural input) would pair
         # with themselves — the id_a < id_b contract excludes self-pairs
         neq = id_a != id_b
         return pd.DataFrame({"id_a": id_a[neq], "id_b": id_b[neq],
-                             "cosine_sim": sims[ia, ib][neq]})
+                             "cosine_sim": sim[neq]})
 
-    return cell.groupBy("_cell").applyInPandas(
-        find_pairs,
-        schema=f"id_a {id_type}, id_b {id_type}, cosine_sim double")
+    def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object),
+                              "cosine_sim": pd.Series([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+
+        def clean_block(block: pd.DataFrame):
+            ids = block["_id"].to_numpy()
+            # per-element conversion maps NULL elements to NaN instead of
+            # raising on an object array
+            m = np.array([np.asarray(r, dtype=np.float64)
+                          for r in block["_v"].to_numpy()])
+            if m.ndim != 2:
+                return ids[:0], np.zeros((0, 0))
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            ok = (norms > 0).ravel() & np.isfinite(m).all(axis=1)
+            ids, m, norms = ids[ok], m[ok], norms[ok]
+            return ids, (m / norms if len(ids) else m)
+
+        gi, gj = int(pdf["_gi"].iat[0]), int(pdf["_gj"].iat[0])
+        if gi == gj:                       # within-salt upper triangle
+            ids, m = clean_block(pdf)
+            if len(ids) < 2:
+                return empty
+            return _pairs_from(ids, m, ids, m, cross=False)
+        ids_a, m_a = clean_block(pdf[pdf["_salt"] == gi])
+        ids_b, m_b = clean_block(pdf[pdf["_salt"] == gj])
+        if not len(ids_a) or not len(ids_b):
+            return empty
+        return _pairs_from(ids_a, m_a, ids_b, m_b, cross=True)
+
+    return salted.groupBy("_cell", "_gi", "_gj").applyInPandas(
+        find_pairs, schema=out_schema)

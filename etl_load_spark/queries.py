@@ -937,7 +937,7 @@ def q47_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q32_embedding_near_dup", oracle="""
 WITH pert AS (
   SELECT vec_id + 100000 AS vec_id,
-         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+         list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
   FROM embeddings),
 corpus AS (
   SELECT vec_id, embedding FROM embeddings
@@ -954,10 +954,13 @@ def q32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with LSH band blocking — no
     all-pairs scan (64 md5-derived planes, 8 bands of 8 bits).
 
-    Oracle: the corpus is augmented with a scaled copy (×1.01) of every
-    vector — the classic same-direction duplicate. Scaling preserves every
-    hyperplane sign, so each copy shares ALL its original's band keys and
-    the planted pair is structurally guaranteed through the bucket join;
+    Oracle: the corpus is augmented with a scaled copy (×2.0) of every
+    vector — the classic same-direction duplicate. A power-of-two scale is
+    EXACT in float32 (exponent bump only), so the copy's unit vector is
+    bit-identical to its original's: every hyperplane sign matches, each
+    copy shares ALL its original's band keys and the planted pair is
+    structurally guaranteed through the bucket join — no float-rounding
+    boundary case (a ×1.01 scale would perturb components by ~1e-7);
     the synthetic corpus has no natural pairs above 0.51 cosine (verified
     offline), so the exact all-pairs answer at threshold 0.8 is precisely
     the planted pairs. DuckDB computes that exact answer independently
@@ -968,7 +971,7 @@ def q32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: (x * 1.01).cast("float"))
+        F.transform("embedding", lambda x: (x * 2.0).cast("float"))
         .alias("embedding"))
     return (embedding_near_dup_pairs(e.unionByName(planted), threshold=0.8,
                                      n_planes=64, bands=8)
@@ -1534,7 +1537,7 @@ def q38_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q48_stateful_stats", oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micros,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros,
        MAX(value) AS max_value
 FROM events GROUP BY user_id ORDER BY user_id
 """)
@@ -4607,7 +4610,7 @@ def q132_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q133_semantic_dedup", oracle="""
 WITH pert AS (
   SELECT vec_id + 100000 AS vec_id,
-         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+         list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
   FROM embeddings),
 corpus AS (
   SELECT vec_id, embedding FROM embeddings
@@ -4626,9 +4629,10 @@ def q133_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to q32's LSH blocking, the shape the SemDeDup paper runs
     at LAION scale.
 
-    Oracle: same planted construction as q32 — ×1.01 scaled copies have
-    IDENTICAL unit vectors, so each copy's k-means assignment equals its
-    original's and the pair is structurally guaranteed within the cell;
+    Oracle: same planted construction as q32 — ×2.0 scaled copies have
+    BIT-IDENTICAL unit vectors (power-of-two float32 scaling is exact),
+    so each copy's k-means assignment equals its original's and the pair
+    is structurally guaranteed within the cell;
     exact verification + no natural pairs above 0.51 make the exact
     all-pairs answer the full oracle. A hash match certifies training,
     assignment, blocking and scoring end-to-end."""
@@ -4636,7 +4640,7 @@ def q133_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: (x * 1.01).cast("float"))
+        F.transform("embedding", lambda x: (x * 2.0).cast("float"))
         .alias("embedding"))
     return (semantic_dedup(e.unionByName(planted), threshold=0.8,
                            n_cells=16, seed=42)
@@ -4662,7 +4666,7 @@ def q134_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q131_sim_lsh_planted", oracle="""
 WITH q AS (
   SELECT vec_id + 100000 AS q_id,
-         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS qv
+         list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS qv
   FROM embeddings WHERE vec_id < 50),
 s AS (
   SELECT q.q_id, e.vec_id AS n_id,
@@ -4678,8 +4682,9 @@ FROM r WHERE rk = 1 ORDER BY q_id
 """)
 def q131_sim_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH top-k correctness certificate (the hash-checkable face of q31's
-    approximate rung): queries are scaled copies (×1.01) of 50 corpus
-    vectors. Scaling preserves every hyperplane sign, so each query shares
+    approximate rung): queries are scaled copies (×2.0, exact in float32)
+    of 50 corpus vectors. Scaling preserves every hyperplane sign, so each
+    query shares
     ALL its original's band keys — the original is structurally guaranteed
     into the candidate set — and exact re-scoring puts it at rank 1
     (cosine 1.0 vs ≤0.51 for any other corpus vector). The oracle computes
@@ -4690,9 +4695,72 @@ def q131_sim_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: (x * 1.01).cast("float"))
+        F.transform("embedding", lambda x: (x * 2.0).cast("float"))
         .alias("embedding"))
     return lsh_topk(e, planted, k=1)
+
+
+_PLANTED_TOP1_ORACLE = """
+WITH q AS (
+  SELECT vec_id + 100000 AS q_id,
+         list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS qv
+  FROM embeddings WHERE vec_id < 50),
+s AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine_sim
+  FROM q CROSS JOIN embeddings e),
+r AS (
+  SELECT q_id, n_id, cosine_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine_sim DESC, n_id) AS rk
+  FROM s WHERE cosine_sim IS NOT NULL AND NOT isnan(cosine_sim))
+SELECT q_id, n_id, cosine_sim, CAST(1 AS BIGINT) AS rank
+FROM r WHERE rk = 1 ORDER BY q_id
+"""
+
+
+@query("q136_sim_ivf_planted", oracle=_PLANTED_TOP1_ORACLE)
+def q136_sim_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k correctness certificate (the hash-checkable face of q47's
+    approximate rung, same construction as q131's LSH certificate):
+    queries are ×2.0-scaled copies of 50 corpus vectors. A power-of-two
+    scale is exact in float32 AND float64 (square/sum/sqrt/divide all
+    commute with binary scaling), so unit(2x) is bit-identical to unit(x)
+    — the query's nearest-cell distance row equals its original's, the
+    stable argsort probes the original's cell first, and exact re-scoring
+    ranks the original at 1 (cosine 1.0 vs ≤0.51 for any other corpus
+    vector). The oracle computes the exact brute-force top-1 per query; a
+    hash match certifies training → assignment → probe → re-score →
+    ranking end-to-end."""
+    from etl_load_spark.operators.similarity import ivf_topk
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2.0).cast("float"))
+        .alias("embedding"))
+    return ivf_topk(e, planted, k=1, n_cells=8, n_probe=2)
+
+
+@query("q137_sim_pq_planted", oracle=_PLANTED_TOP1_ORACLE)
+def q137_sim_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k correctness certificate (q127's hash-checkable face):
+    ×2.0-scaled queries of 50 corpus vectors, exact brute-force top-1 as
+    the oracle. Unlike q131/q136 the recovery is not purely structural —
+    ADC ranks by quantized dot products, so the true neighbor must survive
+    the pool cut (pool_factor·k) before exact re-rank; with the corpus gap
+    (planted cosine 1.0 vs ≤0.51 natural) and a deterministic
+    seed/sample/codebook, recovery is a fixed deterministic fact of this
+    pipeline, verified at sf0.001/0.01/0.1 — a hash match certifies
+    codebook training, encoding, the ADC table-gather scan, batch-local
+    pooling and the exact re-rank found the true nearest neighbor for
+    every planted query."""
+    from etl_load_spark.operators.similarity import pq_topk
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2.0).cast("float"))
+        .alias("embedding"))
+    return pq_topk(e, planted, k=1, m=8, n_codes=16, pool_factor=8)
 
 
 def _register_corpus_oracles() -> None:
@@ -4742,40 +4810,54 @@ _register_corpus_oracles()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
+# Round-3 rotation (VERDICT r2 "Next round" #2): the driver caps its
+# correctness harness at 50 queries per round, so driver-green coverage for
+# all 137 declared queries has to ACCUMULATE across rounds. 15 family
+# anchors stay fixed every round (regression canaries — one per operator
+# family, all driver-green in r2 except q48 whose oracle-type fix this
+# round must be proven); the other 35 slots rotate to queries that have
+# never had a driver row (r1 ∪ r2 covered 65 of 135). Everything outside
+# the window keeps the identical-methodology local pytest oracle gate.
 DRIVER_WINDOW: list[str] = [
-    # flagship + relational core
-    "q01_pricing_summary", "q02_filter_predicates", "q03_top_revenue",
-    "q24_mapping_pipeline", "q46_fixed_width",
-    # join algorithms
-    "q05_join_left_chain", "q07_join_anti", "q08_join_range_equi",
-    "q50_salted_join", "q51_asof_join",
-    # windows / set ops
-    "q10_window_rank", "q126_rolling_hour", "q14_union_distinct",
-    # scalar function families
-    "q17_string_funcs", "q18_date_funcs", "q19_math_case", "q52_map_funcs",
-    # aggregate variants
-    "q21_approx_distinct", "q113_grouping_sets", "q54_percentiles",
-    # streaming
-    "q23_events_tumbling", "q38_session_windows", "q48_stateful_stats",
-    "q56_stream_interval_join", "q95_event_dedup",
+    # --- fixed anchors (15) ---
+    "q01_pricing_summary",      # flagship aggregate
+    "q24_mapping_pipeline",     # declarative ETL spec core
+    "q05_join_left_chain",      # join family
+    "q10_window_rank",          # window family
+    "q21_approx_distinct",      # approx-aggregate claim pattern
+    "q23_events_tumbling",      # streaming windows
+    "q48_stateful_stats",       # stateful streaming — r2's one red row
+    "q44_csv_roundtrip",        # connector round trip
+    "q25_dedup_exact",          # dedup ladder base
+    "q27_dedup_minhash",        # LSH dedup
+    "q30_sim_topk",             # similarity exact baseline
+    "q32_embedding_near_dup",   # planted-recovery LSH pairs
+    "q33_text_stats",           # text analysis
+    "q37_multimodal_features",  # multimodal plumbing
+    "q92_scd2_merge",           # mutation semantics
+    # --- rotation (35): first driver rows ---
+    # ANN certificates (new this round) + the LSH one from r2's backlog
+    "q131_sim_lsh_planted", "q136_sim_ivf_planted", "q137_sim_pq_planted",
+    # LLM-corpus pipeline
+    "q128_passage_dedup", "q129_quality_rules", "q130_data_mixture",
+    "q133_semantic_dedup", "q134_quality_classifier",
     # connectors
-    "q44_csv_roundtrip", "q45_json_roundtrip",
-    # dedup ladder
-    "q25_dedup_exact", "q27_dedup_minhash", "q28_dedup_simhash",
-    "q29_ngram_jaccard", "q112_dedup_edit_distance", "q57_dedup_clusters",
-    "q32_embedding_near_dup",
-    # similarity ladder
-    "q30_sim_topk", "q31_sim_topk_lsh", "q47_sim_topk_ivf",
-    "q127_sim_topk_pq",
-    # text analysis
-    "q33_text_stats", "q34_text_langid", "q35_text_fingerprint",
-    "q59_token_rarity", "q114_tfidf_topk",
-    # multimodal
-    "q37_multimodal_features", "q49_frame_sample",
-    # TPC-H hard shapes
-    "q101_sole_returning_supplier", "q111_product_profit",
-    # mutation semantics + dataset split
-    "q92_scd2_merge", "q123_cdc_apply", "q60_train_test_split",
+    "q135_xml_roundtrip",
+    # TPC-H shapes
+    "q102_nation_trade_volume", "q103_disjunctive_predicates",
+    "q104_market_share", "q105_returned_items",
+    "q106_shipping_delay_priority", "q107_top_supplier",
+    "q108_supplier_part_counts", "q109_small_quantity_revenue",
+    "q110_large_volume_orders",
+    # time-series pipeline ops
+    "q72_gapfill_locf", "q73_funnel", "q74_retention",
+    # LLM-data ops
+    "q85_pseudonymize", "q86_bigram_topk", "q87_contamination",
+    "q88_feature_moments", "q89_sequence_pack", "q90_curation_funnel",
+    "q99_repetition", "q66_vocab_topk",
+    # windows / aggregates breadth
+    "q39_sliding_windows", "q41_pivot", "q63_window_ntile",
+    "q67_approx_percentile", "q71_sketch_rollup", "q94_unpivot",
 ]
 
 

@@ -131,8 +131,12 @@ class KafkaTransport:
         from kafka import TopicPartition
         from kafka.structs import OffsetAndMetadata
         r = msg.handle
-        self._consumer.commit({TopicPartition(r.topic, r.partition):
-                               OffsetAndMetadata(r.offset + 1, None)})
+        try:
+            # kafka-python ≥ 2.1 added a required leader_epoch field
+            om = OffsetAndMetadata(r.offset + 1, "", -1)
+        except TypeError:
+            om = OffsetAndMetadata(r.offset + 1, "")
+        self._consumer.commit({TopicPartition(r.topic, r.partition): om})
 
 
 class QueueListener:

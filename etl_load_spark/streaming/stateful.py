@@ -38,16 +38,22 @@ def _update_user_stats(key: Tuple, pdfs: Iterator[pd.DataFrame],
     if state.exists:
         n, total_micros, mx = state.get
     else:
-        n, total_micros, mx = 0, 0, None
+        n, total_micros, mx = 0, None, None
     for pdf in pdfs:
         if not len(pdf):
             continue
         n += len(pdf)
-        micros = np.floor(pdf["value"].to_numpy(dtype="float64")
-                          * 1_000_000.0).astype("int64")
-        total_micros += int(micros.sum())
-        batch_max = float(pdf["value"].max())
-        mx = batch_max if mx is None else max(mx, batch_max)
+        # NULL values must match the batch twin exactly: F.floor propagates
+        # NULL and SUM/MAX skip it (a NaN through np.floor(...).astype(
+        # "int64") would silently poison total_micros), and SQL SUM over an
+        # all-NULL group is NULL, not 0 — so drop NaNs before flooring and
+        # keep the accumulator None until a non-null value arrives.
+        vals = pdf["value"].dropna().to_numpy(dtype="float64")
+        if len(vals):
+            s = int(np.floor(vals * 1_000_000.0).astype("int64").sum())
+            total_micros = s if total_micros is None else total_micros + s
+            batch_max = float(vals.max())
+            mx = batch_max if mx is None else max(mx, batch_max)
     state.update((n, total_micros, mx))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                         "total_micros": [total_micros], "max_value": [mx]})
@@ -92,15 +98,19 @@ class UserStatsProcessor(_StatefulProcessorBase):
 
     def handleInputRows(self, key, rows, timer_values):
         prev = self._state.get() if self._state.exists() else None
-        n, total_micros, mx = prev if prev is not None else (0, 0, None)
+        n, total_micros, mx = prev if prev is not None else (0, None, None)
         for pdf in rows:
             if not len(pdf):
                 continue
             n += len(pdf)
-            micros = np.floor(pdf["value"].to_numpy(dtype="float64")
-                              * 1_000_000.0).astype("int64")
-            total_micros += int(micros.sum())
-            batch_max = float(pdf["value"].max())
+            # same NULL semantics as _update_user_stats: drop NaNs before
+            # the floor; SUM over an all-NULL key stays NULL like SQL
+            vals = pdf["value"].dropna().to_numpy(dtype="float64")
+            if not len(vals):
+                continue
+            s = int(np.floor(vals * 1_000_000.0).astype("int64").sum())
+            total_micros = s if total_micros is None else total_micros + s
+            batch_max = float(vals.max())
             mx = batch_max if mx is None else max(mx, batch_max)
         self._state.update((n, total_micros, mx))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],

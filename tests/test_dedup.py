@@ -245,3 +245,44 @@ def test_passage_dedup_matches_python_fold(spark):
     expected = {doc_id: whole[j]
                 for j, (doc_id, _) in enumerate(sorted(rows))}
     assert got == expected
+
+
+def test_passage_dedup_sql_twin_null_parity(spark):
+    """ADVICE r2: the SQL twin diverged from the operator on NULL text/id
+    rows (a NULL-btext block won rn=1 and counted in n_kept). Null-injected
+    parity: the operator and its DuckDB twin must agree row-for-row,
+    including NULL-id docs (excluded from resolution, kept in output) and
+    NULL-text docs (empty dedup output, n_blocks 1)."""
+    import duckdb
+    from etl_load_spark.operators.corpus import passage_dedup, passage_dedup_sql
+    rows = [(1, "a b c d a b c d"),
+            (2, "a b c d x y z w"),   # first block duplicates doc 1's
+            (3, None),                # NULL text
+            (None, "a b c d"),        # NULL id — must not claim rn=1
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        ((r.doc_id, r.text_deduped, r.n_blocks, r.n_kept)
+         for r in passage_dedup(df, block_tokens=4).collect()),
+        key=lambda t: (t[0] is None, t[0]))
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW docs_null AS SELECT * FROM (VALUES
+          (1, 'a b c d a b c d'),
+          (2, 'a b c d x y z w'),
+          (3, NULL),
+          (NULL, 'a b c d'),
+          (4, '')) t(doc_id, text)""")
+    want = sorted(
+        ((None if r[0] is None else int(r[0]), r[1],
+          None if r[2] is None else int(r[2]),
+          None if r[3] is None else int(r[3]))
+         for r in con.sql(
+             passage_dedup_sql("docs_null", "doc_id", "text", 4)).fetchall()),
+        key=lambda t: (t[0] is None, t[0]))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1] == (1, "a b c d", 2, 1)       # internal dup removed
+    assert by_id[2] == (2, "x y z w", 2, 1)       # cross-doc dup removed
+    assert by_id[3] == (3, "", 1, 0)              # NULL text → empty, kept row
+    assert by_id[None][1] == "" and by_id[None][3] == 0

@@ -64,10 +64,27 @@ def test_no_decimal_in_any_output_schema(spark, sf_dir, con):
     for name, sql in entry_mod.oracle_sql().items():
         rel = con.sql(sql)
         decs = [c for c, t in zip(rel.columns, rel.types)
-                if "DECIMAL" in str(t).upper()]
+                if "DECIMAL" in str(t).upper()
+                or "HUGEINT" in str(t).upper()]
         if decs:
             offenders.append((name, "oracle", decs))
-    assert not offenders, f"decimal-typed output columns: {offenders}"
+    assert not offenders, f"decimal/hugeint-typed output columns: {offenders}"
+
+
+def test_comparator_rejects_hugeint_widening(spark, con):
+    """Meta-test for the round-2 q48 bug class: DuckDB's SUM(BIGINT) yields
+    HUGEINT, which pandas-canonicalizes to float64 against Spark's int64 —
+    bit-identical values, red driver hash. The hardened comparator
+    (oracle_utils.compare, pandas-dtype-sensitive) must fail such a pair
+    even though every value matches numerically."""
+    from tests.oracle_utils import compare
+    sdf = spark.range(1, 4).selectExpr("CAST(sum(id) AS BIGINT) AS s")
+    ok, msg = compare(sdf, con, "SELECT SUM(x) AS s FROM (VALUES (1), (2), "
+                                "(3)) t(x)")
+    assert not ok and "dtype" in msg, msg
+    ok, _ = compare(sdf, con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM "
+                              "(VALUES (1), (2), (3)) t(x)")
+    assert ok
 
 
 @pytest.mark.parametrize("name", sorted(set(entry_mod.queries())

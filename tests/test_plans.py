@@ -385,13 +385,19 @@ def test_forecast_revenue_full_pushdown(spark, sf_dir):
 
 
 def test_semantic_dedup_cell_blocked(spark, sf_dir):
-    """q133: each vector shuffles ONCE (keyed by cell) into a per-cell BLAS
-    gram-matrix group — no pair join relation, no all-pairs fallback, no
-    row-at-a-time Python; assignment + scoring are Arrow-batched."""
+    """q133: each vector shuffles ONCE on the (cell, salt-group) key into a
+    per-group BLAS gram — no pair join relation, no all-pairs fallback, no
+    row-at-a-time Python; assignment + scoring are Arrow-batched. The
+    max_cell_rows cap adds a per-cell COUNT whose result relation
+    (≤ n_cells rows) must come back as a BROADCAST join — the vectors
+    must never shuffle to meet the sizes, so the plan carries exactly two
+    hash exchanges: the tiny (cell, count) aggregate and the one payload
+    shuffle feeding applyInPandas."""
     plan = plan_of(spark, sf_dir, "q133_semantic_dedup")
     assert "FlatMapGroupsInPandas" in plan
-    assert plan.count("Exchange hashpartitioning(_cell") == 1
-    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(_cell") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 

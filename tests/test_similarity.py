@@ -157,3 +157,47 @@ def test_semantic_dedup_degenerate_dup_and_string_ids(spark):
     assert ("a", "b") in pairs
     assert all(a != b for a, b in pairs)       # no self-pairs
     assert all("z" not in p and "n" not in p for p in pairs)
+
+
+def test_semantic_dedup_salted_cell_cap_exact(spark):
+    """Pathological k-means skew (~90% of the corpus in one cell) must not
+    unbound per-task memory: with max_cell_rows small, the oversized cell
+    is triangle-salt-blocked — every group holds O(max_cell_rows) rows —
+    and the pair set is IDENTICAL to the unsalted gram (every pair is
+    computed exactly once: diagonal groups do the within-salt triangle,
+    off-diagonal groups only the cross block)."""
+    import random
+    from etl_load_spark.operators.similarity import semantic_dedup
+    rnd = random.Random(11)
+    rows = []
+    for i in range(180):  # one tight cluster → one giant cell
+        rows.append((i, [1.0] + [0.02 * rnd.uniform(-1, 1) for _ in range(7)]))
+    for i in range(180, 200):  # scattered remainder
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    unsalted = sorted(map(tuple, semantic_dedup(
+        df, threshold=0.97, n_cells=4, seed=5).collect()))
+    salted = sorted(map(tuple, semantic_dedup(
+        df, threshold=0.97, n_cells=4, seed=5, max_cell_rows=16).collect()))
+    assert len(unsalted) > 50          # the skewed cell really pairs up
+    assert salted == unsalted
+
+
+def test_fit_centroids_degenerate_inputs(spark):
+    """ADVICE r2: empty / all-NULL samples built a 1-D (0,) array that
+    raised AxisError inside fit_centroids, and ragged vectors an object
+    array that broke the matmul. Degenerate corpora must fail soft
+    (empty model → empty result), ragged input must fail loud."""
+    import pytest as _pytest
+    from etl_load_spark.operators.similarity import (
+        fit_centroids, ivf_topk, semantic_dedup)
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    assert fit_centroids(empty) == []
+    allnull = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert fit_centroids(allnull) == []
+    assert semantic_dedup(allnull).count() == 0
+    assert ivf_topk(allnull, allnull, k=1).count() == 0
+    ragged = spark.createDataFrame([(1, [1.0, 2.0]), (2, [1.0])], schema)
+    with _pytest.raises(ValueError, match="ragged"):
+        fit_centroids(ragged)

@@ -322,3 +322,39 @@ def test_stream_block_dedup_incremental_history(spark, tmp_path):
     want = {r._btext for r in doc_blocks(full).select("_btext")
             .distinct().collect()}
     assert {b for _, b in out2} == want
+
+
+def test_stateful_stats_null_values_stream_equals_batch(spark, tmp_path):
+    """Null-injected events fixture (VERDICT r2 #7): the driver testdata has
+    zero NULL `value` rows, so the r2-found NaN divergence
+    (np.floor(NaN).astype("int64") poisoning total_micros vs the batch
+    twin's SQL NULL-skipping SUM) was invisible to every oracle. Streaming
+    and batch must agree on NULL input, including the all-NULL-key case
+    where SQL SUM/MAX are NULL, not 0."""
+    from datetime import datetime
+    from pyspark.sql import Window as W
+    from etl_load_spark.streaming.stateful import stateful_user_stats
+
+    ts = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, ts, 1.5), (1, ts, None), (1, ts, 2.25),
+            (2, ts, None),                      # all-NULL user
+            (3, ts, 0.125)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    src = str(tmp_path / "null_events")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = run_available_now_append(stateful_user_stats(stream))
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (out.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("user_id", "n_events", "total_micros", "max_value"))
+    batch = stateful_user_stats(spark.read.parquet(src))
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    by_user = {r.user_id: r for r in batch.collect()}
+    assert by_user[1].n_events == 3                      # NULL rows count
+    assert by_user[1].total_micros == 1_500_000 + 2_250_000  # NULLs skipped
+    assert by_user[2].total_micros is None               # SQL SUM(all NULL)
+    assert by_user[2].max_value is None
+    assert by_user[3].total_micros == 125_000
