@@ -157,3 +157,56 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(col: str, dialect: str = "spark") -> str:
     return f"md5({normalize_text_sql(col, dialect)})"
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (the Dolma/CCNet PII-masking curation stage)
+# ---------------------------------------------------------------------------
+
+#: (class name, RE2-safe pattern) — no lookaround, no backreferences, so the
+#: same pattern string runs under Java regex (Spark) and RE2 (DuckDB).
+#: Order is the REDACTION order: email first (its local part may contain
+#: digits a later class would partially eat), then the purely-numeric
+#: classes, which are mutually non-overlapping by shape (ipv4 needs three
+#: dots, ssn is 3-2-4, phone 3-3-4).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class PII match counts over the RAW text (before any redaction,
+    so counts are independent of redaction order). Pure JVM regexp —
+    map-side only, no shuffle at any corpus size."""
+    return {name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            for name, pat in PII_PATTERNS}
+
+
+def pii_counts_sql(col: str, dialect: str = "spark") -> dict[str, str]:
+    if dialect == "duckdb":
+        return {name: f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+                for name, pat in PII_PATTERNS}
+    return {name: f"CAST(size(regexp_extract_all({col}, '{pat}', 0)) AS BIGINT)"
+            for name, pat in PII_PATTERNS}
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its class tag (``[EMAIL]`` …), applied
+    in PII_PATTERNS order; the tags contain no digits or ``@``, so earlier
+    replacements can never create later-class matches."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pii_redact_sql(col: str, dialect: str = "spark") -> str:
+    out = col
+    for name, pat in PII_PATTERNS:
+        flags = ", 'g'" if dialect == "duckdb" else ""
+        out = f"regexp_replace({out}, '{pat}', '[{name.upper()}]'{flags})"
+    return out

@@ -4763,6 +4763,66 @@ def q137_sim_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, planted, k=1, m=8, n_codes=16, pool_factor=8)
 
 
+def _pii_oracle() -> str:
+    from etl_load_spark.operators.text import pii_counts_sql, pii_redact_sql
+    cnts = pii_counts_sql("t", "duckdb")
+    cols = ",\n       ".join(f"{sql} AS n_{name}" for name, sql in cnts.items())
+    total = " + ".join(cnts.values())
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+              WHEN doc_id % 3 = 1
+              THEN text || ' call 555-123-4567 ssn 123-45-6789 ip 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.99'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       {cols},
+       {total} AS pii_total,
+       md5({pii_redact_sql('t', 'duckdb')}) AS redacted_md5
+FROM inj ORDER BY doc_id
+"""
+
+
+@query("q138_pii_redaction", oracle=_pii_oracle())
+def q138_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the Dolma/CCNet PII-masking curation
+    stage): per-class match counts (email/ipv4/ssn/phone) and class-tag
+    redaction, both as pure JVM regexp expressions — map-side only, no
+    shuffle at any corpus size, RE2-safe patterns shared verbatim with the
+    oracle. The synthetic corpus contains no natural PII, so the query
+    deterministically injects one email per doc_id≡0 (mod 3) and a
+    phone+ssn+ip triple per doc_id≡1 — the oracle replays injection,
+    counting AND redaction (md5 of the redacted text), certifying the
+    whole pipeline rather than an all-zero vacuity."""
+    from etl_load_spark.operators.text import pii_counts, pii_redact
+    d = t(spark, sf_dir, "documents")
+    injected = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"),
+                       F.lit(" call 555-123-4567 ssn 123-45-6789 ip 10.0."),
+                       (F.col("doc_id") % 256).cast("string"), F.lit(".99")))
+        .otherwise(F.col("text")))
+    base = d.select("doc_id", injected.alias("_t"))
+    cnts = pii_counts(F.col("_t"))
+    total = None
+    for c in cnts.values():
+        total = c if total is None else total + c
+    return (base.select(
+                "doc_id",
+                *[c.alias(f"n_{name}") for name, c in cnts.items()],
+                total.alias("pii_total"),
+                F.md5(pii_redact(F.col("_t"))).alias("redacted_md5"))
+            .orderBy("doc_id"))
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,
@@ -4812,7 +4872,7 @@ _register_corpus_oracles()
 
 # Round-3 rotation (VERDICT r2 "Next round" #2): the driver caps its
 # correctness harness at 50 queries per round, so driver-green coverage for
-# all 137 declared queries has to ACCUMULATE across rounds. 15 family
+# all 138 declared queries has to ACCUMULATE across rounds. 15 family
 # anchors stay fixed every round (regression canaries — one per operator
 # family, all driver-green in r2 except q48 whose oracle-type fix this
 # round must be proven); the other 35 slots rotate to queries that have

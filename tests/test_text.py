@@ -1,0 +1,47 @@
+"""PII detection/redaction unit behavior (q138's operator): per-class
+counts, class-tag redaction, pattern non-interference, NULL propagation."""
+
+from pyspark.sql import functions as F
+
+from etl_load_spark.operators.text import pii_counts, pii_redact
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    cnts = pii_counts(F.col("t"))
+    row = df.select(*[c.alias(f"n_{k}") for k, c in cnts.items()],
+                    pii_redact(F.col("t")).alias("red")).collect()[0]
+    return row
+
+
+def test_pii_counts_and_redaction(spark):
+    r = _one(spark, "mail a.b+c@ex-site.org, ip 192.168.0.1, "
+                    "ssn 123-45-6789, call 555-123-4567 or 555.123.4567")
+    assert (r.n_email, r.n_ipv4, r.n_ssn, r.n_phone) == (1, 1, 1, 2)
+    assert r.red == ("mail [EMAIL], ip [IPV4], ssn [SSN], "
+                     "call [PHONE] or [PHONE]")
+
+
+def test_pii_classes_do_not_interfere(spark):
+    """The numeric classes are shape-disjoint: an SSN never counts as a
+    phone (3-2-4 vs 3-3-4), a dotted phone never as an IP (2 vs 3 dots),
+    and a digit-bearing email local part is consumed by the email pass
+    before any numeric class sees it."""
+    r = _one(spark, "ssn only 123-45-6789")
+    assert (r.n_ssn, r.n_phone, r.n_ipv4) == (1, 0, 0)
+    r = _one(spark, "dotted phone 555.123.4567")
+    assert (r.n_phone, r.n_ipv4) == (1, 0)
+    r = _one(spark, "user123-45-6789@x.io")
+    assert r.n_email == 1 and r.red == "[EMAIL]"
+
+
+def test_pii_clean_text_untouched(spark):
+    r = _one(spark, "no pii here, just sections 1.2 and 3-4")
+    assert (r.n_email, r.n_ipv4, r.n_ssn, r.n_phone) == (0, 0, 0, 0)
+    assert r.red == "no pii here, just sections 1.2 and 3-4"
+
+
+def test_pii_null_propagates(spark):
+    df = spark.createDataFrame([(None,)], "t string")
+    row = df.select(pii_redact(F.col("t")).alias("red")).collect()[0]
+    assert row.red is None
