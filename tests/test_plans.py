@@ -409,3 +409,24 @@ def test_quality_classifier_one_combinable_agg(spark, sf_dir):
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_pii_redaction_map_side_only(spark, sf_dir):
+    """q138: PII counting + redaction must be pure scan-side expressions —
+    the only exchange allowed is the final ORDER BY's range partitioning;
+    no hash shuffle, no join, no Python on the data path."""
+    plan = plan_of(spark, sf_dir, "q138_pii_redaction")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["q136_sim_ivf_planted",
+                                  "q137_sim_pq_planted"])
+def test_ann_certificates_never_all_pairs(spark, sf_dir, name):
+    """The planted-certificate twins must run the REAL approximate path
+    (cell-probe join / ADC scan) — a cartesian or nested-loop fallback
+    would certify nothing about the production plan."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
