@@ -286,9 +286,10 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     cents = (centroids if centroids is not None
              else fit_centroids(vectors, vec_col, n_cells, normalize=True))
     if not cents:  # degenerate corpus (empty / all-NULL embeddings)
-        spark = vectors.sparkSession
-        return spark.createDataFrame(
-            [], "q_id long, n_id long, cosine_sim double, rank bigint")
+        id_type = dict(vectors.dtypes)[id_col]
+        return vectors.sparkSession.createDataFrame(
+            [], f"q_id {id_type}, n_id {id_type}, cosine_sim double, "
+                "rank bigint")
     c = vectors.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"),
         F.element_at(nearest_cells(F.col(vec_col), cents, 1,
@@ -445,10 +446,21 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     """
     import numpy as np
     books = codebooks or fit_pq_codebooks(vectors, vec_col, m, n_codes)
+    if not books:  # degenerate corpus (empty / all-NULL embeddings)
+        id_type = dict(vectors.dtypes)[id_col]
+        return vectors.sparkSession.createDataFrame(
+            [], f"q_id {id_type}, n_id {id_type}, cosine_sim double, "
+                "rank bigint")
     cents = [np.asarray(b, dtype=np.float64) for b in books]
-    qrows = queries.select(F.col(id_col).alias("q_id"),
-                           F.col(vec_col).cast("array<double>").alias("_qv")
-                           ).collect()
+    qrows = [r for r in queries.select(
+                 F.col(id_col).alias("q_id"),
+                 F.col(vec_col).cast("array<double>").alias("_qv")).collect()
+             if r._qv is not None]  # NULL query vectors: no matches
+    if not qrows:
+        id_type = dict(vectors.dtypes)[id_col]
+        return vectors.sparkSession.createDataFrame(
+            [], f"q_id {id_type}, n_id {id_type}, cosine_sim double, "
+                "rank bigint")
     q_ids = np.asarray([r.q_id for r in qrows], dtype=np.int64)
     qx = np.stack([r._qv for r in qrows])
     qn = np.linalg.norm(qx, axis=1, keepdims=True)

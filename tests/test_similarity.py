@@ -201,3 +201,19 @@ def test_fit_centroids_degenerate_inputs(spark):
     ragged = spark.createDataFrame([(1, [1.0, 2.0]), (2, [1.0])], schema)
     with _pytest.raises(ValueError, match="ragged"):
         fit_centroids(ragged)
+
+
+def test_pq_degenerate_inputs(spark, vectors):
+    """PQ twins of the IVF degenerate guards: all-NULL corpus → empty
+    result (no AxisError in codebook training); NULL query vectors are
+    skipped, not np.stack-crashed."""
+    from etl_load_spark.operators.similarity import pq_topk
+    schema = "vec_id long, embedding array<float>"
+    allnull = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert pq_topk(allnull, allnull, k=1).count() == 0
+    nullq = spark.createDataFrame([(500, None)], schema)
+    assert pq_topk(vectors, nullq, k=1).count() == 0
+    mixed = spark.createDataFrame([(500, None)], schema).unionByName(
+        vectors.filter("vec_id = 0"))
+    out = pq_topk(vectors, mixed, k=1).collect()
+    assert [r.q_id for r in out] == [0]      # real query answered, NULL skipped
