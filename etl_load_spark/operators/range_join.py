@@ -30,5 +30,13 @@ def band_join(left: DataFrame, right: DataFrame,
          .withColumn("_lb", F.explode(F.array(F.col("_rb0") - 1, F.col("_rb0"),
                                               F.col("_rb0") + 1)))
          .drop("_rb0"))
-    residual = F.abs(F.col(left_val) - F.col(right_val)) <= width
+    # Residual must be the CONTRACT expression `r BETWEEN l-w AND l+w`,
+    # not `abs(l-r) <= w`: the two round differently at exact band edges
+    # (e.g. cents data where r-l is exactly 50.00 — `abs(l-r)` rounds the
+    # subtraction while `l+w` rounds the addition, and IEEE disagreement
+    # of 1 ulp flips membership; found as a real sf0.1 oracle mismatch).
+    # Every SQL engine evaluates BETWEEN this way, so this form is the
+    # bit-exact one.
+    residual = ((F.col(right_val) >= F.col(left_val) - width)
+                & (F.col(right_val) <= F.col(left_val) + width))
     return l.join(r, on=["_lb"], how=how).filter(residual).drop("_lb")

@@ -1290,19 +1290,27 @@ SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_prev_hour,
        first_value(event_type) OVER w AS first_type_hour
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """)
 def q55_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-count-based): per user,
     stats over the trailing hour of events — plus first_value over the
     same frame (§2.9 item 6). One shuffle on user_id; the frame scan is
-    partition-local and sorted once."""
+    partition-local and sorted once.
+
+    The frame key is integer MICROSECONDS (unix_micros / epoch_us), not
+    seconds: Spark's unix_timestamp truncates sub-second parts where
+    DuckDB's epoch() keeps them, so a seconds-keyed frame disagrees at
+    sub-second boundary offsets (found as a real sf0.1 mismatch), and
+    whole-second keys would make first_value ambiguous under same-second
+    ties — micros are exact in both engines and unique per user in this
+    data."""
     e = t(spark, sf_dir, "events")
     w = (W.partitionBy("user_id")
-         .orderBy(F.unix_timestamp("ts"))
-         .rangeBetween(-3600, W.currentRow))
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+         .rangeBetween(-3_600_000_000, W.currentRow))
     return (e.select(
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
