@@ -139,3 +139,31 @@ def test_csv_quote_escape_roundtrip(spark, tmp_root, values):
     for i, v in rows:
         expect = None if v in (None, "") else v
         assert got[i] == expect, (i, repr(v), repr(got[i]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=-99999, max_value=999999), min_size=2,
+                max_size=40),
+       st.lists(st.integers(min_value=-99999, max_value=999999), min_size=2,
+                max_size=40))
+def test_band_join_exactly_matches_between(spark, lcents, rcents):
+    """Property (the r3 sf0.1 bug class): band_join's bucket blocking +
+    BETWEEN residual must return EXACTLY the pairs a plain
+    `r BETWEEN l-w AND l+w` cross join returns — on cents-valued doubles,
+    including exact band-edge differences (the case where an
+    `abs(l-r) <= w` residual disagrees by 1 ulp)."""
+    from etl_load_spark.operators.range_join import band_join
+    lv = [(i, c / 100.0) for i, c in enumerate(lcents)]
+    rv = [(i, c / 100.0) for i, c in enumerate(rcents)]
+    # plant guaranteed exact-edge pairs: r = l ± 50.00 in decimal
+    lv.append((900, lcents[0] / 100.0))
+    rv.append((900, (lcents[0] + 5000) / 100.0))
+    rv.append((901, (lcents[0] - 5000) / 100.0))
+    l = spark.createDataFrame(lv, "l_id int, l_val double")
+    r = spark.createDataFrame(rv, "r_id int, r_val double")
+    got = sorted((x.l_id, x.r_id)
+                 for x in band_join(l, r, "l_val", "r_val", 50.0).collect())
+    want = sorted((x.l_id, x.r_id) for x in l.crossJoin(r).filter(
+        (F.col("r_val") >= F.col("l_val") - 50.0)
+        & (F.col("r_val") <= F.col("l_val") + 50.0)).collect())
+    assert got == want
