@@ -42,6 +42,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     optional interval Column (e.g. ``F.expr("INTERVAL 1 HOUR")``): matches
     older than ``left_ts - tolerance`` are treated as no-match.
 
+    NULL contract (predicate semantics, three-valued logic): a NULL key or
+    NULL timestamp can never satisfy ``l.k = r.k AND l.ts >= r.ts``, so
+    such left rows come through unmatched and such right rows match
+    nothing. Note DuckDB's native ASOF JOIN differs here — its sort-based
+    implementation matches NULL order keys to each other by total order;
+    this operator follows the join-condition contract instead
+    (differential-tested in tests/test_asof.py).
+
     ``how``: "left" keeps unmatched left rows (right columns null);
     "inner" drops them.
     """
@@ -54,6 +62,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     if overlap:
         raise ValueError(f"right payload collides with left columns: "
                          f"{sorted(overlap)}; alias the right side first")
+
+    # SQL ASOF semantics on NULLs: `l.k = r.k AND l.ts >= r.ts` can never
+    # be true through a NULL key or NULL right_ts — but the union-window
+    # form below groups NULL keys into their OWN partition (window
+    # partitioning, like GROUP BY, treats NULLs as equal), which would
+    # silently match NULL-key rows to each other. Dropping such right rows
+    # restores the SQL contract exactly: NULL-key/NULL-ts left rows keep
+    # flowing through the window, find no side-0 row, and come out
+    # unmatched (how=left) or dropped (how=inner), same as the join form.
+    null_free = F.lit(True)
+    for k in [*on, right_ts]:
+        null_free = null_free & F.col(k).isNotNull()
+    right = right.filter(null_free)
 
     # One unioned relation: right rows sort before left rows at equal ts
     # (side 0 < 1) so an exact-ts right row is visible to its left row.

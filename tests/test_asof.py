@@ -78,3 +78,46 @@ def test_single_shuffle_no_join(frames):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_null_keys_never_match_like_sql_asof(spark):
+    """SQL ASOF semantics: `l.k = r.k AND l.ts >= r.ts` is never true
+    through a NULL key or NULL right_ts — but window PARTITION BY groups
+    NULLs as equal, so the union-window form must drop NULL-key/NULL-ts
+    right rows or it silently invents matches. Differential vs DuckDB's
+    native ASOF LEFT JOIN on null-injected data."""
+    import duckdb
+    left = spark.createDataFrame([
+        Row(k="a", t=ts(5), lv="a5"),
+        Row(k=None, t=ts(6), lv="n6"),    # NULL-key left: must stay unmatched
+        Row(k="a", t=None, lv="an"),      # NULL-ts left: must stay unmatched
+    ])
+    right = spark.createDataFrame([
+        Row(k="a", rt=ts(2), rv=20),
+        Row(k=None, rt=ts(3), rv=30),     # NULL-key right: matches nothing
+        Row(k="a", rt=None, rv=40),       # NULL-ts right: matches nothing
+    ])
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")
+    got = sorted(((r.k, r.t, r.rt, r.rv) for r in out.collect()),
+                 key=str)
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    # The oracle is the PREDICATE formulation (argmax over rows where
+    # `l.k = r.k AND r.rt <= l.t` holds under three-valued logic), not
+    # DuckDB's native ASOF JOIN: DuckDB's sort-based ASOF matches NULL
+    # order keys to each other by total order — an implementation
+    # artifact, not the join-condition contract.
+    want = sorted(((x[0], None if x[1] is None else x[1].replace(tzinfo=None),
+                    None if x[2] is None else x[2].replace(tzinfo=None), x[3])
+                   for x in con.sql("""
+        SELECT l.k, l.t, x.rt, x.rv FROM l LEFT JOIN LATERAL (
+            SELECT rt, rv FROM r WHERE r.k = l.k AND r.rt <= l.t
+            ORDER BY rt DESC LIMIT 1) x ON TRUE""").fetchall()),
+                 key=str)
+    got = sorted(((k, None if t is None else t.replace(tzinfo=None),
+                   None if rt is None else rt.replace(tzinfo=None), rv)
+                  for k, t, rt, rv in got), key=str)
+    assert got == want
+    assert ("a", ts(5), ts(2), 20) in got          # the real match survives
+    assert all(rv is None for k, t, rt, rv in got if k is None or t is None)
