@@ -4831,6 +4831,41 @@ def q138_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@query("q139_bloom_decontaminate", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[s:s+7], ' ')
+         for s in generate_series(1, greatest(len(ws)-7, 1))])) AS s
+  FROM tk),
+shf AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+ev AS (SELECT DISTINCT s FROM shf WHERE doc_id % 10 = 0)
+SELECT t.doc_id AS train_doc_id,
+       CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_ngrams
+FROM shf t JOIN ev ON t.s = ev.s
+WHERE t.doc_id % 10 <> 0
+GROUP BY t.doc_id ORDER BY train_doc_id
+""")
+def q139_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — q87's 100 TB form. The eval
+    set's distinct 8-grams compress into a bloom filter (~10 bits/n-gram,
+    built by one bit_or aggregation; bounded m/64-long collect) probed
+    MAP-SIDE over the corpus shingles (Arrow-vectorized numpy bit test,
+    hashes JVM-side), then an exact broadcast verify join deletes every
+    false positive. The oracle is the plain eval⋈train join: the bloom
+    never drops a member and verify removes all survivors that aren't
+    real, so the probabilistic prefilter provably changes NOTHING about
+    the answer — only the plan, whose corpus side becomes
+    scan → explode → probe → broadcast-join with the single shuffle being
+    the final per-doc aggregation over survivors (operators/bloom.py)."""
+    from etl_load_spark.operators.bloom import decontaminate
+    d = t(spark, sf_dir, "documents")
+    return decontaminate(d.filter(F.col("doc_id") % 10 != 0),
+                         d.filter(F.col("doc_id") % 10 == 0))
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,
@@ -4909,13 +4944,16 @@ DRIVER_WINDOW: list[str] = [
     # LLM-corpus pipeline
     "q128_passage_dedup", "q129_quality_rules", "q130_data_mixture",
     "q133_semantic_dedup", "q134_quality_classifier",
+    # new-this-round operator families (PII masking, bloom decontamination)
+    "q138_pii_redaction", "q139_bloom_decontaminate",
     # connectors
     "q135_xml_roundtrip",
-    # TPC-H shapes
-    "q102_nation_trade_volume", "q103_disjunctive_predicates",
+    # TPC-H shapes (q103/q108 deferred to r4 — new operator FAMILIES take
+    # the two slots; predicate/agg-join families already have anchors)
+    "q102_nation_trade_volume",
     "q104_market_share", "q105_returned_items",
     "q106_shipping_delay_priority", "q107_top_supplier",
-    "q108_supplier_part_counts", "q109_small_quantity_revenue",
+    "q109_small_quantity_revenue",
     "q110_large_volume_orders",
     # time-series pipeline ops
     "q72_gapfill_locf", "q73_funnel", "q74_retention",
