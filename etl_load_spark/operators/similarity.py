@@ -673,3 +673,73 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
 
     return salted.groupBy("_cell", "_gi", "_gj").applyInPandas(
         find_pairs, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-based cluster assignment + cluster-balanced sampling (q140)
+# ---------------------------------------------------------------------------
+
+def min_id_anchors(df: DataFrame, label_col: str = "label",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """One deterministic anchor vector per label: the embedding of the
+    min-id member (min_by — SQL-replayable as DuckDB arg_min). The collect
+    is bounded by the number of LABELS, never the corpus (same bounded
+    contract as the IVF training sample)."""
+    rows = (df.groupBy(label_col)
+            .agg(F.min_by(vec_col, id_col).alias("_av"))
+            .collect())
+    return sorted((r[label_col], list(r["_av"])) for r in rows)
+
+
+def anchor_assign(df: DataFrame, anchors: list[tuple[int, list[float]]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  out_col: str = "cluster") -> DataFrame:
+    """Assign every vector to its nearest anchor by cosine — MAP-SIDE ONLY.
+
+    The anchors inline as literal double arrays (dozens of anchors ×
+    embedding dim — expression-sized, never a join), so assignment fuses
+    into the scan: no shuffle, no Python, at any corpus size. Determinism:
+    argmax key is (round(sim, 6) desc, anchor asc) via one greatest() over
+    (sim, -anchor) structs; degenerate vectors (zero-norm / NaN → NULL
+    cosine) take a -2.0 sentinel (below the cosine floor of -1), so they
+    deterministically land in the lowest-id anchor rather than tracking
+    engine NULL-ordering rules."""
+    pairs = []
+    for aid, vec in anchors:
+        av = F.array(*[F.lit(float(x)) for x in vec])
+        sim = F.coalesce(F.round(cosine(F.col(vec_col), av), 6), F.lit(-2.0))
+        pairs.append(F.struct(sim.alias("s"), F.lit(-aid).alias("na")))
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return df.select(F.col(id_col), F.col(vec_col),
+                     (-best["na"]).cast("bigint").alias(out_col))
+
+
+def cluster_balanced_sample(assigned: DataFrame, id_col: str = "vec_id",
+                            cluster_col: str = "cluster",
+                            salt: str = "bal") -> DataFrame:
+    """Down-sample every cluster to (approximately) the smallest cluster's
+    size — the cluster-balancing curation stage (cf. cluster-then-sample
+    selection à la SemDeDup/DCLM pipelines): over-represented modes are
+    thinned, rare modes survive whole.
+
+    Deterministic and engine-portable: row kept iff
+    ``u * n_members < n_min * 1e6`` with u = pmod(portable_hash64(id:salt),
+    1e6) — an EXACT integer comparison (no float fraction), so re-runs,
+    engines and partitionings keep identical rows. Scale: cluster counts
+    are an anchor-sized aggregate broadcast back onto the stream; the
+    filter itself is map-side."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    counts = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"))
+    n_min = counts.agg(F.min("n_members").alias("n_min"))
+    u = F.pmod(portable_hash64(F.concat(F.col(id_col).cast("string"),
+                                        F.lit(":" + salt))),
+               F.lit(1_000_000))
+    return (assigned
+            .join(F.broadcast(counts), cluster_col)
+            .crossJoin(F.broadcast(n_min))
+            .withColumn("_keep", u * F.col("n_members")
+                        < F.col("n_min") * F.lit(1_000_000))
+            .filter("_keep")
+            .drop("_keep", "n_min"))

@@ -4866,6 +4866,152 @@ def q139_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          d.filter(F.col("doc_id") % 10 == 0))
 
 
+@query("q140_cluster_balance", oracle=None)  # oracle attached below (uses
+# the portable-hash SQL helper; see _register_cluster_balance_oracle)
+def q140_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-balance curation (the cluster-balanced data-selection
+    stage à la SemDeDup/DCLM): assign every embedding to its nearest
+    anchor by cosine, then deterministically down-sample each cluster
+    toward the smallest cluster's size so over-represented modes are
+    thinned and rare modes survive whole. Returns per-cluster
+    (n_members, n_sampled).
+
+    Fully oracled despite the geometry: anchors are the min-id member per
+    label (DuckDB arg_min), assignment is argmax of round(cosine, 6) with
+    anchor-id tiebreak (the q30 determinism pattern), and the sampling
+    filter is an EXACT integer comparison u·n_members < n_min·1e6 on the
+    md5-portable hash — no float fraction anywhere, so DuckDB replays the
+    entire pipeline.
+
+    Scale: anchors collect bounded by #labels; assignment inlines them as
+    literal arrays — map-side, zero shuffle, fused into the scan;
+    cluster counts are an anchor-sized broadcast; the balance filter is
+    map-side. The only corpus-sized aggregation is the per-cluster count."""
+    from etl_load_spark.operators.similarity import (
+        anchor_assign, cluster_balanced_sample, min_id_anchors)
+    e = t(spark, sf_dir, "embeddings")
+    anchors = min_id_anchors(e)
+    asg = anchor_assign(e, anchors)
+    counts = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    kept = cluster_balanced_sample(asg).groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    return (counts.join(kept, "cluster", "left")
+            .select(F.col("cluster").cast("bigint").alias("cluster"),
+                    "n_members",
+                    F.coalesce("n_sampled", F.lit(0)).cast("bigint")
+                    .alias("n_sampled"))
+            .orderBy("cluster"))
+
+
+def _register_cluster_balance_oracle() -> None:
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR) || ':bal'", "duckdb")
+    QUERIES["q140_cluster_balance"].oracle = f"""
+WITH a AS (SELECT label, arg_min(embedding, vec_id) AS av
+           FROM embeddings GROUP BY label),
+s AS (SELECT e.vec_id, a.label,
+             coalesce(round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), CAST(a.av AS DOUBLE[])), 6),
+               -2.0) AS sim
+      FROM embeddings e CROSS JOIN a),
+r AS (SELECT vec_id, label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, label) AS rn
+      FROM s),
+asg AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster FROM r WHERE rn = 1),
+c AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM asg GROUP BY cluster),
+m AS (SELECT MIN(n_members) AS n_min FROM c),
+k AS (SELECT asg.cluster, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM asg JOIN c USING (cluster) CROSS JOIN m
+      WHERE ((({h}) % 1000000 + 1000000) % 1000000) * c.n_members
+            < m.n_min * 1000000
+      GROUP BY asg.cluster)
+SELECT c.cluster, c.n_members,
+       CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM c LEFT JOIN k USING (cluster) ORDER BY cluster
+"""
+
+
+_register_cluster_balance_oracle()
+
+
+@query("q141_source_divergence", oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(trim(regexp_replace(regexp_replace(
+           lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tk
+  FROM documents),
+tf AS (SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c_st
+       FROM tok WHERE tk <> '' GROUP BY source, tk),
+g AS (SELECT tk, CAST(SUM(c_st) AS BIGINT) AS c_gt FROM tf GROUP BY tk),
+ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+              CAST(COUNT(*) AS BIGINT) AS vocab FROM tf GROUP BY source),
+ng AS (SELECT CAST(SUM(c_gt) AS BIGINT) AS n_g FROM g),
+nm AS (SELECT tf.source,
+              CAST(SUM(abs(tf.c_st * ng.n_g - g.c_gt * ns.n_s)) AS BIGINT)
+                AS num1,
+              CAST(SUM(g.c_gt) AS BIGINT) AS cov
+       FROM tf JOIN g USING (tk) JOIN ns USING (source) CROSS JOIN ng
+       GROUP BY tf.source)
+SELECT ns.source, ns.n_s AS n_tokens, ns.vocab,
+       CAST(nm.num1 + (ng.n_g - nm.cov) * ns.n_s AS DOUBLE)
+         / CAST(2 * ns.n_s * ng.n_g AS DOUBLE) AS tv_divergence
+FROM ns JOIN nm USING (source) CROSS JOIN ng
+ORDER BY source
+""")
+def q141_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain-shift score: total-variation distance between
+    each source's unigram distribution and the whole-corpus distribution —
+    the mixture-planning diagnostic that flags which sources are
+    distributionally far from the blend they feed.
+
+    Bit-replayable floats (the q134 pattern): TV = ½·Σ|p_s − p_g| is
+    rearranged over the common denominator n_s·n_g into INTEGER
+    arithmetic — Σ_{t∈V_s}|c_st·n_g − c_gt·n_s| plus the absent-token
+    mass (n_g − Σ_{t∈V_s}c_gt)·n_s, divided once: a single IEEE division
+    of two exact integers, never a log/transcendental, so the hash is
+    stable across engines. (KL would need libm; TV is the hashable
+    domain-distance.)
+
+    Scale: token explode is map-side; (source, token) counts then token
+    totals derived FROM that relation (no second corpus explode — the
+    TF-IDF pattern); n_s/n_g are group-count-sized aggregates broadcast
+    back. Shuffle volume is the distinct (source, token) relation, with
+    map-side partial counts collapsing repeats before the wire. The
+    int64 accumulators hold to ~3·10⁹ tokens per engine-pair product
+    (n_s·n_g < 2⁶³); beyond that, switch the three sums to DECIMAL(38,0)
+    in both engines (ANSI mode fails loudly, never silently wraps)."""
+    from etl_load_spark.operators.dedup import normalize_text
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("source",
+                     F.explode(F.split(normalize_text(F.col("text")), " "))
+                     .alias("tk"))
+            .filter(F.col("tk") != ""))
+    tf = toks.groupBy("source", "tk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st"))
+    g = tf.groupBy("tk").agg(F.sum("c_st").cast("bigint").alias("c_gt"))
+    ns = tf.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    ng = g.agg(F.sum("c_gt").cast("bigint").alias("n_g"))
+    nm = (tf.join(g, "tk").join(F.broadcast(ns), "source")
+          .crossJoin(F.broadcast(ng))
+          .groupBy("source")
+          .agg(F.sum(F.abs(F.col("c_st") * F.col("n_g")
+                           - F.col("c_gt") * F.col("n_s")))
+               .cast("bigint").alias("num1"),
+               F.sum("c_gt").cast("bigint").alias("cov")))
+    return (ns.join(nm, "source").crossJoin(F.broadcast(ng))
+            .select("source", F.col("n_s").alias("n_tokens"), "vocab",
+                    ((F.col("num1")
+                      + (F.col("n_g") - F.col("cov")) * F.col("n_s"))
+                     .cast("double")
+                     / (F.lit(2) * F.col("n_s") * F.col("n_g"))
+                     .cast("double")).alias("tv_divergence"))
+            .orderBy("source"))
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,
