@@ -94,6 +94,15 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
         return df
     if tr.type.upper() == "SCD2_MERGE":
         return _scd2_transform(df, spark, spec)
+    if tr.type.upper() == "DECONTAMINATE":
+        if df.isStreaming:
+            raise ValueError(
+                "transformation.type=DECONTAMINATE is batch-only; the bloom "
+                "probe and verify join are stream-safe map-side stages, but "
+                "the per-document shared-n-gram aggregation needs a landed "
+                "batch pass — land the stream, then run DECONTAMINATE "
+                "downstream")
+        return _decontaminate_transform(df, spark, spec)
     if tr.type.upper() in _CORPUS_TRANSFORMS:
         if df.isStreaming and tr.type.upper() in _BATCH_ONLY_TRANSFORMS:
             # multi-stage stateful plans are not expressible as ONE
@@ -108,7 +117,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
         raise ValueError(f"unknown transformation.type: {tr.type!r} "
                          "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE, "
                          "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE, "
-                         "QUALITY_CLASSIFIER, SEMANTIC_DEDUP)")
+                         "QUALITY_CLASSIFIER, SEMANTIC_DEDUP, DECONTAMINATE, "
+                         "CLUSTER_BALANCE)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -251,12 +261,72 @@ def _semantic_dedup_transform(df: DataFrame, p: dict) -> DataFrame:
     return df.join(losers, id_col, "left_anti")
 
 
+def _decontaminate_transform(df: DataFrame, spark: SparkSession,
+                             spec: JobSpec) -> DataFrame:
+    """Declarative eval-set decontamination stage (operators/bloom.
+    decontaminate): the held-out benchmark comes from
+    ``extra_sources["eval"]``; mode='filter' (default) DROPS every
+    document sharing a verbatim n-gram with it, mode='annotate' appends
+    ``n_shared_ngrams`` (0 for clean docs). Parameters: idColumn
+    ('doc_id'), textColumn ('text'), ngram (8), fpp (0.01),
+    evalTextColumn / evalIdColumn (default to the corpus names)."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.bloom import decontaminate
+    from etl_load_spark.sources.registry import read_source
+    if "eval" not in spec.extra_sources:
+        raise ValueError("DECONTAMINATE requires extraSources.eval "
+                         "(the held-out benchmark to scrub against)")
+    p = spec.transformation.parameters or {}
+    id_col = p.get("idColumn", "doc_id")
+    ev = read_source(spark, spec.extra_sources["eval"])
+    ev = ev.select(
+        F.col(p.get("evalIdColumn", id_col)).alias(id_col),
+        F.col(p.get("evalTextColumn",
+                    p.get("textColumn", "text"))).alias("text"))
+    hits = decontaminate(
+        df.select(F.col(id_col), F.col(p.get("textColumn", "text"))
+                  .alias("text")),
+        ev, id_col=id_col, text_col="text",
+        n=int(p.get("ngram", 8)), fpp=float(p.get("fpp", 0.01)))
+    if p.get("mode", "filter") == "annotate":
+        return (df.join(hits.withColumnRenamed("train_doc_id", id_col),
+                        id_col, "left")
+                .withColumn("n_shared_ngrams",
+                            F.coalesce("n_shared_ngrams", F.lit(0))))
+    return df.join(hits.withColumnRenamed("train_doc_id", id_col),
+                   id_col, "left_anti")
+
+
+def _cluster_balance_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative cluster-balanced selection stage (operators/similarity
+    anchor_assign + cluster_balanced_sample): assign rows to their
+    nearest label anchor by cosine, thin every cluster toward the
+    smallest. mode='filter' (default) keeps the sampled rows (original
+    columns + ``cluster``); mode='annotate' returns ALL rows with their
+    ``cluster`` — assignment only, no thinning. Parameters: idColumn
+    ('vec_id'), vectorColumn ('embedding'), labelColumn ('label'),
+    salt ('bal')."""
+    from etl_load_spark.operators.similarity import (
+        anchor_assign, cluster_balanced_sample, min_id_anchors)
+    id_col = p.get("idColumn", "vec_id")
+    vec_col = p.get("vectorColumn", "embedding")
+    anchors = min_id_anchors(df, p.get("labelColumn", "label"),
+                             id_col, vec_col)
+    asg = anchor_assign(df, anchors, id_col, vec_col)
+    if p.get("mode", "filter") == "annotate":
+        return df.join(asg.select(id_col, "cluster"), id_col)
+    kept = cluster_balanced_sample(asg, id_col, salt=p.get("salt", "bal"))
+    return df.join(kept.select(id_col, "cluster"), id_col)
+
+
 _CORPUS_TRANSFORMS = {
     "PASSAGE_DEDUP": _passage_dedup_transform,
     "QUALITY_FILTER": _quality_filter_transform,
     "MIXTURE_SAMPLE": _mixture_sample_transform,
     "QUALITY_CLASSIFIER": _quality_classifier_transform,
     "SEMANTIC_DEDUP": _semantic_dedup_transform,
+    "CLUSTER_BALANCE": _cluster_balance_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -270,4 +340,8 @@ _BATCH_ONLY_TRANSFORMS = {
                            "downstream batch job over the landed stream"),
     "SEMANTIC_DEDUP": ("dedup each landed increment in a downstream batch "
                        "job (k-means blocking needs a corpus snapshot)"),
+    "CLUSTER_BALANCE": ("anchor fitting and cluster counts need a corpus "
+                        "snapshot; fit anchors offline, then apply "
+                        "anchor_assign (a map-side projection) in the "
+                        "stream and balance in a downstream batch job"),
 }

@@ -145,3 +145,9 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     r = run_job(spark, spec("PASSAGE_DEDUP", {"blockTokens": 4}, "p"))
     assert r.status == "FAILED"
     assert "stream_block_dedup" in (r.error or "")
+
+    # the snapshot-needing curation stages refuse with their batch pointer
+    r = run_job(spark, spec("DECONTAMINATE", {}, "d"))
+    assert r.status == "FAILED" and "batch" in (r.error or "")
+    r = run_job(spark, spec("CLUSTER_BALANCE", {}, "c"))
+    assert r.status == "FAILED" and "anchor" in (r.error or "")

@@ -149,3 +149,60 @@ def test_semantic_dedup_stage(spark, tmp_path):
     })
     got = {r.vec_id for r in build_plan(spark, spec).collect()}
     assert got == {1, 3}
+
+
+def test_decontaminate_stage_modes(spark, tmp_path):
+    """Declarative DECONTAMINATE: docs sharing a verbatim n-gram with
+    extraSources.eval drop in filter mode and get counted in annotate
+    mode; a missing eval source is a clear error."""
+    import json as _json
+    a16 = " ".join(f"a{i}" for i in range(16))
+    ev = tmp_path / "eval.json"
+    ev.write_text(_json.dumps({"doc_id": 100, "text": a16}))
+    base = _corpus_spec(tmp_path, "DECONTAMINATE", {"ngram": 8})
+    spec = JobSpec.from_dict({
+        "jobId": "decontam-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(tmp_path / "docs.json")}},
+        "extraSources": {"eval": {"type": "FILE_JSON",
+                                  "details": {"path": str(ev)}}},
+        "transformation": {"type": "DECONTAMINATE",
+                           "parameters": {"ngram": 8}},
+    })
+    got = {r.doc_id for r in build_plan(spark, spec).collect()}
+    assert got == {3, 4}                   # docs 1/2 carry eval 8-grams
+    spec.transformation.parameters["mode"] = "annotate"
+    rows = {r.doc_id: r for r in build_plan(spark, spec).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].n_shared_ngrams > 0 and rows[2].n_shared_ngrams > 0
+    assert rows[3].n_shared_ngrams == 0 and rows[4].n_shared_ngrams == 0
+    with pytest.raises(ValueError, match="extraSources.eval"):
+        build_plan(spark, base)
+
+
+def test_cluster_balance_stage_modes(spark, tmp_path):
+    """Declarative CLUSTER_BALANCE: annotate mode assigns every row a
+    cluster; filter mode returns the balanced sample with the smallest
+    cluster intact."""
+    import json as _json
+    rows = ([{"vec_id": i, "label": 0, "embedding": [1.0, float(i % 3)]}
+             for i in range(40)]
+            + [{"vec_id": 100 + i, "label": 1, "embedding": [0.0, 1.0]}
+               for i in range(3)])
+    src = tmp_path / "vecs.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    mk = lambda params: JobSpec.from_dict({
+        "jobId": "balance-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "vec_id bigint, label int,"
+                                         " embedding array<float>"}},
+        "transformation": {"type": "CLUSTER_BALANCE", "parameters": params},
+    })
+    ann = build_plan(spark, mk({"mode": "annotate"})).collect()
+    assert len(ann) == 43 and all(r.cluster in (0, 1) for r in ann)
+    small = {r.vec_id for r in ann if r.cluster == 1}
+    kept = build_plan(spark, mk({})).collect()
+    kept_ids = {r.vec_id for r in kept}
+    assert small <= kept_ids               # smallest cluster survives whole
+    assert len(kept_ids) < 43              # the big cluster was thinned
