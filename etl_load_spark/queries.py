@@ -5012,6 +5012,65 @@ def q141_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("q142_repeated_spans", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+w AS (
+  SELECT doc_id, unnest([array_to_string(ws[s:s+15], ' ')
+         for s in generate_series(1, greatest(len(ws)-15, 1))]) AS s
+  FROM tk),
+wf AS (SELECT doc_id, s FROM w WHERE s <> ''),
+dfreq AS (SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+          FROM wf GROUP BY s),
+agg AS (
+  SELECT wf.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN dfreq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeated
+  FROM wf JOIN dfreq USING (s) GROUP BY wf.doc_id)
+SELECT doc_id, n_windows, n_repeated,
+       CAST(n_repeated AS DOUBLE) / CAST(n_windows AS DOUBLE)
+         AS repetition_ratio
+FROM agg ORDER BY doc_id
+""")
+def q142_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span mining — the measurement behind exact
+    substring dedup (dedup literature's "repeated 50-token sequences",
+    sized to 16 tokens for this corpus): for every document, how many of
+    its 16-token windows occur verbatim in at least one OTHER document,
+    and the repeated fraction. Downstream, windows with nd >= 2 are the
+    cut list for span-level dedup; q128's block dedup is the coarser
+    (aligned-block) form of the same idea.
+
+    Distinct from q99 (intra-doc repetition: a doc repeating itself) and
+    q29 (pairwise set similarity): this scores cross-document duplication
+    at span granularity, one number per document.
+
+    Scale: window relation is a map-side posexplode (every POSITION
+    counts, so distinct=False); span doc-frequency aggregates distinct
+    (doc, span) pairs with map-side partials; the join back is
+    span-keyed. At 100 TB the span key becomes xxhash64 (8-byte shuffle
+    rows, q87's note). The ratio is one IEEE division of two exact
+    integers — bit-replayable across engines."""
+    from etl_load_spark.operators.dedup import shingles_exploded
+    d = t(spark, sf_dir, "documents")
+    ex = shingles_exploded(d, "doc_id", "text", n=16, distinct=False)
+    dfreq = (ex.dropDuplicates(["_id", "_s"])
+             .groupBy("_s").agg(F.count(F.lit(1)).cast("bigint").alias("nd")))
+    return (ex.join(dfreq, "_s")
+            .groupBy(F.col("_id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_repeated"))
+            .select("doc_id", "n_windows", "n_repeated",
+                    (F.col("n_repeated").cast("double")
+                     / F.col("n_windows").cast("double"))
+                    .alias("repetition_ratio"))
+            .orderBy("doc_id"))
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,

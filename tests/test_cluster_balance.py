@@ -108,3 +108,23 @@ def test_tv_divergence_exact_small_fixture(spark, tmp_path):
     assert out["s2"]["n_tokens"] == 2 and out["s2"]["vocab"] == 2
     assert out["s1"]["tv_divergence"] == pytest.approx(float(tv1), abs=0)
     assert out["s2"]["tv_divergence"] == pytest.approx(float(tv2), abs=0)
+
+
+def test_repeated_spans_planted(spark, tmp_path):
+    """q142 structural check: an exact duplicate pair scores
+    repetition_ratio 1.0 on both copies; a unique doc scores 0.0."""
+    twenty = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [(1, twenty, "en", "web", 1), (2, twenty, "en", "web", 1),
+            (3, uniq, "en", "web", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    from etl_load_spark.queries import QUERIES
+    out = {r["doc_id"]: r for r in
+           QUERIES["q142_repeated_spans"].fn(spark, str(tmp_path)).collect()}
+    assert out[1]["repetition_ratio"] == 1.0
+    assert out[2]["repetition_ratio"] == 1.0
+    assert out[3]["repetition_ratio"] == 0.0
+    assert out[1]["n_windows"] == 5       # 20 tokens -> 5 16-gram windows
