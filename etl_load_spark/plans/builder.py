@@ -269,7 +269,9 @@ def _decontaminate_transform(df: DataFrame, spark: SparkSession,
     document sharing a verbatim n-gram with it, mode='annotate' appends
     ``n_shared_ngrams`` (0 for clean docs). Parameters: idColumn
     ('doc_id'), textColumn ('text'), ngram (8), fpp (0.01),
-    evalTextColumn / evalIdColumn (default to the corpus names)."""
+    evalTextColumn / evalIdColumn (default to the corpus names),
+    evalFilter (optional SQL predicate narrowing the eval source —
+    e.g. a held-out split carved from a shared table)."""
     from pyspark.sql import functions as F
 
     from etl_load_spark.operators.bloom import decontaminate
@@ -280,6 +282,8 @@ def _decontaminate_transform(df: DataFrame, spark: SparkSession,
     p = spec.transformation.parameters or {}
     id_col = p.get("idColumn", "doc_id")
     ev = read_source(spark, spec.extra_sources["eval"])
+    if p.get("evalFilter"):
+        ev = ev.filter(p["evalFilter"])
     ev = ev.select(
         F.col(p.get("evalIdColumn", id_col)).alias(id_col),
         F.col(p.get("evalTextColumn",

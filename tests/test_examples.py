@@ -52,20 +52,27 @@ def test_corpus_curation_output_shape(spark, tmp_path):
 
 
 def test_refinery_chain_through_queue(spark, tmp_path):
-    """The three-stage training-refinery example chained the way production
+    """The four-stage training-refinery example chained the way production
     would run it: specs dropped into the spool queue in order, drained by
     the listener (ack-after-completion), funnel monotone, mixture final."""
     import shutil
     from etl_load_spark.queue_listener import FileQueueTransport, QueueListener
     shutil.rmtree("/tmp/etl_refinery", ignore_errors=True)
     stages = [p for p in EXAMPLES if "training_refinery" in p]
-    assert len(stages) == 3
+    assert len(stages) == 4
     q = FileQueueTransport(str(tmp_path / "q"))
     for p in stages:
         q.submit(json.load(open(p)))
     results = QueueListener(spark, q).drain()
-    assert [r["status"] for r in results] == ["COMPLETED"] * 3
+    assert [r["status"] for r in results] == ["COMPLETED"] * 4
     n1 = spark.read.parquet("/tmp/etl_refinery/stage1_quality").count()
     n2 = spark.read.parquet("/tmp/etl_refinery/stage2_dedup").count()
-    n3 = spark.read.parquet("/tmp/etl_refinery/final_mixture").count()
-    assert n1 >= n2 >= n3 > 0
+    n3 = spark.read.parquet("/tmp/etl_refinery/stage3_decontam").count()
+    n4 = spark.read.parquet("/tmp/etl_refinery/final_mixture").count()
+    assert n1 >= n2 >= n3 >= n4 > 0
+    # the train/eval carve-out really applied: no held-out doc reaches the
+    # training mixture (exact-cut semantics themselves are pinned in
+    # tests/test_bloom.py and tests/test_transform_hook.py)
+    held_out = spark.read.parquet(
+        "/tmp/etl_refinery/stage3_decontam").filter("doc_id % 10 = 0")
+    assert held_out.count() == 0
