@@ -233,3 +233,147 @@ def chunk_features(media: DataFrame, chunk_bytes: int = 2048,
                 "energy": [energy_fn(c) for c in pdf["chunk"]]})
 
     return chunks.mapInPandas(run, schema=CHUNK_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection: 64-bit average hash + pigeonhole bands
+# ---------------------------------------------------------------------------
+
+def ahash_signatures(media: DataFrame, id_col: str = "media_id",
+                     content_col: str = "content") -> DataFrame:
+    """(_id, _b0.._b3): 64-bit average-hash (aHash) of a binary payload
+    as FOUR 16-bit band ints — the perceptual-dedup signature, PURE JVM
+    expressions, bit-replayable in SQL (ahash_near_dup_sql).
+
+    "Pixels" are 64 bytes integer-sampled at idx_k = (k·(n−1)) div 63 —
+    exact integer arithmetic, so both engines pick identical bytes (a
+    float linspace would round differently at divisible boundaries).
+    Byte values come from hex(content) pairs (the q37 nibble trick,
+    extended to full bytes via conv(hex, 16, 10)). Bit k is set iff
+    64·p_k > Σp — an exact integer comparison, no float mean. Keeping
+    the signature as four ints (never one signed long) lets band
+    extraction and Hamming (Σ bit_count(xor)) skip sign-bit assembly.
+
+    A REAL image aHash resizes decoded luma to 8×8 first; here the
+    sampling IS the deterministic stand-in resize (same contract as
+    fake_decode/fake_resize — production swaps in decode+resize and the
+    banding/verify plumbing is unchanged). Empty/NULL payloads carry no
+    visual signal and are excluded (the shingle-relation rule:
+    degenerates pair with everything or nothing — exact dedup still
+    catches byte-identical empties)."""
+    d = (media.filter(F.col(content_col).isNotNull()
+                      & (F.length(content_col) > 0))
+         .select(F.col(id_col).alias("_id"),
+                 F.hex(content_col).alias("_hx"),
+                 F.length(content_col).cast("bigint").alias("_n")))
+    # bind sampled bytes to their own projection (HOF/codegen rule:
+    # never inline 64 copies of the hex/substring tree downstream)
+    ps = d.select(
+        "_id",
+        *[F.conv(F.substring(
+            "_hx",
+            (F.expr(f"({k} * (_n - 1)) div 63") * 2 + 1).cast("int"),
+            2), 16, 10).cast("int").alias(f"_p{k}")
+          for k in range(64)])
+    total = None
+    for k in range(64):
+        c = F.col(f"_p{k}")
+        total = c if total is None else total + c
+    ps = ps.withColumn("_sum", total)
+    bands = []
+    for b in range(4):
+        acc = None
+        for j in range(16):
+            k = 16 * b + j
+            bit = F.when(F.col(f"_p{k}") * 64 > F.col("_sum"),
+                         F.lit(1 << j)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        bands.append(acc.cast("int").alias(f"_b{b}"))
+    return ps.select("_id", *bands)
+
+
+def ahash_near_dup_pairs(media: DataFrame, id_col: str = "media_id",
+                         content_col: str = "content",
+                         max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs: aHash signature + 4×16-bit pigeonhole bands.
+
+    Any pair within Hamming ≤ 3 of 64 bits shares at least one exact
+    band, so candidates come from an equi-join on (band_index,
+    band_value) — never all-pairs — and the verify is
+    Σ_bands bit_count(xor) ≤ max_hamming. Same scale shape as SimHash
+    text dedup (dedup.py): one shared Exchange for both join sides,
+    signature-only shuffle rows, payloads never move."""
+    sigs = ahash_signatures(media, id_col, content_col)
+    exploded = (sigs.select(
+        "_id", "_b0", "_b1", "_b2", "_b3",
+        F.posexplode(F.array("_b0", "_b1", "_b2", "_b3"))
+        .alias("_band", "_val"))
+        .repartition("_band", "_val"))
+    a = exploded.select(F.col("_id").alias("id_a"),
+                        *[F.col(f"_b{b}").alias(f"_a{b}") for b in range(4)],
+                        "_band", "_val")
+    b = exploded.select(F.col("_id").alias("id_b"),
+                        *[F.col(f"_b{b}").alias(f"_c{b}") for b in range(4)],
+                        "_band", "_val")
+    ham = None
+    for i in range(4):
+        h = F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_c{i}")))
+        ham = h if ham is None else ham + h
+    return (a.join(b, ["_band", "_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def ahash_near_dup_sql(table: str = "documents", id_col: str = "doc_id",
+                       content_expr: str = "encode(text)",
+                       max_hamming: int = 3) -> str:
+    """The ENTIRE ahash_near_dup_pairs pipeline as one DuckDB oracle SQL
+    statement — generated from the same constants as the Column form so
+    the 64 byte-samples, the 64 threshold bits and the band assembly
+    cannot drift (the simhash_near_dup_sql pattern)."""
+    p_cols = ",\n       ".join(
+        f"CAST('0x' || substr(_hx, CAST(({k} * (_n - 1)) // 63 AS BIGINT)"
+        f" * 2 + 1, 2) AS INT) AS _p{k}"
+        for k in range(64))
+    total = " + ".join(f"_p{k}" for k in range(64))
+    band_exprs = []
+    for b in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN _p{16 * b + j} * 64 > _sum THEN {1 << j} "
+            f"ELSE 0 END)" for j in range(16))
+        band_exprs.append(f"CAST({terms} AS INT) AS _b{b}")
+    bands_sql = ",\n       ".join(band_exprs)
+    ham = " + ".join(f"bit_count(xor(a._b{i}, c._b{i}))" for i in range(4))
+    return f"""
+WITH src AS (
+  SELECT {id_col} AS _id, hex({content_expr}) AS _hx,
+         octet_length({content_expr}) AS _n
+  FROM {table}
+  WHERE {content_expr} IS NOT NULL AND octet_length({content_expr}) > 0),
+p AS (SELECT _id,
+       {p_cols}
+      FROM src),
+s AS (SELECT *, {total} AS _sum FROM p),
+sig AS (SELECT _id,
+       {bands_sql}
+       FROM s),
+bands AS (SELECT _id, _b0, _b1, _b2, _b3, u._band,
+                 CASE u._band WHEN 0 THEN _b0 WHEN 1 THEN _b1
+                              WHEN 2 THEN _b2 ELSE _b3 END AS _val
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS _band) u),
+pairs AS (SELECT DISTINCT a._id AS id_a, c._id AS id_b,
+                 a._b0, a._b1, a._b2, a._b3,
+                 c._b0 AS _c0, c._b1 AS _c1, c._b2 AS _c2, c._b3 AS _c3
+          FROM bands a JOIN bands c
+            ON a._band = c._band AND a._val = c._val AND a._id < c._id),
+h AS (SELECT id_a, id_b,
+             CAST(bit_count(xor(_b0, _c0)) + bit_count(xor(_b1, _c1))
+                  + bit_count(xor(_b2, _c2)) + bit_count(xor(_b3, _c3))
+                AS INT) AS hamming
+      FROM pairs)
+SELECT id_a, id_b, hamming FROM h
+WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""

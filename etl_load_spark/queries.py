@@ -5071,6 +5071,56 @@ def q142_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _register_ahash_oracle() -> None:
+    from etl_load_spark.operators.multimodal import ahash_near_dup_sql
+    inner = ahash_near_dup_sql(table="media", id_col="media_id",
+                               content_expr="content",
+                               max_hamming=3).strip()
+    assert inner.upper().startswith("WITH ")
+    QUERIES["q143_image_near_dup"].oracle = (
+        "WITH media AS (\n"
+        "  SELECT doc_id AS media_id, encode(text) AS content"
+        " FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 100000 AS media_id, encode(text) AS content\n"
+        "  FROM documents WHERE doc_id % 7 = 0),\n"
+        + inner[len("WITH "):])
+
+
+@query("q143_image_near_dup")  # oracle attached by _register_ahash_oracle
+def q143_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection — the multimodal rung of the dedup
+    ladder: 64-bit average hash (aHash) over binary payloads, 4×16-bit
+    pigeonhole bands for candidates, Σ bit_count(xor) Hamming verify
+    (operators/multimodal.py ahash_near_dup_pairs). Signature, banding
+    and verify are pure JVM expressions — no decode UDF in this rung —
+    and the oracle replays the ENTIRE algorithm in SQL (the SimHash q28
+    pattern), so the check is full value equality, not recall.
+
+    The corpus carries no byte-identical payloads, so every 7th document
+    is planted as an exact copy (media_id + 100000): a copy shares all
+    four bands, making candidate generation + hamming-0 recovery
+    structural — the pairs output is non-vacuous by construction.
+
+    Scale: signature is a map-side projection (64 sampled bytes via
+    hex/substring/conv); the candidate join shuffles (band, value,
+    4×int16) rows only — payload bytes never move; one shared Exchange
+    feeds both join sides. Real images swap in decode+resize ahead of
+    the same banding (docstring in multimodal.py)."""
+    from etl_load_spark.operators.multimodal import ahash_near_dup_pairs
+    d = t(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id").alias("media_id"),
+                    F.col("text").cast("binary").alias("content"))
+    planted = (d.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 100000).alias("media_id"),
+                       F.col("text").cast("binary").alias("content")))
+    return (ahash_near_dup_pairs(base.unionByName(planted))
+            .orderBy("id_a", "id_b"))
+
+
+_register_ahash_oracle()
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,

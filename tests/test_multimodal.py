@@ -111,3 +111,53 @@ def test_chunking_reconciles_with_lengths(spark):
     # single-valued buffer: every byte is 'y' (0x79) -> mean nibble 7/15
     assert abs(e[(2, 0)] - 7.0 / 15) < 1e-9
     assert e[(4, 0)] == 0.0
+
+
+def test_ahash_exact_copy_recovers_hamming_zero(spark):
+    """A byte-identical payload shares all four bands: candidate
+    generation and hamming-0 recovery are structural."""
+    from etl_load_spark.operators.multimodal import ahash_near_dup_pairs
+    payload = bytes(range(200)) * 2
+    rows = [(1, payload), (2, payload), (3, bytes(reversed(payload)))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in ahash_near_dup_pairs(media).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ahash_unsampled_byte_change_is_invisible(spark):
+    """Only 64 integer-sampled positions feed the signature: flipping a
+    byte strictly between sampled indices leaves the hash bit-identical
+    (the perceptual-robustness contract of the stand-in sampler)."""
+    from etl_load_spark.operators.multimodal import ahash_signatures
+    n = 128
+    sampled = {(k * (n - 1)) // 63 for k in range(64)}
+    hole = next(i for i in range(n) if i not in sampled)
+    base = bytearray(range(100, 228))
+    mod = bytearray(base)
+    mod[hole] = (mod[hole] + 97) % 256
+    media = spark.createDataFrame(
+        [(1, bytes(base)), (2, bytes(mod))], "media_id long, content binary")
+    sigs = {r["_id"]: (r["_b0"], r["_b1"], r["_b2"], r["_b3"])
+            for r in ahash_signatures(media).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_ahash_degenerate_payloads_excluded(spark):
+    from etl_load_spark.operators.multimodal import ahash_near_dup_pairs
+    rows = [(1, None), (2, b""), (3, b"x" * 100), (4, b"x" * 100)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {(r.id_a, r.id_b) for r in ahash_near_dup_pairs(media).collect()}
+    assert got == {(3, 4)}
+
+
+def test_ahash_plan_jvm_only(spark, sf_dir):
+    """q143's relational path: no Python eval, no cartesian — signature
+    is a projection, candidates come from the band equi-join."""
+    from etl_load_spark.queries import QUERIES
+    plan = (QUERIES["q143_image_near_dup"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
