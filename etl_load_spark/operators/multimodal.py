@@ -266,20 +266,24 @@ def ahash_signatures(media: DataFrame, id_col: str = "media_id",
          .select(F.col(id_col).alias("_id"),
                  F.hex(content_col).alias("_hx"),
                  F.length(content_col).cast("bigint").alias("_n")))
-    # bind sampled bytes to their own projection (HOF/codegen rule:
-    # never inline 64 copies of the hex/substring tree downstream)
-    ps = d.select(
-        "_id",
-        *[F.conv(F.substring(
-            "_hx",
-            (F.expr(f"({k} * (_n - 1)) div 63") * 2 + 1).cast("int"),
-            2), 16, 10).cast("int").alias(f"_p{k}")
-          for k in range(64)])
-    total = None
-    for k in range(64):
-        c = F.col(f"_p{k}")
-        total = c if total is None else total + c
-    ps = ps.withColumn("_sum", total)
+    # exploded form, NOT 64 projected columns: CollapseProject would
+    # inline each _p's conv(substring(hex)) tree into the sum AND every
+    # threshold bit — ~4000 hex() evaluations of the full payload per
+    # row (measured: the projected form ran 4.4s at sf0.1). Exploding
+    # (_id, k, p) rows computes each sampled byte ONCE; the per-id
+    # aggregate (1 sum + 64 pivot-maxes, the SimHash pops pattern) is a
+    # combinable signature-sized shuffle.
+    ex = (d.select("_id", "_n", "_hx",
+                   F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_k"))
+          .select("_id", "_k",
+                  F.conv(F.substring(
+                      "_hx",
+                      (F.expr("(_k * (_n - 1)) div 63") * 2 + 1).cast("int"),
+                      2), 16, 10).cast("int").alias("_p")))
+    ps = ex.groupBy("_id").agg(
+        F.sum("_p").alias("_sum"),
+        *[F.max(F.when(F.col("_k") == k, F.col("_p")))
+          .alias(f"_p{k}") for k in range(64)])
     bands = []
     for b in range(4):
         acc = None
