@@ -161,3 +161,31 @@ def test_ahash_plan_jvm_only(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ahash_sql_parity_edge_lengths(spark, tmp_path):
+    """Signature parity Spark vs the DuckDB replay on adversarial payload
+    lengths (1 byte, just-below/at/above the 64-sample count, repeats,
+    0x00/0xFF runs) — pins hex/substring/conv indexing and the exact
+    integer sampling across engines."""
+    import duckdb
+    payloads = [bytes([7]), bytes([0]) * 63, bytes(range(64)),
+                bytes(range(65)), bytes([255]) * 200,
+                bytes([i % 251 for i in range(1000)]),
+                b"\x00\xff" * 100]
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    p = str(tmp_path / "media.parquet")
+    df.coalesce(1).write.parquet(p)
+    from etl_load_spark.operators.multimodal import (ahash_near_dup_sql,
+                                                     ahash_signatures)
+    got = sorted(tuple(r) for r in ahash_signatures(df).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW media AS SELECT * FROM '{p}/*.parquet'")
+    sql = ahash_near_dup_sql(table="media", id_col="media_id",
+                             content_expr="content")
+    sig_cte = sql[:sql.index("bands AS")] + (
+        "sel AS (SELECT 1) SELECT _id, _b0, _b1, _b2, _b3 FROM sig "
+        "ORDER BY _id")
+    want = sorted(tuple(r) for r in con.sql(sig_cte).fetchall())
+    assert got == want
