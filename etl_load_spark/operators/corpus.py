@@ -323,3 +323,66 @@ SELECT {id_col}, n_tokens,
        (wsum / (1000.0 * n_tokens)) > {keep_threshold} AS keep
 FROM s ORDER BY {id_col}
 """
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Overlapping token-window chunking — the embedding/RAG shard step:
+    split each document into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens − overlap``, so consecutive chunks share ``overlap``
+    tokens of context. Returns (id, chunk_no, chunk_text, n_tokens).
+
+    Chunk starts are exact integer arithmetic (i·stride; the chunk count
+    is 1 + ceil(max(n − chunk_tokens, 0)/stride) via div — engine-
+    portable, no float indexing), tokens are a raw single-space split
+    (both engines split and rejoin identically, so the SQL twin is
+    bit-exact). Map-side only: sequence + posexplode + slice/concat_ws,
+    fused into the scan; stream-safe (stateless per row). At 100 TB the
+    fan-out is plan-visible (n/stride rows per doc) and output partition
+    sizing follows chunk_tokens, not input document skew."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens "
+                         f"({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = df.select(F.col(id_col).alias("_id"),
+                     F.split(F.col(text_col), " ").alias("_toks"),
+                     F.size(F.split(F.col(text_col), " ")).alias("_n"))
+    m = (F.lit(1)
+         + F.expr(f"(greatest(_n - {chunk_tokens}, 0) + {stride} - 1) "
+                  f"div {stride}"))
+    ex = toks.select("_id", "_toks", "_n",
+                     F.explode(F.sequence(F.lit(0), m - 1)).alias("_c"))
+    sl = F.slice("_toks", F.col("_c") * stride + 1, chunk_tokens)
+    return ex.select(F.col("_id").alias(id_col),
+                     F.col("_c").cast("bigint").alias("chunk_no"),
+                     F.concat_ws(" ", sl).alias("chunk_text"),
+                     F.size(sl).cast("bigint").alias("n_tokens"))
+
+
+def chunk_documents_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text", chunk_tokens: int = 64,
+                        overlap: int = 16) -> str:
+    """Exact SQL twin of ``chunk_documents`` (DuckDB): same raw split,
+    same integer chunk math, inclusive list slicing mirrors F.slice."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS _id, string_split({text_col}, ' ') AS _toks,
+         len(string_split({text_col}, ' ')) AS _n
+  FROM {table}),
+ex AS (
+  SELECT _id, _toks,
+         unnest(generate_series(0,
+           (greatest(_n - {chunk_tokens}, 0) + {stride} - 1) // {stride}
+         )) AS _c
+  FROM tk)
+SELECT _id AS {id_col}, CAST(_c AS BIGINT) AS chunk_no,
+       array_to_string(_toks[_c * {stride} + 1 :
+                              _c * {stride} + {chunk_tokens}], ' ')
+         AS chunk_text,
+       CAST(len(_toks[_c * {stride} + 1 :
+                      _c * {stride} + {chunk_tokens}]) AS BIGINT)
+         AS n_tokens
+FROM ex
+"""

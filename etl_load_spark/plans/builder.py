@@ -118,7 +118,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE, "
                          "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE, "
                          "QUALITY_CLASSIFIER, SEMANTIC_DEDUP, DECONTAMINATE, "
-                         "CLUSTER_BALANCE)")
+                         "CLUSTER_BALANCE, CHUNK_DOCUMENTS)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -261,6 +261,19 @@ def _semantic_dedup_transform(df: DataFrame, p: dict) -> DataFrame:
     return df.join(losers, id_col, "left_anti")
 
 
+def _chunk_documents_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative chunking stage (operators/corpus.chunk_documents):
+    REPLACES the row shape with the chunk relation (idColumn, chunk_no,
+    chunk_text, n_tokens) — the shard step ahead of embedding/indexing.
+    Stateless per row, so it runs on streams. Parameters: idColumn
+    ('doc_id'), textColumn ('text'), chunkTokens (64), overlap (16)."""
+    from etl_load_spark.operators.corpus import chunk_documents
+    return chunk_documents(df, p.get("idColumn", "doc_id"),
+                           p.get("textColumn", "text"),
+                           int(p.get("chunkTokens", 64)),
+                           int(p.get("overlap", 16)))
+
+
 def _decontaminate_transform(df: DataFrame, spark: SparkSession,
                              spec: JobSpec) -> DataFrame:
     """Declarative eval-set decontamination stage (operators/bloom.
@@ -331,6 +344,7 @@ _CORPUS_TRANSFORMS = {
     "QUALITY_CLASSIFIER": _quality_classifier_transform,
     "SEMANTIC_DEDUP": _semantic_dedup_transform,
     "CLUSTER_BALANCE": _cluster_balance_transform,
+    "CHUNK_DOCUMENTS": _chunk_documents_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE

@@ -5121,6 +5121,37 @@ def q143_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_ahash_oracle()
 
 
+def _register_chunk_oracle() -> None:
+    from etl_load_spark.operators.corpus import chunk_documents_sql
+    inner = chunk_documents_sql("documents", chunk_tokens=64, overlap=16)
+    QUERIES["q144_chunk_overlap"].oracle = f"""
+WITH ch AS ({inner})
+SELECT doc_id, chunk_no, md5(chunk_text) AS chunk_md5, n_tokens
+FROM ch ORDER BY doc_id, chunk_no
+"""
+
+
+@query("q144_chunk_overlap")  # oracle attached by _register_chunk_oracle
+def q144_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/corpus.py
+    chunk_documents) — the shard step feeding embedding/RAG pipelines:
+    64-token windows advancing by 48, so consecutive chunks share 16
+    tokens of context. Chunk text is md5'd for a compact hash surface;
+    the oracle replays the identical split/stride/slice arithmetic in
+    SQL (exact integer starts — no float indexing), so the check is
+    full value equality. Map-side only (sequence + explode + slice),
+    stream-safe, fan-out plan-visible."""
+    from etl_load_spark.operators.corpus import chunk_documents
+    d = t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+    return (ch.select("doc_id", "chunk_no",
+                      F.md5("chunk_text").alias("chunk_md5"), "n_tokens")
+            .orderBy("doc_id", "chunk_no"))
+
+
+_register_chunk_oracle()
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,

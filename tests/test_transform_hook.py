@@ -206,3 +206,23 @@ def test_cluster_balance_stage_modes(spark, tmp_path):
     kept_ids = {r.vec_id for r in kept}
     assert small <= kept_ids               # smallest cluster survives whole
     assert len(kept_ids) < 43              # the big cluster was thinned
+
+
+def test_chunk_documents_stage(spark, tmp_path):
+    """Declarative CHUNK_DOCUMENTS: the row shape becomes the chunk
+    relation; overlap repeats the shared tokens in consecutive chunks."""
+    spec = _corpus_spec(tmp_path, "CHUNK_DOCUMENTS",
+                        {"chunkTokens": 8, "overlap": 2})
+    rows = build_plan(spark, spec).collect()
+    assert set(rows[0].asDict()) == {"doc_id", "chunk_no", "chunk_text",
+                                     "n_tokens"}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1 has 32 tokens -> chunks start at 0,6,12,... (stride 6)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_no)
+    assert len(c1) == 5 and c1[0].n_tokens == 8
+    t0, t1 = c1[0].chunk_text.split(" "), c1[1].chunk_text.split(" ")
+    assert t0[-2:] == t1[:2]              # 2-token overlap
+    # a tiny doc still yields exactly one (short) chunk
+    assert len(by_doc[4]) == 1 and by_doc[4][0].n_tokens == 1
