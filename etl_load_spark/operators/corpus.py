@@ -345,9 +345,13 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"overlap ({overlap}) must be < chunk_tokens "
                          f"({chunk_tokens})")
     stride = chunk_tokens - overlap
-    toks = df.select(F.col(id_col).alias("_id"),
-                     F.split(F.col(text_col), " ").alias("_toks"),
-                     F.size(F.split(F.col(text_col), " ")).alias("_n"))
+    # NULL text yields NO chunks (filtered here; the SQL twin's WHERE
+    # matches). Without the filter Spark's NULL-skipping greatest()
+    # still schedules one chunk and emits a (md5(''), NULL) hybrid row.
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.split(F.col(text_col), " ").alias("_toks"),
+                    F.size(F.split(F.col(text_col), " ")).alias("_n")))
     m = (F.lit(1)
          + F.expr(f"(greatest(_n - {chunk_tokens}, 0) + {stride} - 1) "
                   f"div {stride}"))
@@ -370,7 +374,7 @@ def chunk_documents_sql(table: str = "documents", id_col: str = "doc_id",
 WITH tk AS (
   SELECT {id_col} AS _id, string_split({text_col}, ' ') AS _toks,
          len(string_split({text_col}, ' ')) AS _n
-  FROM {table}),
+  FROM {table} WHERE {text_col} IS NOT NULL),
 ex AS (
   SELECT _id, _toks,
          unnest(generate_series(0,

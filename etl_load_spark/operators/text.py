@@ -69,7 +69,11 @@ def _count_occurrences(text: Column, word: str) -> Column:
 
 def _count_occurrences_sql(col: str, word: str, dialect: str) -> str:
     norm = normalize_text_sql(col, dialect)
-    padded = f"concat(' ', {norm}, ' ')"
+    # || not concat(): DuckDB's concat() IGNORES NULL args (emits '  '
+    # for NULL text → count 0), while Spark's concat propagates NULL.
+    # || propagates NULL in both engines, keeping the NULL-text contract
+    # (NULL in → NULL count) identical.
+    padded = f"(' ' || {norm} || ' ')"
     return (f"CAST((length({padded}) - length(replace({padded}, ' {word} ', ' ')))"
             f" / {len(word) + 1} AS BIGINT)")
 
@@ -106,9 +110,12 @@ def quality_score(text: Column) -> Column:
     n_tok = token_count(text).cast("double")
     stop_ratio = stopword_count(text).cast("double") / F.greatest(n_tok, F.lit(1.0))
     punct_ratio = punct_count(text).cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
-    return (F.least(stop_ratio * 5, F.lit(1.0)) * 0.5
-            + F.least(n_tok / 100, F.lit(1.0)) * 0.3
-            + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2)
+    score = (F.least(stop_ratio * 5, F.lit(1.0)) * 0.5
+             + F.least(n_tok / 100, F.lit(1.0)) * 0.3
+             + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2)
+    # NULL text → NULL score, NOT a garbage number: Spark's least/greatest
+    # SKIP NULL args, so without the guard a NULL text scores 0.8
+    return F.when(text.isNotNull(), score)
 
 
 def quality_score_sql(col: str, dialect: str = "spark") -> str:
@@ -116,9 +123,10 @@ def quality_score_sql(col: str, dialect: str = "spark") -> str:
     stop = f"CAST({stopword_count_sql(col, dialect)} AS DOUBLE)"
     punct = f"CAST({punct_count_sql(col, dialect)} AS DOUBLE)"
     length = f"greatest(CAST(length({col}) AS DOUBLE), 1.0)"
-    return (f"(least({stop} / greatest({n_tok}, 1.0) * 5, 1.0) * 0.5"
+    return (f"(CASE WHEN {col} IS NULL THEN NULL ELSE "
+            f"least({stop} / greatest({n_tok}, 1.0) * 5, 1.0) * 0.5"
             f" + least({n_tok} / 100, 1.0) * 0.3"
-            f" + (1.0 - least({punct} / {length} * 10, 1.0)) * 0.2)")
+            f" + (1.0 - least({punct} / {length} * 10, 1.0)) * 0.2 END)")
 
 
 def lang_scores(text: Column) -> dict[str, Column]:

@@ -1053,8 +1053,8 @@ WITH h AS (
          -- high nibble of byte i == hex char 2i of hex(content): keeping
          -- the first char of every hex pair replays fake_decode's
          -- (byte >> 4) binning without byte-extraction functions
-         regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS nib,
-         greatest(octet_length(encode(text)), 1) AS n
+         regexp_replace(hex(encode(coalesce(text, ''))), '(.).', '\\1', 'g') AS nib,
+         greatest(octet_length(encode(coalesce(text, ''))), 1) AS n
   FROM documents)
 SELECT media_id, 16 AS feat_dim,
        round(CAST(length(nib) - length(replace(nib, '0', '')) AS BIGINT)
@@ -1122,7 +1122,10 @@ FROM documents ORDER BY doc_id
 WITH fp AS (SELECT doc_id, {tx.fingerprint_sql('text', d)} AS fp FROM documents)
 SELECT doc_id, fp,
        COUNT(*) OVER (PARTITION BY fp) AS n_with_fp
-FROM fp ORDER BY doc_id
+FROM fp
+WHERE fp IS NOT NULL  -- NULL text has no fingerprint; the Spark side's
+                      -- inner join on fp excludes it identically
+ORDER BY doc_id
 """
 
 
@@ -3295,7 +3298,7 @@ def _register_multimodal_oracles() -> None:
     QUERIES["q100_audio_chunks"].oracle = f"""
 WITH h AS (
   SELECT doc_id AS media_id,
-         regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS nib
+         regexp_replace(hex(encode(coalesce(text, ''))), '(.).', '\\1', 'g') AS nib
   FROM documents),
 c AS (
   SELECT media_id,
@@ -3320,8 +3323,8 @@ FROM k ORDER BY media_id, chunk_no
         " + 1, 2)" for k in range(63))
     QUERIES["q64_media_resize"].oracle = f"""
 WITH h AS (
-  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         octet_length(encode(text)) AS len
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS len
   FROM documents)
 SELECT media_id,
        CAST(8 AS BIGINT) AS out_width, CAST(8 AS BIGINT) AS out_height,

@@ -1,0 +1,68 @@
+"""NULL/degenerate-text oracle sweep — class-level protection for the
+"exact SQL twin" contract on dirty data.
+
+The driver testdata contains no NULL text/lang/source rows, so every
+per-round oracle sweep is blind to NULL-semantics divergences between
+Spark expressions and their DuckDB twins (round 3 found EIGHT in one
+probe: DuckDB concat() ignoring NULL args vs Spark propagating, Spark
+least/greatest skipping NULLs into garbage scores, NULL-key join drops
+vs window counts, encode(NULL) vs the fake kernels' None branches).
+This sweep runs every documents-family oracled query against a
+null-injected corpus so the whole class stays fixed.
+
+Contract pinned here (operator docstrings carry the details):
+  - text analysis scalars (stats, langid, quality, rules) NULL-propagate;
+  - fingerprint duplicate-counting excludes NULL fingerprints;
+  - media kernels treat NULL content as an empty payload;
+  - chunking emits no chunks for NULL text.
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def null_fix(spark, sf_dir, tmp_path_factory):
+    import shutil
+    fix = str(tmp_path_factory.mktemp("nullfix"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(900001, None, "en", "web", 0),      # NULL text
+         (900002, "", "en", None, 0),         # empty text, NULL source
+         (900003, "   ", None, "books", 3),   # whitespace text, NULL lang
+         (900004, "a b c", "en", "web", 5)],  # short control row
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    (d.unionByName(extra).coalesce(1)
+     .write.mode("overwrite").parquet(f"{fix}/documents.parquet"))
+    for t in ("embeddings", "events", "region", "nation", "customer",
+              "supplier", "part", "orders", "lineitem"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{fix}/{t}.parquet")
+    return fix
+
+
+def _doc_queries():
+    from etl_load_spark.queries import QUERIES
+    return sorted(n for n, q in QUERIES.items()
+                  if q.oracle and "documents" in q.oracle.lower())
+
+
+@pytest.mark.parametrize("name", _doc_queries())
+def test_oracle_parity_on_null_injected_corpus(spark, null_fix, name):
+    import duckdb
+    from etl_load_spark.queries import QUERIES
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{null_fix}/documents.parquet/*.parquet'")
+    for t in ("embeddings", "events", "region", "nation", "customer",
+              "supplier", "part", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{null_fix}/{t}.parquet'")
+    q = QUERIES[name]
+    srows = sorted(tuple(str(x) for x in r)
+                   for r in q.fn(spark, null_fix).collect())
+    drows = sorted(tuple(str(x) for x in r)
+                   for r in con.sql(q.oracle).fetchall())
+    assert srows == drows, (
+        f"{name} diverges on the null-injected corpus: "
+        f"spark-only={sorted(set(srows) - set(drows))[:3]} "
+        f"duck-only={sorted(set(drows) - set(srows))[:3]}")
