@@ -41,6 +41,28 @@ def cosine(a: Column, b: Column) -> Column:
     return _null_if_nan(F.try_divide(dot(a, b), norm(a) * norm(b)))
 
 
+def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Relation-level degenerate filter shared by the similarity family:
+    drop NULL arrays, arrays containing NULL/NaN elements, and zero-norm
+    vectors. Degenerate embeddings carry no direction, so they can match
+    nothing — and they must be excluded BEFORE any cross-engine scoring:
+    DuckDB's vectorized list_cosine_similarity raises on a NULL element
+    (and scores zero-norm as -1.0 where Spark's cosine yields NULL), so
+    the oracle contract is exclusion on BOTH sides
+    (valid_embeddings_sql). Map-side only; fuses into the scan."""
+    v = F.col(vec_col)
+    bad_elem = F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    return df.filter(v.isNotNull() & ~bad_elem & (dot(v, v) > 0))
+
+
+def valid_embeddings_sql(col: str = "embedding") -> str:
+    """DuckDB twin of ``valid_embeddings``'s predicate."""
+    c = f"CAST({col} AS DOUBLE[])"
+    return (f"({col} IS NOT NULL AND len(list_filter({col}, "
+            f"x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0 "
+            f"AND list_dot_product({c}, {c}) > 0)")
+
+
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
@@ -51,6 +73,8 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     Scale: queries broadcast; corpus never shuffles. For large query sets
     use lsh_topk.
     """
+    queries = valid_embeddings(queries, vec_col)
+    vectors = valid_embeddings(vectors, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
     c = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
@@ -117,6 +141,7 @@ def rp_signatures(vectors: DataFrame, id_col: str, vec_col: str,
 
     sig = pandas_udf(_sig, returnType="long")
 
+    vectors = valid_embeddings(vectors, vec_col)
     return vectors.select(
         F.col(id_col).alias("_id"),
         sig(F.col(vec_col).cast("array<double>")).alias("_sig"))
@@ -283,6 +308,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     certificate structural: unit(2·x) is bit-identical to unit(x) in IEEE
     float (power-of-two scaling is exact through square/sum/sqrt/divide),
     so a ×2-scaled query probes exactly its original's cell first."""
+    vectors = valid_embeddings(vectors, vec_col)
+    queries = valid_embeddings(queries, vec_col)
     cents = (centroids if centroids is not None
              else fit_centroids(vectors, vec_col, n_cells, normalize=True))
     if not cents:  # degenerate corpus (empty / all-NULL embeddings)
@@ -324,6 +351,7 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     candidate count geometrically — n_planes=64/bands=8 keeps recall ≥ 93%
     at cosine 0.9 (→ ~100% by 0.99) with 256× finer buckets than the
     16/4 default."""
+    vectors = valid_embeddings(vectors, vec_col)
     sigs = rp_signatures(vectors, id_col, vec_col, dim, n_planes)
     buckets = (sigs.select("_id",
                            F.posexplode(band_keys(F.col("_sig"), n_planes,
@@ -445,6 +473,8 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     pool_factor; memory per corpus vector is m bytes instead of 4·dim.
     """
     import numpy as np
+    vectors = valid_embeddings(vectors, vec_col)
+    queries = valid_embeddings(queries, vec_col)
     books = codebooks or fit_pq_codebooks(vectors, vec_col, m, n_codes)
     if not books:  # degenerate corpus (empty / all-NULL embeddings)
         id_type = dict(vectors.dtypes)[id_col]
@@ -683,10 +713,13 @@ def min_id_anchors(df: DataFrame, label_col: str = "label",
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """One deterministic anchor vector per label: the embedding of the
-    min-id member (min_by — SQL-replayable as DuckDB arg_min). The collect
-    is bounded by the number of LABELS, never the corpus (same bounded
-    contract as the IVF training sample)."""
-    rows = (df.groupBy(label_col)
+    min-id member (min_by — SQL-replayable as DuckDB arg_min). Degenerate
+    embeddings and NULL labels are excluded (valid_embeddings contract).
+    The collect is bounded by the number of LABELS, never the corpus
+    (same bounded contract as the IVF training sample)."""
+    rows = (valid_embeddings(df, vec_col)
+            .filter(F.col(label_col).isNotNull())
+            .groupBy(label_col)
             .agg(F.min_by(vec_col, id_col).alias("_av"))
             .collect())
     return sorted((r[label_col], list(r["_av"])) for r in rows)

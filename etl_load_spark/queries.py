@@ -889,10 +889,20 @@ def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (north-star extension operators)
 # ---------------------------------------------------------------------------
 
+from etl_load_spark.operators.similarity import valid_embeddings_sql as _ve
+
+_VE = _ve("embedding")
+_VE_E = _ve("e.embedding")
+
+
 @query("q30_sim_topk", oracle="""
-WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+WITH ef AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB otherwise pushes the cosine projection below
+  -- this filter and errors on degenerate (NULL-element) vectors
+  SELECT vec_id, embedding FROM embeddings WHERE """ + _VE + """),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM ef WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM ef),
 s AS (SELECT q_id, n_id,
              round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
       FROM q CROSS JOIN c WHERE q_id <> n_id),
@@ -935,12 +945,14 @@ def q47_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q32_embedding_near_dup", oracle="""
-WITH pert AS (
+WITH ef AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE """ + _VE + """),
+pert AS (
   SELECT vec_id + 100000 AS vec_id,
          list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
-  FROM embeddings),
+  FROM ef),
 corpus AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM ef
   UNION ALL SELECT vec_id, embedding FROM pert),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -4619,12 +4631,14 @@ def q132_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q133_semantic_dedup", oracle="""
-WITH pert AS (
+WITH ef AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE """ + _VE + """),
+pert AS (
   SELECT vec_id + 100000 AS vec_id,
          list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
-  FROM embeddings),
+  FROM ef),
 corpus AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM ef
   UNION ALL SELECT vec_id, embedding FROM pert),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -4675,14 +4689,16 @@ def q134_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q131_sim_lsh_planted", oracle="""
-WITH q AS (
+WITH ef AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE """ + _VE + """),
+q AS (
   SELECT vec_id + 100000 AS q_id,
          list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS qv
-  FROM embeddings WHERE vec_id < 50),
+  FROM ef WHERE vec_id < 50),
 s AS (
   SELECT q.q_id, e.vec_id AS n_id,
          round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine_sim
-  FROM q CROSS JOIN embeddings e),
+  FROM q CROSS JOIN ef e),
 r AS (
   SELECT q_id, n_id, cosine_sim,
          row_number() OVER (PARTITION BY q_id
@@ -4712,14 +4728,16 @@ def q131_sim_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PLANTED_TOP1_ORACLE = """
-WITH q AS (
+WITH ef AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE """ + _VE + """),
+q AS (
   SELECT vec_id + 100000 AS q_id,
          list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS qv
-  FROM embeddings WHERE vec_id < 50),
+  FROM ef WHERE vec_id < 50),
 s AS (
   SELECT q.q_id, e.vec_id AS n_id,
          round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine_sim
-  FROM q CROSS JOIN embeddings e),
+  FROM q CROSS JOIN ef e),
 r AS (
   SELECT q_id, n_id, cosine_sim,
          row_number() OVER (PARTITION BY q_id
@@ -4891,8 +4909,9 @@ def q140_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster counts are an anchor-sized broadcast; the balance filter is
     map-side. The only corpus-sized aggregation is the per-cluster count."""
     from etl_load_spark.operators.similarity import (
-        anchor_assign, cluster_balanced_sample, min_id_anchors)
-    e = t(spark, sf_dir, "embeddings")
+        anchor_assign, cluster_balanced_sample, min_id_anchors,
+        valid_embeddings)
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     anchors = min_id_anchors(e)
     asg = anchor_assign(e, anchors)
     counts = asg.groupBy("cluster").agg(
@@ -4911,13 +4930,16 @@ def _register_cluster_balance_oracle() -> None:
     from etl_load_spark.operators.dedup import portable_hash64_sql
     h = portable_hash64_sql("CAST(vec_id AS VARCHAR) || ':bal'", "duckdb")
     QUERIES["q140_cluster_balance"].oracle = f"""
-WITH a AS (SELECT label, arg_min(embedding, vec_id) AS av
-           FROM embeddings GROUP BY label),
+WITH ef AS MATERIALIZED (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE {_ve("embedding")}),
+a AS (SELECT label, arg_min(embedding, vec_id) AS av
+      FROM ef WHERE label IS NOT NULL GROUP BY label),
 s AS (SELECT e.vec_id, a.label,
              coalesce(round(list_cosine_similarity(
                  CAST(e.embedding AS DOUBLE[]), CAST(a.av AS DOUBLE[])), 6),
                -2.0) AS sim
-      FROM embeddings e CROSS JOIN a),
+      FROM ef e CROSS JOIN a),
 r AS (SELECT vec_id, label,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY sim DESC, label) AS rn

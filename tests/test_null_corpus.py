@@ -66,3 +66,71 @@ def test_oracle_parity_on_null_injected_corpus(spark, null_fix, name):
         f"{name} diverges on the null-injected corpus: "
         f"spark-only={sorted(set(srows) - set(drows))[:3]} "
         f"duck-only={sorted(set(drows) - set(srows))[:3]}")
+
+
+@pytest.fixture(scope="module")
+def emb_fix(spark, sf_dir, tmp_path_factory):
+    """Degenerate-embedding fixture: NULL array, zero vector, NULL label.
+    (DuckDB's vectorized list_cosine_similarity ERRORS on a NULL element
+    in a batch and scores zero-norm -1.0 where Spark's cosine is NULL —
+    hence the family contract: degenerate vectors are excluded from every
+    similarity relation on BOTH sides, via valid_embeddings /
+    valid_embeddings_sql, with the filtered CTE MATERIALIZED so DuckDB
+    cannot push the cosine below the filter.)"""
+    import shutil
+    fix = str(tmp_path_factory.mktemp("embfix"))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.first()["embedding"])
+    extra = spark.createDataFrame(
+        [(800001, None, 0),
+         (800002, [0.0] * dim, 1),
+         (800003, [1.0] + [0.0] * (dim - 1), None)],
+        "vec_id long, embedding array<float>, label int")
+    (e.unionByName(extra).coalesce(1)
+     .write.mode("overwrite").parquet(f"{fix}/embeddings.parquet"))
+    for t in ("documents", "events", "region", "nation", "customer",
+              "supplier", "part", "orders", "lineitem"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{fix}/{t}.parquet")
+    return fix
+
+
+def _emb_queries():
+    from etl_load_spark.queries import QUERIES
+    return sorted(n for n, q in QUERIES.items()
+                  if q.oracle and "embeddings" in q.oracle.lower())
+
+
+@pytest.mark.parametrize("name", _emb_queries())
+def test_oracle_parity_on_degenerate_embeddings(spark, emb_fix, name):
+    import duckdb
+    from etl_load_spark.queries import QUERIES
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{emb_fix}/embeddings.parquet/*.parquet'")
+    for t in ("documents", "events", "region", "nation", "customer",
+              "supplier", "part", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{emb_fix}/{t}.parquet'")
+    q = QUERIES[name]
+    srows = sorted(tuple(str(x) for x in r)
+                   for r in q.fn(spark, emb_fix).collect())
+    drows = sorted(tuple(str(x) for x in r)
+                   for r in con.sql(q.oracle).fetchall())
+    assert srows == drows, (
+        f"{name} diverges on the degenerate-embedding corpus: "
+        f"spark-only={sorted(set(srows) - set(drows))[:3]} "
+        f"duck-only={sorted(set(drows) - set(srows))[:3]}")
+
+
+def test_rows_only_similarity_ops_survive_degenerates(spark, emb_fix):
+    """The rows-only ANN rungs must not crash on degenerate vectors —
+    valid_embeddings filters them at every operator entry."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.operators.similarity import (
+        embedding_near_dup_pairs, ivf_topk, lsh_topk, pq_topk)
+    e = spark.read.parquet(f"{emb_fix}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    assert lsh_topk(e, q, k=2).count() > 0
+    assert ivf_topk(e, q, k=2, n_cells=4, n_probe=2).count() > 0
+    assert pq_topk(e, q, k=2, m=8, n_codes=8).count() > 0
+    embedding_near_dup_pairs(e).count()  # no crash; pairs may be empty
