@@ -698,13 +698,13 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
        COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def q23_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over events in batch form — the same
     plan Structured Streaming runs incrementally (streaming equivalence is
     tested in tests/test_streaming.py with Trigger.AvailableNow)."""
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1230,14 +1230,17 @@ SELECT user_id,
        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
        CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
-FROM events GROUP BY user_id ORDER BY user_id
+FROM events WHERE event_type IS NOT NULL
+GROUP BY user_id ORDER BY user_id
 """)
 def q52_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map constructors/accessors (§2.9 item 8): per-user event_type→count
     map built with map_from_entries, read back via map_keys / element_at.
     The map is built and queried in Spark; the projection to scalar columns
     keeps it oracle-comparable."""
-    e = t(spark, sf_dir, "events")
+    # NULL event_type cannot be a map key (Spark map_from_entries raises
+    # NULL_MAP_KEY): typeless events are excluded on both sides
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     per_type = (e.groupBy("user_id", "event_type")
                 .agg(F.count(F.lit(1)).alias("cnt")))
     m = (per_type.groupBy("user_id")
@@ -1259,7 +1262,7 @@ SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY bucket_start, event_type
 ORDER BY bucket_start, event_type
 """)
@@ -1270,7 +1273,7 @@ def q53_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals) keeps the whole rollup in codegen'd hash aggregation; at
     100 TB the bucket column is also the natural partition key for an
     incremental materialization."""
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (e.groupBy(F.window("ts", "15 minutes").start.alias("bucket_start"),
                       "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1536,7 +1539,7 @@ WITH g AS (
                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL 10 MINUTE
               THEN 1 ELSE 0 END AS new_session
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 s AS (
   SELECT user_id, ts,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -1587,7 +1590,8 @@ def q48_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q39_sliding_windows", oracle="""
 WITH b AS (
-  SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS bkt FROM events),
+  SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS bkt
+  FROM events WHERE ts IS NOT NULL),
 x AS (
   SELECT event_type, bkt AS window_start FROM b
   UNION ALL
@@ -1601,7 +1605,7 @@ def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle expands each event into its two member windows — semantics
     identical to Spark's window(ts, '1 hour', '30 minutes')."""
     from etl_load_spark.streaming.windows import sliding_counts
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (sliding_counts(e, window="1 hour", slide="30 minutes")
             .orderBy("window_start", "event_type"))
 
@@ -1894,6 +1898,7 @@ SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
        CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events e LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
   ON e.user_id = c.c_custkey
+WHERE e.ts IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def q65_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1904,7 +1909,7 @@ def q65_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     function body runs as a streaming query (broadcast dim, no join state,
     watermark-bounded agg state) — equivalence in tests/test_streaming.py."""
     from etl_load_spark.streaming.windows import stream_static_enrich
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     return (stream_static_enrich(e, c)
             .orderBy("window_start", "segment"))
@@ -2072,7 +2077,7 @@ SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
        CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
        TRUE AS merge_ok
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events WHERE ts IS NOT NULL GROUP BY event_type ORDER BY event_type
 """)
 def q71_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count rollup (the 100 TB pattern): one HLL
@@ -2088,7 +2093,7 @@ def q71_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed by DuckDB, so a hash match certifies both the sketch
     accuracy after merging and the daily-partition bookkeeping. The
     exact distinct rides along only to anchor the claim at test scale."""
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = (e.groupBy(F.to_date("ts").alias("day"), "event_type")
              .agg(F.hll_sketch_agg("user_id", 14).alias("sk")))
     merged = (daily.groupBy("event_type")
@@ -2098,8 +2103,13 @@ def q71_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (e.groupBy("event_type")
              .agg(F.countDistinct("user_id").cast("bigint")
                   .alias("exact_users")))
-    return (merged.join(exact, "event_type")
-            .select("event_type", "exact_users", "n_day_sketches",
+    # eqNullSafe: a NULL event_type is a legitimate rollup group in both
+    # engines; a plain equi-join would silently drop it (NULL-key lesson)
+    m, x = merged.alias("m"), exact.alias("x")
+    return (m.join(x, F.col("m.event_type").eqNullSafe(F.col("x.event_type")))
+            .select(F.col("m.event_type").alias("event_type"),
+                    F.col("x.exact_users").alias("exact_users"),
+                    F.col("m.n_day_sketches").alias("n_day_sketches"),
                     (F.abs(F.col("_est") - F.col("exact_users"))
                      <= F.col("exact_users") * 0.05).alias("merge_ok"))
             .orderBy("event_type"))
@@ -3079,7 +3089,7 @@ def q94_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH r AS (SELECT event_id, user_id, event_type, ts,
                   row_number() OVER (PARTITION BY user_id, event_type
                                      ORDER BY ts, event_id) AS rn
-           FROM events)
+           FROM events WHERE ts IS NOT NULL)
 SELECT user_id, event_type, CAST(event_id AS BIGINT) AS first_event,
        CAST(epoch_us(ts) AS BIGINT) AS first_ts_us
 FROM r WHERE rn = 1 ORDER BY user_id, event_type
@@ -3100,7 +3110,7 @@ def q95_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn=1 per group (TopK-per-key); state is one row per live key, which
     is the same bound the watermarked streaming form keeps.
     """
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (e.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -3952,7 +3962,7 @@ def q114_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q115_sessionize", oracle="""
 WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
 f AS (SELECT user_id, event_id, us,
              CASE WHEN lag(us) OVER w IS NULL
                        OR us - lag(us) OVER w > 1800000000
@@ -3980,7 +3990,7 @@ def q115_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset of user_id, and AQE handles the residual exchange. user_id is
     near-uniform; no skew handling needed.
     """
-    e = (t(spark, sf_dir, "events")
+    e = (t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
          .select("user_id", "event_id",
                  F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us")))
     w = W.partitionBy("user_id").orderBy("us", "event_id")
@@ -4135,7 +4145,8 @@ def q118_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q119_window_misc", oracle="""
 WITH e AS (SELECT event_id, user_id, event_type, value,
-                  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+                  CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events WHERE ts IS NOT NULL),
 w AS (SELECT user_id, us, event_id,
              lag(value, 1, -1.0) OVER o AS prev_v,
              lead(event_type, 1, 'none') OVER o AS next_type,
@@ -4161,7 +4172,7 @@ def q119_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans UnboundedWindow functions alongside running ones without a
     second sort).
     """
-    e = (t(spark, sf_dir, "events")
+    e = (t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
          .select("event_id", "user_id", "event_type", "value",
                  F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us")))
     o = W.partitionBy("user_id").orderBy("us", "event_id")

@@ -30,11 +30,20 @@ def open_event_stream(spark: SparkSession, sf_dir: str,
     import os
     import tempfile
 
-    # the file-stream source needs a directory; expose the single-file
-    # table through a symlinked temp dir (no data copy)
+    # the file-stream source needs a directory of data files; expose the
+    # table through a symlinked temp dir (no data copy). A Spark-written
+    # table is itself a DIRECTORY of part files — symlink each part (the
+    # file source does not recurse into a linked subdirectory; a dir
+    # symlink silently streamed ZERO rows).
     stream_dir = tempfile.mkdtemp(prefix="etl_events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet",
-               os.path.join(stream_dir, "events.parquet"))
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        import glob as _glob
+        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        for i, part in enumerate(parts):
+            os.symlink(part, os.path.join(stream_dir, f"part{i}.parquet"))
+    else:
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:

@@ -134,3 +134,61 @@ def test_rows_only_similarity_ops_survive_degenerates(spark, emb_fix):
     assert ivf_topk(e, q, k=2, n_cells=4, n_probe=2).count() > 0
     assert pq_topk(e, q, k=2, m=8, n_codes=8).count() > 0
     embedding_near_dup_pairs(e).count()  # no crash; pairs may be empty
+
+
+@pytest.fixture(scope="module")
+def ev_fix(spark, sf_dir, tmp_path_factory):
+    """NULL-injected events fixture: NULL user_id/props, NULL
+    event_type/value, NULL ts. Contract pinned by the sweep below:
+    time-keyed operators (windows, buckets, sessions, event dedup,
+    epoch-ordered analytics) exclude NULL-ts rows on BOTH sides — the
+    same rows Structured Streaming cannot window — while key-only
+    operators (q48's stateful stats) keep them; NULL event_type cannot
+    be a map key (q52 excludes it) but IS a legitimate rollup group
+    (q71 joins it eqNullSafe)."""
+    import datetime
+    import shutil
+    fix = str(tmp_path_factory.mktemp("evfix"))
+    from etl_load_spark.session import read_table
+    e = read_table(spark, sf_dir, "events")
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    extra = spark.createDataFrame(
+        [(900001, ts, None, "click", 1.5, None),
+         (900002, ts, 7, None, None, '{"k":1}'),
+         (900003, None, 7, "view", 2.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    (e.unionByName(extra).coalesce(1)
+     .write.mode("overwrite").parquet(f"{fix}/events.parquet"))
+    for t in ("documents", "embeddings", "region", "nation", "customer",
+              "supplier", "part", "orders", "lineitem"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{fix}/{t}.parquet")
+    return fix
+
+
+def _ev_queries():
+    from etl_load_spark.queries import QUERIES
+    return sorted(n for n, q in QUERIES.items()
+                  if q.oracle and " events" in q.oracle.lower())
+
+
+@pytest.mark.parametrize("name", _ev_queries())
+def test_oracle_parity_on_null_injected_events(spark, ev_fix, name):
+    import duckdb
+    from etl_load_spark.queries import QUERIES
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"'{ev_fix}/events.parquet/*.parquet'")
+    for t in ("documents", "embeddings", "region", "nation", "customer",
+              "supplier", "part", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{ev_fix}/{t}.parquet'")
+    q = QUERIES[name]
+    srows = sorted(tuple(str(x) for x in r)
+                   for r in q.fn(spark, ev_fix).collect())
+    drows = sorted(tuple(str(x) for x in r)
+                   for r in con.sql(q.oracle).fetchall())
+    assert srows == drows, (
+        f"{name} diverges on the null-injected events: "
+        f"spark-only={sorted(set(srows) - set(drows))[:3]} "
+        f"duck-only={sorted(set(drows) - set(srows))[:3]}")
