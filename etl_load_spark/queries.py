@@ -447,11 +447,13 @@ def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q11_window_running", oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
-            OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_qty,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
-            OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS qty_last5
 FROM lineitem WHERE l_suppkey <= 20
@@ -462,7 +464,11 @@ def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal accumulator keeps the running sums exact → order-independent
     comparison. Unique order key (shipdate, orderkey, linenumber)."""
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    # asc_nulls_last: Spark sorts NULLs FIRST ascending, DuckDB LAST —
+    # a NULL l_shipdate would otherwise lead the frame in one engine and
+    # close it in the other, flipping every running value in the partition
+    order = [F.col("l_shipdate").asc_nulls_last(), F.col("l_orderkey"),
+             F.col("l_linenumber")]
     w = W.partitionBy("l_suppkey").orderBy(*order)
     return (
         l.select(
@@ -1671,8 +1677,12 @@ def q42_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q43_array_agg", oracle="""
 SELECT o_custkey,
-       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
-       CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses
+       COALESCE(array_to_string(list_sort(list_distinct(COALESCE(
+         list(o_orderstatus) FILTER (o_orderstatus IS NOT NULL), []))), ','),
+         '') AS statuses,
+       CAST(len(list_distinct(COALESCE(
+         list(o_orderstatus) FILTER (o_orderstatus IS NOT NULL), []))) AS INT)
+         AS n_statuses
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """)
 def q43_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1735,7 +1745,8 @@ def _q44_oracle_fixup():
     QUERIES["q44_csv_roundtrip"].oracle = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
-       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_null_prio
+       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0
+                        OR o_orderpriority IS NULL) AS n_null_prio
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -1978,9 +1989,15 @@ def q67_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(pcts.alias("_ap"), exact.alias("_ex"),
                  F.count(F.lit(1)).cast("bigint").alias("n_rows"))
             .select("l_returnflag", "n_rows",
-                    F.col("_ap")[0].between(F.col("_ex")[0], F.col("_ex")[1])
+                    # all-NULL group: sketch AND exact are NULL — the
+                    # claim holds vacuously (oracle asserts TRUE per group)
+                    F.when(F.col("_ap").isNull(), F.lit(True))
+                    .otherwise(F.col("_ap")[0]
+                               .between(F.col("_ex")[0], F.col("_ex")[1]))
                     .alias("p50_ok"),
-                    F.col("_ap")[1].between(F.col("_ex")[2], F.col("_ex")[3])
+                    F.when(F.col("_ap").isNull(), F.lit(True))
+                    .otherwise(F.col("_ap")[1]
+                               .between(F.col("_ex")[2], F.col("_ex")[3]))
                     .alias("p95_ok"))
             .orderBy("l_returnflag"))
 
@@ -2355,11 +2372,15 @@ def q78_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .pivot("l_linestatus", ["F", "O"])
          .agg(F.sum(dec("l_quantity")).alias("qty"),
               F.count(F.lit(1)).alias("n")))
+    # an EMPTY pivot cell: Spark's pivoted count is NULL, SQL's
+    # COUNT(CASE...) is 0 — pin the count-of-nothing-is-zero contract
     return (p.select("l_returnflag",
                      F.col("F_qty").cast("double").alias("f_qty"),
-                     F.col("F_n").cast("bigint").alias("f_n"),
+                     F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint")
+                     .alias("f_n"),
                      F.col("O_qty").cast("double").alias("o_qty"),
-                     F.col("O_n").cast("bigint").alias("o_n"))
+                     F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint")
+                     .alias("o_n"))
             .orderBy("l_returnflag"))
 
 
@@ -4196,8 +4217,9 @@ SELECT l_returnflag,
        CAST(bit_xor(l_orderkey) AS BIGINT) AS keys_xor,
        CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
          AS distinct_qty_sum,
-       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
-         AS statuses
+       COALESCE(array_to_string(list_sort(list_distinct(COALESCE(
+         list(l_linestatus) FILTER (l_linestatus IS NOT NULL), []))), ','),
+         '') AS statuses
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """)
 def q120_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4580,7 +4602,8 @@ def q130_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q135_xml_roundtrip", oracle="""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
-       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_null_prio
+       COUNT(*) FILTER (WHERE o_orderkey % 7 = 0
+                        OR o_orderpriority IS NULL) AS n_null_prio
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """)
 def q135_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

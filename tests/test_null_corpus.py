@@ -192,3 +192,76 @@ def test_oracle_parity_on_null_injected_events(spark, ev_fix, name):
         f"{name} diverges on the null-injected events: "
         f"spark-only={sorted(set(srows) - set(drows))[:3]} "
         f"duck-only={sorted(set(drows) - set(srows))[:3]}")
+
+
+@pytest.fixture(scope="module")
+def tpch_fix(spark, sf_dir, tmp_path_factory):
+    """NULL-injected relational fixture: an order with NULL status/price/
+    date/priority, an order with NULL custkey, a lineitem row with every
+    measure NULL, a customer with all non-key columns NULL. Contract
+    pinned by the sweep: standard SQL NULL semantics agree between the
+    engines EXCEPT where pinned explicitly — window ORDER BY over a
+    nullable column needs NULLS LAST on the Spark side (Spark sorts
+    NULLs first ascending, DuckDB last), collect_set skips NULLs so
+    list() twins need FILTER + COALESCE (and DuckDB's
+    array_to_string([]) is NULL where Spark's array_join([]) is ''),
+    an empty pivot cell counts 0, and roundtrip NULL-counting includes
+    naturally-NULL rows."""
+    import datetime
+    import shutil
+    fix = str(tmp_path_factory.mktemp("tpchfix"))
+    for t in ("documents", "embeddings", "events", "region", "nation",
+              "supplier", "part"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{fix}/{t}.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    oextra = spark.createDataFrame(
+        [(990001, 1, None, None, None, None),
+         (990002, None, "F", 1234.56, datetime.datetime(1995, 6, 1),
+          "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string")
+    (o.unionByName(oextra).coalesce(1)
+     .write.mode("overwrite").parquet(f"{fix}/orders.parquet"))
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = {c: None for c in l.columns}
+    row.update({"l_orderkey": 990001, "l_partkey": 1, "l_suppkey": 1,
+                "l_linenumber": 1})
+    lex = spark.createDataFrame([tuple(row[c] for c in l.columns)], l.schema)
+    (l.unionByName(lex).coalesce(1)
+     .write.mode("overwrite").parquet(f"{fix}/lineitem.parquet"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cex = spark.createDataFrame([(990001, None, None, None, None)], c.schema)
+    (c.unionByName(cex).coalesce(1)
+     .write.mode("overwrite").parquet(f"{fix}/customer.parquet"))
+    return fix
+
+
+def _rel_queries():
+    from etl_load_spark.queries import QUERIES
+    return sorted(n for n, q in QUERIES.items() if q.oracle and
+                  any(t in q.oracle.lower()
+                      for t in ("orders", "lineitem", "customer")))
+
+
+@pytest.mark.parametrize("name", _rel_queries())
+def test_oracle_parity_on_null_injected_relational(spark, tpch_fix, name):
+    import duckdb
+    from etl_load_spark.queries import QUERIES
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "region", "nation",
+              "supplier", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{tpch_fix}/{t}.parquet'")
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{tpch_fix}/{t}.parquet/*.parquet'")
+    q = QUERIES[name]
+    srows = sorted(tuple(str(x) for x in r)
+                   for r in q.fn(spark, tpch_fix).collect())
+    drows = sorted(tuple(str(x) for x in r)
+                   for r in con.sql(q.oracle).fetchall())
+    assert srows == drows, (
+        f"{name} diverges on the null-injected relational fixture: "
+        f"spark-only={sorted(set(srows) - set(drows))[:3]} "
+        f"duck-only={sorted(set(drows) - set(srows))[:3]}")
