@@ -390,3 +390,121 @@ SELECT _id AS {id_col}, CAST(_c AS BIGINT) AS chunk_no,
          AS n_tokens
 FROM ex
 """
+
+
+def span_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", span_tokens: int = 16) -> DataFrame:
+    """Exact span-level dedup — the CUT operator behind q142's
+    measurement (the substring-dedup step of the dedup literature,
+    window-approximated): every occurrence of a repeated
+    ``span_tokens``-token window EXCEPT the globally first one is cut
+    from its document; documents are rebuilt from the surviving tokens.
+    Returns (id, n_tokens, n_cut, cleaned_md5) for every non-NULL-text
+    document (fully-cut documents keep a row with md5('')).
+
+    Exactness contract: "repeated" = the raw-token window string occurs
+    at ≥ 2 (doc, position) sites corpus-wide (within-doc repeats count);
+    "first" = the minimum (doc_id, position), encoded as
+    doc_id·10⁶ + position so both engines order identically with ONE
+    int64 min (assumes token positions < 10⁶ — widen the encoding
+    factor for documents beyond a million tokens). Cut windows mark
+    their ``span_tokens`` token positions covered; surviving tokens
+    rejoin in position order with single spaces. Finer than q128's
+    aligned-block dedup (any offset, not block boundaries); the exact
+    window analogue of suffix-based substring dedup.
+
+    Scale: three span-keyed shuffles (occurrence stats with map-side
+    partials, the repeat join, covered-position dedup) — all carrying
+    (id, pos, span)-shaped rows, never document text — plus the per-doc
+    rebuild whose memory is bounded by document length (the q128
+    contract). At 100 TB the span key becomes xxhash64 (8-byte rows)
+    with a high-DF stop-span cap for boilerplate."""
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.split(F.col(text_col), " ").alias("_toks")))
+    n_tok = toks.select("_id", F.size("_toks").cast("bigint").alias("_n"))
+    win = (toks.select(
+        "_id", "_toks",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.size("_toks") - span_tokens, F.lit(0))))
+        .alias("_p"))
+        .select("_id", "_p",
+                F.concat_ws(" ", F.slice("_toks", F.col("_p") + 1,
+                                         span_tokens)).alias("_s")))
+    enc = F.col("_id") * 1_000_000 + F.col("_p")
+    stats = (win.select("_s", enc.alias("_enc"))
+             .groupBy("_s")
+             .agg(F.count(F.lit(1)).alias("_occ"),
+                  F.min("_enc").alias("_first")))
+    rep = (win.join(stats.filter(F.col("_occ") >= 2), "_s")
+           .filter(enc != F.col("_first"))
+           .select("_id", "_p"))
+    covered = (rep.select(
+        "_id", F.explode(F.sequence(
+            F.col("_p"), F.col("_p") + span_tokens - 1)).alias("_cpos"))
+        .dropDuplicates(["_id", "_cpos"]))
+    tokpos = toks.select(
+        "_id", F.posexplode("_toks").alias("_pos", "_tok"))
+    clean = tokpos.join(
+        covered,
+        (tokpos["_id"] == covered["_id"])
+        & (tokpos["_pos"] == covered["_cpos"]), "left_anti")
+    rebuilt = (clean.groupBy("_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("_kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_pos", "_tok"))),
+                        lambda x: x["_tok"])).alias("_cleaned")))
+    return (n_tok.join(rebuilt, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.col("_n").alias("n_tokens"),
+                    (F.col("_n") - F.coalesce("_kept", F.lit(0)))
+                    .cast("bigint").alias("n_cut"),
+                    F.md5(F.coalesce("_cleaned", F.lit("")))
+                    .alias("cleaned_md5"))
+            .orderBy(id_col))
+
+
+def span_dedup_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text", span_tokens: int = 16) -> str:
+    """Exact SQL twin of ``span_dedup`` (DuckDB): same raw split, same
+    windowing, the same int64 (doc·10⁶ + pos) first-occurrence order."""
+    k = span_tokens
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS _id, string_split({text_col}, ' ') AS ws
+  FROM {table} WHERE {text_col} IS NOT NULL),
+w AS (
+  SELECT _id, ws,
+         unnest(generate_series(0, greatest(len(ws) - {k}, 0))) AS p
+  FROM tk),
+win AS (
+  SELECT _id, p, array_to_string(ws[p + 1 : p + {k}], ' ') AS s FROM w),
+st AS (
+  SELECT s, COUNT(*) AS occ, MIN(_id * 1000000 + p) AS first_enc
+  FROM win GROUP BY s),
+rep AS (
+  SELECT win._id, win.p
+  FROM win JOIN st USING (s)
+  WHERE st.occ >= 2 AND win._id * 1000000 + win.p <> st.first_enc),
+cov AS (
+  SELECT DISTINCT _id, unnest(generate_series(p, p + {k} - 1)) AS cpos
+  FROM rep),
+tokpos AS (
+  SELECT _id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS tok
+  FROM tk),
+clean AS (
+  SELECT t._id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN cov ON t._id = cov._id AND t.pos = cov.cpos
+  WHERE cov.cpos IS NULL),
+reb AS (
+  SELECT _id, CAST(COUNT(*) AS BIGINT) AS kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM clean GROUP BY _id),
+base AS (SELECT _id, CAST(len(ws) AS BIGINT) AS n_tokens FROM tk)
+SELECT b._id AS {id_col}, b.n_tokens,
+       CAST(b.n_tokens - coalesce(r.kept, 0) AS BIGINT) AS n_cut,
+       md5(coalesce(r.cleaned, '')) AS cleaned_md5
+FROM base b LEFT JOIN reb r ON b._id = r._id
+ORDER BY {id_col}
+"""

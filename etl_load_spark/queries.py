@@ -5211,6 +5211,30 @@ def q144_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_chunk_oracle()
 
 
+def _register_span_dedup_oracle() -> None:
+    from etl_load_spark.operators.corpus import span_dedup_sql
+    QUERIES["q145_span_dedup"].oracle = span_dedup_sql(
+        "documents", "doc_id", "text", span_tokens=16)
+
+
+@query("q145_span_dedup")  # oracle attached by _register_span_dedup_oracle
+def q145_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact span-level dedup — the CUT operator q142 only measures
+    (substring dedup a la the dedup literature, 16-token window form):
+    every occurrence of a repeated 16-token span except the globally
+    first is cut; documents rebuild from surviving tokens
+    (operators/corpus.span_dedup). Finer than q128's aligned blocks —
+    repeats are cut at ANY offset. The oracle replays the whole
+    algorithm (windowing, int64 first-occurrence order, coverage,
+    rebuild) in SQL, so the check is full value equality including the
+    md5 of every rebuilt document."""
+    from etl_load_spark.operators.corpus import span_dedup
+    return span_dedup(t(spark, sf_dir, "documents"))
+
+
+_register_span_dedup_oracle()
+
+
 def _register_corpus_oracles() -> None:
     from etl_load_spark.operators.corpus import (mixture_sample_sql,
                                                  passage_dedup_sql,

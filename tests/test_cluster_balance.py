@@ -128,3 +128,34 @@ def test_repeated_spans_planted(spark, tmp_path):
     assert out[2]["repetition_ratio"] == 1.0
     assert out[3]["repetition_ratio"] == 0.0
     assert out[1]["n_windows"] == 5       # 20 tokens -> 5 16-gram windows
+
+
+def test_span_dedup_planted(spark, tmp_path):
+    """q145 structural check: an exact duplicate doc is fully cut (its
+    every window is a non-first occurrence), the original survives
+    intact, and a half-overlapping doc loses exactly its repeated spans."""
+    twenty = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    half = " ".join(f"w{i}" for i in range(16)) + " " + \
+        " ".join(f"h{i}" for i in range(4))
+    rows = [(1, twenty, "en", "web", 1), (2, twenty, "en", "web", 1),
+            (3, uniq, "en", "web", 1), (4, half, "en", "web", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    from etl_load_spark.queries import QUERIES
+    out = {r["doc_id"]: r for r in
+           QUERIES["q145_span_dedup"].fn(spark, str(tmp_path)).collect()}
+    import hashlib
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    # doc 1: first occurrence everywhere -> untouched
+    assert out[1]["n_cut"] == 0 and out[1]["cleaned_md5"] == md5(twenty)
+    # doc 2: byte-identical copy -> fully cut
+    assert out[2]["n_cut"] == 20 and out[2]["cleaned_md5"] == md5("")
+    # doc 3: unique -> untouched
+    assert out[3]["n_cut"] == 0 and out[3]["cleaned_md5"] == md5(uniq)
+    # doc 4: its window at position 0 (w0..w15) repeats doc 1's -> those
+    # 16 tokens cut, the h-suffix survives
+    assert out[4]["n_cut"] == 16
+    assert out[4]["cleaned_md5"] == md5(" ".join(f"h{i}" for i in range(4)))
