@@ -5047,8 +5047,13 @@ def q141_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.explode(F.split(normalize_text(F.col("text")), " "))
                      .alias("tk"))
             .filter(F.col("tk") != ""))
-    tf = toks.groupBy("source", "tk").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_st"))
+    # one explicit tk repartition feeds every tf consumer (g's token
+    # totals, ns's source totals, nm's join) off a single Exchange —
+    # without it Catalyst re-planned the corpus explode SIX times, once
+    # per branch (caught by the q141 plan pin; the q114 TF-IDF pattern)
+    tf = (toks.groupBy("source", "tk")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+          .repartition("tk"))
     g = tf.groupBy("tk").agg(F.sum("c_st").cast("bigint").alias("c_gt"))
     ns = tf.groupBy("source").agg(
         F.sum("c_st").cast("bigint").alias("n_s"),

@@ -430,3 +430,43 @@ def test_ann_certificates_never_all_pairs(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_divergence_shares_tf_exchange(spark, sf_dir):
+    """q141: the (source, token) count relation feeds all four consumers
+    (token totals, source totals, the join, the final projection) off ONE
+    materialized Exchange — the explicit tk repartition makes the shared
+    boundary, and the post-execution AQE plan must show the reuse
+    (without it Catalyst re-planned the corpus explode six times). All
+    JVM-side with partial aggregation."""
+    plan = plan_of(spark, sf_dir, "q141_source_divergence", execute=True)
+    assert "ReusedExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_repeated_spans_equi_join_no_python(spark, sf_dir):
+    """q142: the span doc-frequency join is an equi-join on the span key,
+    never cartesian; the whole pipeline is JVM expressions."""
+    plan = plan_of(spark, sf_dir, "q142_repeated_spans")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_overlap_is_map_side(spark, sf_dir):
+    """q144: chunking is sequence+explode+slice fused into the scan — the
+    only exchange is the output sort's range partitioning, never a hash
+    shuffle, and no Python anywhere."""
+    plan = plan_of(spark, sf_dir, "q144_chunk_overlap")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_no_cartesian_no_python(spark, sf_dir):
+    """q145: span-keyed equi-joins + anti-join coverage — no cartesian,
+    no nested loop, no Python on the cut path."""
+    plan = plan_of(spark, sf_dir, "q145_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
