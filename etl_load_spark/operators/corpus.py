@@ -413,11 +413,12 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
     aligned-block dedup (any offset, not block boundaries); the exact
     window analogue of suffix-based substring dedup.
 
-    Scale: three span-keyed shuffles (occurrence stats with map-side
-    partials, the repeat join, covered-position dedup) — all carrying
-    (id, pos, span)-shaped rows, never document text — plus the per-doc
-    rebuild whose memory is bounded by document length (the q128
-    contract). At 100 TB the span key becomes xxhash64 (8-byte rows)
+    Scale: two span/position-keyed shuffles (ONE pass over the span
+    relation — occurrence count and first-occurrence min are window
+    functions over the span partition, so the corpus window explode
+    runs once; then covered-position dedup) carrying (id, pos, span)
+    rows, never document text — plus the per-doc rebuild whose memory
+    is bounded by document length (the q128 contract). At 100 TB the span key becomes xxhash64 (8-byte rows)
     with a high-DF stop-span cap for boilerplate."""
     toks = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
@@ -432,12 +433,15 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
                 F.concat_ws(" ", F.slice("_toks", F.col("_p") + 1,
                                          span_tokens)).alias("_s")))
     enc = F.col("_id") * 1_000_000 + F.col("_p")
-    stats = (win.select("_s", enc.alias("_enc"))
-             .groupBy("_s")
-             .agg(F.count(F.lit(1)).alias("_occ"),
-                  F.min("_enc").alias("_first")))
-    rep = (win.join(stats.filter(F.col("_occ") >= 2), "_s")
-           .filter(enc != F.col("_first"))
+    # occurrence stats as WINDOW functions over the span partition, not
+    # an aggregate + join back: the window relation then has ONE
+    # consumer chain (explode → one exchange → window → filter), where
+    # the join form re-planned the corpus explode per branch (per-branch
+    # pruning defeats ReusedExchange) and shuffled the relation twice
+    wspec = W.partitionBy("_s")
+    rep = (win.withColumn("_occ", F.count(F.lit(1)).over(wspec))
+           .withColumn("_first", F.min(enc).over(wspec))
+           .filter((F.col("_occ") >= 2) & (enc != F.col("_first")))
            .select("_id", "_p"))
     covered = (rep.select(
         "_id", F.explode(F.sequence(

@@ -2700,6 +2700,9 @@ def q87_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_load_spark.operators.dedup import shingles_exploded
     d = t(spark, sf_dir, "documents")
+    # the eval/train branches partition the corpus DISJOINTLY (filter
+    # pushdown sends each side's predicate to its own scan), so there is
+    # no shared subtree to reuse — each side explodes only its half
     ex = shingles_exploded(d, "doc_id", "text", n=8)
     ev = (ex.filter(F.col("_id") % 10 == 0)
           .select(F.col("_id").alias("eval_doc_id"), "_s"))
@@ -5120,7 +5123,11 @@ def q142_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — bit-replayable across engines."""
     from etl_load_spark.operators.dedup import shingles_exploded
     d = t(spark, sf_dir, "documents")
-    ex = shingles_exploded(d, "doc_id", "text", n=16, distinct=False)
+    # shared (_s) Exchange: the window relation feeds both the
+    # doc-frequency aggregate and the join back — hash(_s) satisfies the
+    # (_id, _s) dedup clustering too, so ONE corpus explode serves all
+    ex = (shingles_exploded(d, "doc_id", "text", n=16, distinct=False)
+          .repartition("_s"))
     dfreq = (ex.dropDuplicates(["_id", "_s"])
              .groupBy("_s").agg(F.count(F.lit(1)).cast("bigint").alias("nd")))
     return (ex.join(dfreq, "_s")
