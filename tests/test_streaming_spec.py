@@ -151,3 +151,16 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED" and "batch" in (r.error or "")
     r = run_job(spark, spec("CLUSTER_BALANCE", {}, "c"))
     assert r.status == "FAILED" and "anchor" in (r.error or "")
+
+    # CHUNK_DOCUMENTS is stateless per row — it must RUN incrementally
+    # and produce exactly the batch operator's chunk relation
+    r = run_job(spark, spec("CHUNK_DOCUMENTS",
+                            {"chunkTokens": 4, "overlap": 1}, "ch"))
+    assert r.status == "COMPLETED", r.error
+    from etl_load_spark.operators.corpus import chunk_documents
+    got = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "ch")).collect()))
+    want = sorted(map(tuple, chunk_documents(
+        spark.read.parquet(str(tmp_path / "in")),
+        chunk_tokens=4, overlap=1).collect()))
+    assert got == want and len(got) > 3
