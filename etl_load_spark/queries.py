@@ -5285,6 +5285,44 @@ GROUP BY d.source ORDER BY d.source
 _register_corpus_oracles()
 
 
+def _register_bigram_surprisal_oracle() -> None:
+    from etl_load_spark.operators.text import bigram_surprisal_sql
+    QUERIES["q146_lm_surprisal"].oracle = bigram_surprisal_sql(
+        "documents", "doc_id", "text")
+
+
+@query("q146_lm_surprisal")  # oracle attached by _register_bigram_surprisal_oracle
+def q146_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprisal — the CCNet perplexity-filter
+    stage (Wenzek et al. 2020: rank documents by LM perplexity, keep the
+    low head; operators/text.py bigram_surprisal). The LM here is a
+    corpus-trained Laplace-smoothed bigram model and the surprisal is
+    quantized to exact integer floor-log2 bits so the DuckDB oracle
+    replays the ENTIRE pipeline — no libm transcendental anywhere —
+    making the check full value equality, not a score approximation.
+    Production swaps in a pretrained n-gram count table; the join/reduce
+    plan is unchanged.
+
+    Distinct from q134 (supervised linear classifier over word weights),
+    q129 (rule thresholds) and q141 (source-level distribution distance):
+    this scores each document by how predictable its token stream is
+    under a language model — the canonical fluency/quality signal.
+
+    Scale: ONE corpus explode to the bigram occurrence relation,
+    repartitioned once on the bigram key so the count aggregate and the
+    scoring join share a single Exchange (plan-pinned); context counts
+    derive from the bigram counts (vocab-sized); per-doc reduction is
+    one combinable sum. Skewed hot bigrams ("of the") cost count-table
+    rows, not join fan-out — the occurrence side is already unique per
+    position and AQE skew-split handles the residual."""
+    from etl_load_spark.operators.text import bigram_surprisal
+    d = t(spark, sf_dir, "documents")
+    return bigram_surprisal(d, "doc_id", "text").orderBy("doc_id")
+
+
+_register_bigram_surprisal_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -470,3 +470,24 @@ def test_span_dedup_no_cartesian_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_surprisal_single_corpus_pass(spark, sf_dir):
+    """q146: ONE corpus scan, ONE bigram explode, ONE token-level
+    shuffle. The persisted (doc, bigram, count) relation is the shared
+    boundary — without it Catalyst cloned the corpus explode once per
+    consumer (pushed join predicates / per-branch pruning made the
+    subtrees non-identical: measured 3 scans), and AQE exchange reuse
+    cannot span the cache-build query execution. The doc reduction
+    partial-aggregates map-side; no Python, no cartesian (the scalar V
+    broadcast is the one BroadcastNestedLoopJoin, q141's shape)."""
+    plan = plan_of(spark, sf_dir, "q146_lm_surprisal", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert len([l for l in final.splitlines()
+                if "Generate explode" in l]) == 1
+    assert len([l for l in final.splitlines()
+                if "FileScan parquet" in l]) == 1
+    assert "InMemoryTableScan" in final
+    assert "partial" in final.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -45,3 +45,42 @@ def test_pii_null_propagates(spark):
     df = spark.createDataFrame([(None,)], "t string")
     row = df.select(pii_redact(F.col("t")).alias("red")).collect()[0]
     assert row.red is None
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (q146's operator)
+# ---------------------------------------------------------------------------
+
+def _surprisal(spark, rows):
+    from etl_load_spark.operators.text import bigram_surprisal
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in bigram_surprisal(df, "doc_id", "text").collect()}
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """c12('the cat')=2, c12('cat sat')=c12('cat ran')=1;
+    c1('the')=c1('cat')=2; V = |{the, cat}| = 2 — so
+    s('the cat') = flog2(2+2) - flog2(2) = 1 and
+    s('cat sat') = s('cat ran') = flog2(2+2) - flog2(1) = 2."""
+    out = _surprisal(spark, [(1, "the cat sat"), (2, "the cat ran")])
+    assert out[1].n_bigrams == 2 and out[1].total_bits == 3
+    assert out[2].n_bigrams == 2 and out[2].total_bits == 3
+    assert out[1].bits_per_bigram == 1.5
+
+
+def test_bigram_surprisal_degenerates_excluded(spark):
+    """<2-token docs (NULL / empty / punctuation-only / one-token) carry
+    no bigram events and are absent — same rule both engines."""
+    out = _surprisal(spark, [(1, "the cat sat"), (2, "the cat sat"),
+                             (3, None), (4, ""), (5, "?!"), (6, "word")])
+    assert set(out) == {1, 2}
+
+
+def test_bigram_surprisal_ranks_noise_above_repetition(spark):
+    """The CCNet ordering property: repetitive/boilerplate text scores
+    fewer bits per bigram than text of unique word transitions."""
+    rep = "spam ham " * 40                  # one dominant transition
+    uniq = " ".join(f"w{i}" for i in range(80))  # every transition unique
+    out = _surprisal(spark, [(1, rep), (2, uniq), (3, "spam ham filler"),
+                             (4, " ".join(f"v{i}" for i in range(80)))])
+    assert out[1].bits_per_bigram < out[2].bits_per_bigram
