@@ -118,7 +118,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE, "
                          "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE, "
                          "QUALITY_CLASSIFIER, SEMANTIC_DEDUP, DECONTAMINATE, "
-                         "CLUSTER_BALANCE, CHUNK_DOCUMENTS)")
+                         "CLUSTER_BALANCE, CHUNK_DOCUMENTS, LM_SURPRISAL)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -274,6 +274,30 @@ def _chunk_documents_transform(df: DataFrame, p: dict) -> DataFrame:
                            int(p.get("overlap", 16)))
 
 
+def _lm_surprisal_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative LM-surprisal stage (operators/text.bigram_surprisal —
+    the CCNet perplexity filter): score each document's bits-per-bigram
+    under the corpus-trained Laplace-smoothed bigram model.
+    mode='filter' keeps the predictable head (bits_per_bigram <=
+    maxBits, REQUIRED — the threshold is corpus-dependent, never
+    defaulted); mode='annotate' appends (n_bigrams, total_bits,
+    bits_per_bigram); <2-token documents score no events and are
+    DROPPED in filter mode / NULL-scored in annotate mode. Parameters:
+    idColumn ('doc_id'), textColumn ('text'), maxBits, mode."""
+    from etl_load_spark.operators.text import bigram_surprisal
+    id_col = p.get("idColumn", "doc_id")
+    scored = bigram_surprisal(df, id_col, p.get("textColumn", "text"))
+    if p.get("mode", "filter") == "annotate":
+        return df.join(scored, id_col, "left")
+    if "maxBits" not in p:
+        raise ValueError("LM_SURPRISAL filter mode requires maxBits "
+                         "(the bits-per-bigram cut; use mode='annotate' "
+                         "to inspect the score distribution first)")
+    keep = (scored.filter(F.col("bits_per_bigram") <= float(p["maxBits"]))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 def _decontaminate_transform(df: DataFrame, spark: SparkSession,
                              spec: JobSpec) -> DataFrame:
     """Declarative eval-set decontamination stage (operators/bloom.
@@ -345,6 +369,7 @@ _CORPUS_TRANSFORMS = {
     "SEMANTIC_DEDUP": _semantic_dedup_transform,
     "CLUSTER_BALANCE": _cluster_balance_transform,
     "CHUNK_DOCUMENTS": _chunk_documents_transform,
+    "LM_SURPRISAL": _lm_surprisal_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -362,4 +387,8 @@ _BATCH_ONLY_TRANSFORMS = {
                         "snapshot; fit anchors offline, then apply "
                         "anchor_assign (a map-side projection) in the "
                         "stream and balance in a downstream batch job"),
+    "LM_SURPRISAL": ("the bigram count table needs a corpus snapshot; "
+                     "train the counts offline, then score the stream "
+                     "with a left join against the frozen table (a "
+                     "stream-safe stream-static join)"),
 }

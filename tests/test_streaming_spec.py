@@ -151,6 +151,8 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED" and "batch" in (r.error or "")
     r = run_job(spark, spec("CLUSTER_BALANCE", {}, "c"))
     assert r.status == "FAILED" and "anchor" in (r.error or "")
+    r = run_job(spark, spec("LM_SURPRISAL", {"maxBits": 8.0}, "l"))
+    assert r.status == "FAILED" and "stream-static" in (r.error or "")
 
     # CHUNK_DOCUMENTS is stateless per row — it must RUN incrementally
     # and produce exactly the batch operator's chunk relation

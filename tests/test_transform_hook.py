@@ -226,3 +226,23 @@ def test_chunk_documents_stage(spark, tmp_path):
     assert t0[-2:] == t1[:2]              # 2-token overlap
     # a tiny doc still yields exactly one (short) chunk
     assert len(by_doc[4]) == 1 and by_doc[4][0].n_tokens == 1
+
+
+def test_lm_surprisal_stage(spark, tmp_path):
+    """Declarative LM_SURPRISAL: annotate appends the surprisal columns
+    (NULL for <2-token docs); filter keeps the predictable head and
+    REQUIRES an explicit maxBits cut."""
+    spec = _corpus_spec(tmp_path, "LM_SURPRISAL", {"mode": "annotate"})
+    rows = {r.doc_id: r for r in build_plan(spark, spec).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[4].bits_per_bigram is None        # "tiny": no bigrams
+    assert rows[1].n_bigrams == 31 and rows[1].bits_per_bigram > 0
+    # doc 2 is a verbatim prefix of doc 1 -> at least as predictable
+    assert rows[2].bits_per_bigram <= rows[1].bits_per_bigram
+    cut = rows[2].bits_per_bigram
+    spec2 = _corpus_spec(tmp_path, "LM_SURPRISAL", {"maxBits": cut})
+    kept = {r.doc_id for r in build_plan(spark, spec2).collect()}
+    assert 2 in kept and 4 not in kept            # scoreless docs drop
+    assert all(rows[d].bits_per_bigram <= cut for d in kept)
+    with pytest.raises(ValueError, match="maxBits"):
+        build_plan(spark, _corpus_spec(tmp_path, "LM_SURPRISAL", {}))
