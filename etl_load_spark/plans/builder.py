@@ -278,23 +278,41 @@ def _lm_surprisal_transform(df: DataFrame, p: dict) -> DataFrame:
     """Declarative LM-surprisal stage (operators/text.bigram_surprisal —
     the CCNet perplexity filter): score each document's bits-per-bigram
     under the corpus-trained Laplace-smoothed bigram model.
-    mode='filter' keeps the predictable head (bits_per_bigram <=
-    maxBits, REQUIRED — the threshold is corpus-dependent, never
-    defaulted); mode='annotate' appends (n_bigrams, total_bits,
-    bits_per_bigram); <2-token documents score no events and are
-    DROPPED in filter mode / NULL-scored in annotate mode. Parameters:
-    idColumn ('doc_id'), textColumn ('text'), maxBits, mode."""
+    mode='filter' keeps the predictable head, cut by exactly ONE of
+    maxBits (absolute bits-per-bigram ceiling) or keepQuantile (keep
+    the lowest-scoring fraction — CCNet's own corpus-relative form; a
+    self-trained model's absolute scores shift with corpus size, so
+    there is no defaultable absolute threshold). mode='annotate'
+    appends (n_bigrams, total_bits, bits_per_bigram); <2-token
+    documents score no events and are DROPPED in filter mode /
+    NULL-scored in annotate mode. The quantile is percentile_approx
+    over the doc-level score relation — t-digest, distributed, bounded
+    memory at any corpus size. Parameters: idColumn ('doc_id'),
+    textColumn ('text'), maxBits | keepQuantile, mode."""
     from etl_load_spark.operators.text import bigram_surprisal
     id_col = p.get("idColumn", "doc_id")
     scored = bigram_surprisal(df, id_col, p.get("textColumn", "text"))
     if p.get("mode", "filter") == "annotate":
         return df.join(scored, id_col, "left")
-    if "maxBits" not in p:
-        raise ValueError("LM_SURPRISAL filter mode requires maxBits "
-                         "(the bits-per-bigram cut; use mode='annotate' "
-                         "to inspect the score distribution first)")
-    keep = (scored.filter(F.col("bits_per_bigram") <= float(p["maxBits"]))
-            .select(id_col))
+    if ("maxBits" in p) == ("keepQuantile" in p):
+        raise ValueError("LM_SURPRISAL filter mode requires exactly one "
+                         "of maxBits (absolute bits-per-bigram cut) or "
+                         "keepQuantile (keep the most predictable "
+                         "fraction); use mode='annotate' to inspect the "
+                         "score distribution first")
+    if "keepQuantile" in p:
+        q = float(p["keepQuantile"])
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"keepQuantile must be in (0, 1], got {q}")
+        cut = scored.agg(F.percentile_approx(
+            "bits_per_bigram", F.lit(q), F.lit(10000)).alias("_cut"))
+        keep = (scored.crossJoin(F.broadcast(cut))
+                .filter(F.col("bits_per_bigram") <= F.col("_cut"))
+                .select(id_col))
+    else:
+        keep = (scored.filter(F.col("bits_per_bigram")
+                              <= float(p["maxBits"]))
+                .select(id_col))
     return df.join(keep, id_col, "left_semi")
 
 

@@ -52,24 +52,26 @@ def test_corpus_curation_output_shape(spark, tmp_path):
 
 
 def test_refinery_chain_through_queue(spark, tmp_path):
-    """The four-stage training-refinery example chained the way production
+    """The five-stage training-refinery example chained the way production
     would run it: specs dropped into the spool queue in order, drained by
-    the listener (ack-after-completion), funnel monotone, mixture final."""
+    the listener (ack-after-completion), funnel monotone, the
+    LM-perplexity head last."""
     import shutil
     from etl_load_spark.queue_listener import FileQueueTransport, QueueListener
     shutil.rmtree("/tmp/etl_refinery", ignore_errors=True)
     stages = [p for p in EXAMPLES if "training_refinery" in p]
-    assert len(stages) == 4
+    assert len(stages) == 5
     q = FileQueueTransport(str(tmp_path / "q"))
     for p in stages:
         q.submit(json.load(open(p)))
     results = QueueListener(spark, q).drain()
-    assert [r["status"] for r in results] == ["COMPLETED"] * 4
+    assert [r["status"] for r in results] == ["COMPLETED"] * 5
     n1 = spark.read.parquet("/tmp/etl_refinery/stage1_quality").count()
     n2 = spark.read.parquet("/tmp/etl_refinery/stage2_dedup").count()
     n3 = spark.read.parquet("/tmp/etl_refinery/stage3_decontam").count()
     n4 = spark.read.parquet("/tmp/etl_refinery/final_mixture").count()
-    assert n1 >= n2 >= n3 >= n4 > 0
+    n5 = spark.read.parquet("/tmp/etl_refinery/final_lm_head").count()
+    assert n1 >= n2 >= n3 >= n4 >= n5 > 0
     # the train/eval carve-out really applied: no held-out doc reaches the
     # training mixture (exact-cut semantics themselves are pinned in
     # tests/test_bloom.py and tests/test_transform_hook.py)

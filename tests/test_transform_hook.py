@@ -244,5 +244,16 @@ def test_lm_surprisal_stage(spark, tmp_path):
     kept = {r.doc_id for r in build_plan(spark, spec2).collect()}
     assert 2 in kept and 4 not in kept            # scoreless docs drop
     assert all(rows[d].bits_per_bigram <= cut for d in kept)
-    with pytest.raises(ValueError, match="maxBits"):
+    # corpus-relative cut (CCNet's form): keepQuantile 1.0 keeps every
+    # SCORED doc; the scoreless doc still drops
+    spec3 = _corpus_spec(tmp_path, "LM_SURPRISAL", {"keepQuantile": 1.0})
+    assert ({r.doc_id for r in build_plan(spark, spec3).collect()}
+            == {1, 2, 3})
+    with pytest.raises(ValueError, match="exactly one"):
         build_plan(spark, _corpus_spec(tmp_path, "LM_SURPRISAL", {}))
+    with pytest.raises(ValueError, match="exactly one"):
+        build_plan(spark, _corpus_spec(
+            tmp_path, "LM_SURPRISAL", {"maxBits": 5, "keepQuantile": 0.5}))
+    with pytest.raises(ValueError, match="keepQuantile"):
+        build_plan(spark, _corpus_spec(
+            tmp_path, "LM_SURPRISAL", {"keepQuantile": 1.5}))
