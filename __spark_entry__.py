@@ -51,6 +51,13 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]
           ) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
+        # release the PREVIOUS query's operator-internal persists (e.g.
+        # q146's bigram relation) before building this one: the harness
+        # collects each returned DataFrame and never unpersists, so
+        # without this hand-off one query's cache would squat on executor
+        # memory for every query that runs after it (round-3 lesson)
+        from etl_load_spark.session import release_operator_caches
+        release_operator_caches()
         return fn(spark, sf_dir)
     return run
 

@@ -128,13 +128,16 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame,
 
     The verify side broadcasts the distinct eval n-grams, so the corpus
     relational path is scan → explode → probe → broadcast join → agg with
-    a single shuffle (the final per-doc aggregation over survivors).
+    a single shuffle (the final per-doc aggregation over survivors). The
+    corpus shingles are NOT pre-deduped: countDistinct in the final
+    aggregation already dedups per document, and a distinct pass would
+    add a survivor-relation exchange before the verify join.
     """
     from etl_load_spark.operators.dedup import shingles_exploded
 
     ev = shingles_exploded(eval_df, id_col, text_col, n=n, distinct=False)
     ev_s = ev.select("_s").distinct()
-    tr = shingles_exploded(corpus, id_col, text_col, n=n, distinct=True)
+    tr = shingles_exploded(corpus, id_col, text_col, n=n, distinct=False)
     words, m, k = build_bloom(ev_s, "_s", fpp=fpp, seed=seed)
     cand = (bloom_probe(tr, "_s", words, m, k, seed=seed)
             .filter(F.col("_maybe")).drop("_maybe"))

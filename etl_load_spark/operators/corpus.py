@@ -392,8 +392,16 @@ FROM ex
 """
 
 
+#: first-occurrence encoding factor: enc = doc_id·10⁶ + position. Positions
+#: at or beyond the factor would silently mis-order resolution, so the
+#: operator raises instead (ANSI-style loud failure); widen the factor (or
+#: switch the min to a struct) for corpora with >10⁶-token documents.
+_SPAN_POS_LIMIT = 1_000_000
+
+
 def span_dedup(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", span_tokens: int = 16) -> DataFrame:
+               text_col: str = "text", span_tokens: int = 16,
+               stop_span_df: int | None = None) -> DataFrame:
     """Exact span-level dedup — the CUT operator behind q142's
     measurement (the substring-dedup step of the dedup literature,
     window-approximated): every occurrence of a repeated
@@ -406,20 +414,31 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
     at ≥ 2 (doc, position) sites corpus-wide (within-doc repeats count);
     "first" = the minimum (doc_id, position), encoded as
     doc_id·10⁶ + position so both engines order identically with ONE
-    int64 min (assumes token positions < 10⁶ — widen the encoding
-    factor for documents beyond a million tokens). Cut windows mark
+    int64 min. A token position at or beyond 10⁶ raises loudly instead
+    of silently mis-ordering (``_SPAN_POS_LIMIT``). Cut windows mark
     their ``span_tokens`` token positions covered; surviving tokens
     rejoin in position order with single spaces. Finer than q128's
     aligned-block dedup (any offset, not block boundaries); the exact
     window analogue of suffix-based substring dedup.
 
-    Scale: two span/position-keyed shuffles (ONE pass over the span
-    relation — occurrence count and first-occurrence min are window
-    functions over the span partition, so the corpus window explode
-    runs once; then covered-position dedup) carrying (id, pos, span)
-    rows, never document text — plus the per-doc rebuild whose memory
-    is bounded by document length (the q128 contract). At 100 TB the span key becomes xxhash64 (8-byte rows)
-    with a high-DF stop-span cap for boilerplate."""
+    ``stop_span_df`` (optional, default None = exact semantics): spans
+    occurring at ≥ that many (doc, position) sites are treated as
+    structural boilerplate and NOT cut — the corpus-curation knob for
+    ultra-high-DF spans a dedicated boilerplate pass owns.
+
+    Scale (the q128 pattern, replacing round 3's window form): the span
+    relation shuffles ONCE on an xxhash64-led key — the hash leads the
+    sort/compare so hash-unequal rows never touch the span string, and
+    grouping on the string too keeps the operator EXACT under hash
+    collision (a certainty at 100 TB span counts). Occurrence count and
+    first-occurrence min are HASH AGGREGATES with map-side partial
+    combine, so a boilerplate span collapses to one row per map task —
+    the window form buffered a hot span's entire partition on one task.
+    The probe join back streams over the same Exchange (ReusedExchange:
+    identical columns, non-nullable keys, no inferred filters) and AQE
+    skew-split divides any residual hot probe partition. Then
+    covered-position dedup and the per-doc rebuild, whose memory is
+    bounded by document length (the q128 contract)."""
     toks = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
                     F.split(F.col(text_col), " ").alias("_toks")))
@@ -432,16 +451,28 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
         .select("_id", "_p",
                 F.concat_ws(" ", F.slice("_toks", F.col("_p") + 1,
                                          span_tokens)).alias("_s")))
-    enc = F.col("_id") * 1_000_000 + F.col("_p")
-    # occurrence stats as WINDOW functions over the span partition, not
-    # an aggregate + join back: the window relation then has ONE
-    # consumer chain (explode → one exchange → window → filter), where
-    # the join form re-planned the corpus explode per branch (per-branch
-    # pruning defeats ReusedExchange) and shuffled the relation twice
-    wspec = W.partitionBy("_s")
-    rep = (win.withColumn("_occ", F.count(F.lit(1)).over(wspec))
-           .withColumn("_first", F.min(enc).over(wspec))
-           .filter((F.col("_occ") >= 2) & (enc != F.col("_first")))
+    enc = F.when(
+        F.col("_p") < _SPAN_POS_LIMIT,
+        F.col("_id") * _SPAN_POS_LIMIT + F.col("_p")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("span_dedup: token position "), F.col("_p").cast("string"),
+        F.lit(f" >= {_SPAN_POS_LIMIT} overflows the first-occurrence "
+              "encoding; widen _SPAN_POS_LIMIT"))).cast("bigint"))
+    spans = win.withColumn("_h", F.xxhash64("_s")).repartition("_h", "_s")
+    st = (spans.groupBy("_h", "_s")
+          .agg(F.count(F.lit(1)).alias("_occ"), F.min(enc).alias("_first")))
+    keep_cut = (F.col("_occ") >= 2) & (enc != F.col("_first"))
+    if stop_span_df is not None:
+        keep_cut = keep_cut & (F.col("_occ") < stop_span_df)
+    # shuffle_hash on the aggregated (distinct-span) side: sort-merge
+    # would re-SORT the occurrence relation — on the skew stress (one
+    # span at 15.6M sites) the probe sort made SMJ 64s vs 24s for the
+    # sort-free hash join (the r3 window form: 38-54s, with the whole
+    # hot partition buffered in ONE task); the build side is the
+    # aggregate's output partition (distinct spans), never the raw
+    # occurrence rows, so build memory is dedup-bounded
+    rep = (spans.join(st.hint("shuffle_hash"), ["_h", "_s"])
+           .filter(keep_cut)
            .select("_id", "_p"))
     covered = (rep.select(
         "_id", F.explode(F.sequence(
@@ -449,9 +480,15 @@ def span_dedup(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["_id", "_cpos"]))
     tokpos = toks.select(
         "_id", F.posexplode("_toks").alias("_pos", "_tok"))
+    # null-safe on _id: covered never carries a NULL id (a NULL-id span
+    # can't beat the first-occurrence min), so <=> is semantically the
+    # plain equi-join here — but it stops InferFiltersFromConstraints
+    # from pushing isnotnull(_id) down covered's lineage into the shared
+    # span exchange, which made the two (_h, _s) branches non-identical
+    # and re-planned the corpus explode per branch (no ReusedExchange)
     clean = tokpos.join(
         covered,
-        (tokpos["_id"] == covered["_id"])
+        tokpos["_id"].eqNullSafe(covered["_id"])
         & (tokpos["_pos"] == covered["_cpos"]), "left_anti")
     rebuilt = (clean.groupBy("_id")
                .agg(F.count(F.lit(1)).cast("bigint").alias("_kept"),

@@ -310,12 +310,19 @@ def bigram_surprisal(df, id_col: str, text_col: str):
     # dedup-compressed corpus — (id, bigram, count), hash(_bg)
     # partitioned, MEMORY_AND_DISK — the materialized intermediate a
     # production pipeline would keep (or write) between the train and
-    # score halves of the stage.
-    docbg = (bigram_relation(df, id_col, text_col)
-             .repartition("_bg")
-             .groupBy("_id", "_bg")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
-             .persist())
+    # score halves of the stage. The persist is REGISTERED with the
+    # session cache registry: a CacheManager entry is never GC-released,
+    # so the materialization point (runner epilogue, bench, tests) calls
+    # session.release_operator_caches() once the scored result is
+    # materialized — round 3 measured +23% on unrelated queries while
+    # this relation squatted in executor memory.
+    from etl_load_spark.session import register_operator_cache
+    docbg = register_operator_cache(
+        bigram_relation(df, id_col, text_col)
+        .repartition("_bg")
+        .groupBy("_id", "_bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+        .persist())
     c12 = docbg.groupBy("_bg").agg(F.sum("_k").cast("bigint").alias("_c12"))
     w1 = F.split_part(F.col("_bg"), F.lit(" "), F.lit(1))
     c1 = (c12.groupBy(w1.alias("_w1"))

@@ -293,6 +293,14 @@ def _lm_surprisal_transform(df: DataFrame, p: dict) -> DataFrame:
     id_col = p.get("idColumn", "doc_id")
     scored = bigram_surprisal(df, id_col, p.get("textColumn", "text"))
     if p.get("mode", "filter") == "annotate":
+        # annotate mode computes scores only — a cut parameter here is a
+        # misconfigured spec, not a silent no-op (mirrors the filter-mode
+        # exactly-one check below)
+        stray = sorted(k for k in ("maxBits", "keepQuantile") if k in p)
+        if stray:
+            raise ValueError(
+                f"LM_SURPRISAL mode='annotate' does not cut; remove "
+                f"{stray} or use mode='filter'")
         return df.join(scored, id_col, "left")
     if ("maxBits" in p) == ("keepQuantile" in p):
         raise ValueError("LM_SURPRISAL filter mode requires exactly one "

@@ -5332,57 +5332,52 @@ _register_bigram_surprisal_oracle()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
-# Round-3 rotation (VERDICT r2 "Next round" #2): the driver caps its
-# correctness harness at 50 queries per round, so driver-green coverage for
-# all 138 declared queries has to ACCUMULATE across rounds. 15 family
-# anchors stay fixed every round (regression canaries — one per operator
-# family, all driver-green in r2 except q48 whose oracle-type fix this
-# round must be proven); the other 35 slots rotate to queries that have
-# never had a driver row (r1 ∪ r2 covered 65 of 135). Everything outside
-# the window keeps the identical-methodology local pytest oracle gate.
+# Round-4 rotation (VERDICT r3 "Next round" #1): anchors thinned 15 → 10
+# (one per operator family, every one 2-3× driver-green; the freed slots
+# buy first-time driver rows) so 40 of the 46 never-covered queries get a
+# driver row this round — led by the round-3 flagship operators q140-q146.
+# Deferred to round 5: the scalar/window breadth grab-bags q91/q119/q120/
+# q121/q124/q125 (their family has anchors + 20 green members already) and
+# the rows-only ANN rungs q31/q47/q127 (each already has a rows-only driver
+# row AND a driver-green planted-certificate twin). Everything outside the
+# window keeps the identical-methodology local pytest oracle gate.
 DRIVER_WINDOW: list[str] = [
-    # --- fixed anchors (15) ---
+    # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate
     "q24_mapping_pipeline",     # declarative ETL spec core
     "q05_join_left_chain",      # join family
-    "q10_window_rank",          # window family
-    "q21_approx_distinct",      # approx-aggregate claim pattern
     "q23_events_tumbling",      # streaming windows
-    "q48_stateful_stats",       # stateful streaming — r2's one red row
+    "q48_stateful_stats",       # stateful streaming (r3-proven fix)
     "q44_csv_roundtrip",        # connector round trip
     "q25_dedup_exact",          # dedup ladder base
     "q27_dedup_minhash",        # LSH dedup
     "q30_sim_topk",             # similarity exact baseline
-    "q32_embedding_near_dup",   # planted-recovery LSH pairs
-    "q33_text_stats",           # text analysis
-    "q37_multimodal_features",  # multimodal plumbing
-    "q92_scd2_merge",           # mutation semantics
-    # --- rotation (35): first driver rows ---
-    # ANN certificates (new this round) + the LSH one from r2's backlog
-    "q131_sim_lsh_planted", "q136_sim_ivf_planted", "q137_sim_pq_planted",
-    # LLM-corpus pipeline
-    "q128_passage_dedup", "q129_quality_rules", "q130_data_mixture",
-    "q133_semantic_dedup", "q134_quality_classifier",
-    # new-this-round operator families (PII masking, bloom decontamination)
-    "q138_pii_redaction", "q139_bloom_decontaminate",
-    # connectors
-    "q135_xml_roundtrip",
-    # TPC-H shapes (q103/q108 deferred to r4 — new operator FAMILIES take
-    # the two slots; predicate/agg-join families already have anchors)
-    "q102_nation_trade_volume",
-    "q104_market_share", "q105_returned_items",
-    "q106_shipping_delay_priority", "q107_top_supplier",
-    "q109_small_quantity_revenue",
-    "q110_large_volume_orders",
-    # time-series pipeline ops
-    "q72_gapfill_locf", "q73_funnel", "q74_retention",
-    # LLM-data ops
-    "q85_pseudonymize", "q86_bigram_topk", "q87_contamination",
-    "q88_feature_moments", "q89_sequence_pack", "q90_curation_funnel",
-    "q99_repetition", "q66_vocab_topk",
-    # windows / aggregates breadth
-    "q39_sliding_windows", "q41_pivot", "q63_window_ntile",
-    "q67_approx_percentile", "q71_sketch_rollup", "q94_unpivot",
+    "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
+    # --- rotation (40): first driver rows ---
+    # round-3 flagship operators (registered after the r3 window froze)
+    "q140_cluster_balance", "q141_source_divergence",
+    "q142_repeated_spans", "q143_image_near_dup", "q144_chunk_overlap",
+    "q145_span_dedup", "q146_lm_surprisal",
+    # TPC-H stragglers
+    "q96_important_parts", "q97_qualified_suppliers",
+    "q98_cheapest_supplier", "q103_disjunctive_predicates",
+    "q108_supplier_part_counts",
+    # subquery family
+    "q61_correlated_subquery", "q81_exists_returned", "q82_dormant_rich",
+    "q83_cust_order_distribution", "q84_promo_share",
+    # join breadth
+    "q62_full_outer_join", "q65_stream_static_enrich", "q68_join_right",
+    "q69_union_by_name", "q70_stream_interval_left",
+    "q122_shuffle_hash_join",
+    # array / JSON / string breadth
+    "q40_grouping_sets", "q42_array_explode", "q43_array_agg",
+    "q75_weighted_sample", "q76_json_shred_roundtrip", "q77_histogram",
+    "q78_pivot_multi_agg", "q79_array_set_ops", "q80_regexp_extract_all",
+    # multimodal breadth
+    "q64_media_resize", "q100_audio_chunks",
+    # window / time-series breadth
+    "q93_window_distribution", "q115_sessionize", "q116_date_spine",
+    "q117_mad_outliers", "q118_argmax_customer", "q132_forecast_revenue",
 ]
 
 

@@ -135,6 +135,12 @@ def run_job(spark: SparkSession, spec: JobSpec,
         except Exception:  # noqa: BLE001 — cleanup must not mask the result
             pass
         result._unpersist_after_validate = None
+    # Operator-internal persists (e.g. the LM_SURPRISAL stage's bigram
+    # relation) register with the session cache registry; the job's write
+    # action has materialized by now, so release them — a serve/listen
+    # session must not accumulate one cache per job.
+    from etl_load_spark.session import release_operator_caches
+    release_operator_caches()
     wanted = {s.upper() for s in steps}
     if notify and (("NOTIFY_SUCCESS" in wanted and result.status == "COMPLETED")
                    or ("NOTIFY_FAILURE" in wanted and result.status == "FAILED")):

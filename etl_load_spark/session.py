@@ -50,6 +50,51 @@ def get_spark(app_name: str = "etl_load_spark", master: str | None = None,
     return spark
 
 
+# ---------------------------------------------------------------------------
+# Operator-internal cache registry.
+#
+# Some operators (bigram_surprisal, the error-split runner path) must persist
+# an intermediate relation — Catalyst would otherwise re-plan an expensive
+# shared subtree per consumer branch. A CacheManager-registered persist is
+# held by a STRONG reference inside the session (never GC-collected), so an
+# operator that persists and forgets pins executor memory for the life of a
+# long-running session. Every operator-internal persist registers here; the
+# materialization points (the job runner's epilogue, bench.py between
+# queries, tests) call release_operator_caches() once the result is
+# materialized. tests/test_session_hygiene.py asserts the contract
+# mechanically for every declared query.
+# ---------------------------------------------------------------------------
+
+_OPERATOR_CACHES: list = []
+
+
+def register_operator_cache(df):
+    """Track an operator-internal persisted DataFrame for explicit release.
+
+    Returns ``df`` so call sites can chain: ``register_operator_cache(
+    rel.persist())``. Safe to call multiple times per operator invocation.
+    """
+    _OPERATOR_CACHES.append(df)
+    return df
+
+
+def release_operator_caches() -> int:
+    """Unpersist every registered operator cache; returns how many released.
+
+    Idempotent and exception-safe: cleanup must never mask the job result,
+    and an already-unpersisted or dead-session DataFrame is a no-op.
+    """
+    n = 0
+    while _OPERATOR_CACHES:
+        df = _OPERATOR_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — cleanup must not mask results
+            pass
+    return n
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver testdata table, normalizing physical-type quirks.
 

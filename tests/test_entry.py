@@ -28,12 +28,26 @@ def _oracle_params():
     return sorted(oracles)
 
 
+def _assert_session_clean(spark, name):
+    """Post-query session hygiene (the q146 lesson): once a query's result
+    is materialized and operator caches released, the CacheManager must be
+    empty — a persist outside the session cache registry squats on executor
+    memory for every query that runs after it (round 3 measured +23%)."""
+    from etl_load_spark.session import release_operator_caches
+    release_operator_caches()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), (
+        f"{name}: CacheManager not empty after release_operator_caches() — "
+        f"an operator persisted without session.register_operator_cache()")
+
+
 @pytest.mark.parametrize("name", _oracle_params())
 def test_query_matches_oracle(spark, sf_dir, con, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
     ok, msg = compare(q(spark, sf_dir), con, sql)
     assert ok, f"{name}: {msg}"
+    _assert_session_clean(spark, name)
 
 
 def test_driver_window_order():
@@ -93,6 +107,7 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = entry_mod.queries()[name](spark, sf_dir)
     assert df.count() >= 0
     assert df.schema.fields
+    _assert_session_clean(spark, name)
 
 
 def test_approx_percentile_error_bound(spark, sf_dir):

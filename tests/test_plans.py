@@ -472,6 +472,29 @@ def test_span_dedup_no_cartesian_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_span_dedup_hashed_key_single_span_exchange(spark, sf_dir):
+    """q145's 100 TB form (VERDICT r3 #4): the span relation shuffles
+    ONCE on an xxhash64-led (_h, _s) key — occurrence stats are hash
+    aggregates with map-side partial combine (a boilerplate span
+    collapses per map task; the r3 window form buffered a hot span's
+    whole partition on one task), and the probe join reads the SAME
+    exchange via ReusedExchange (post-execution AQE plan — the final
+    section only, per the r3 double-print lesson)."""
+    from etl_load_spark.queries import QUERIES
+    df = QUERIES["q145_span_dedup"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    # hashed key leads the one REPARTITION_BY_COL span exchange
+    assert final.count("hashpartitioning(_h#") >= 1, final
+    # the probe branch reuses it instead of re-running the corpus explode
+    assert "ReusedExchange" in final, final
+    # exactly ONE corpus window explode (sequence-of-positions Generate)
+    assert final.count("Generate explode(sequence(0, greatest") == 1, final
+    # first-occurrence min is a partial-combine hash aggregate
+    assert "partial_min" in final and "partial_count" in final, final
+
+
 def test_lm_surprisal_single_corpus_pass(spark, sf_dir):
     """q146: ONE corpus scan, ONE bigram explode, ONE token-level
     shuffle. The persisted (doc, bigram, count) relation is the shared

@@ -56,3 +56,48 @@ def test_span_dedup_matches_sequential_fold(spark, docs):
     want = {d: (n, cut, hashlib.md5(cleaned.encode()).hexdigest())
             for d, (n, cut, cleaned) in _reference(docs, K).items()}
     assert got == want
+
+
+def test_span_dedup_position_guard_raises(spark):
+    """A token position at or beyond the encoding factor must FAIL LOUDLY
+    (ADVICE r3: the doc_id·10⁶+pos min silently mis-orders past 10⁶) —
+    exercised with a temporarily narrowed limit so the test corpus stays
+    tiny."""
+    import pytest
+    from etl_load_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40))),
+         (2, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string")
+    old = C._SPAN_POS_LIMIT
+    C._SPAN_POS_LIMIT = 16          # positions reach 40 - K > 16
+    try:
+        with pytest.raises(Exception, match="span_dedup: token position"):
+            span_dedup(df, span_tokens=K).collect()
+    finally:
+        C._SPAN_POS_LIMIT = old
+    # under the real limit the same corpus dedups fine
+    assert span_dedup(df, span_tokens=K).count() == 2
+
+
+def test_span_dedup_stop_span_cap(spark):
+    """stop_span_df: spans at or above the occurrence cap are structural
+    boilerplate and are NOT cut; everything below the cap keeps exact
+    all-but-first semantics."""
+    # "x x x x" boilerplate appears in every doc; "p q r s" repeats twice
+    boiler = "x0 x1 x2 x3"
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(6)]
+    rows += [(100, "p q r s end0"), (101, "p q r s end1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r["doc_id"]: r["n_cut"]
+             for r in span_dedup(df, span_tokens=K).collect()}
+    capped = {r["doc_id"]: r["n_cut"]
+              for r in span_dedup(df, span_tokens=K,
+                                  stop_span_df=5).collect()}
+    # exact: every non-first boilerplate occurrence is cut
+    assert exact[0] == 0 and all(exact[i] > 0 for i in range(1, 6))
+    # capped: the 6-occurrence boilerplate span is exempt...
+    assert all(capped[i] == 0 for i in range(6))
+    # ...but the 2-occurrence repeat is still cut in both modes
+    assert capped[100] == 0 and capped[101] == exact[101] > 0
