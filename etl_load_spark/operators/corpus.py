@@ -549,3 +549,305 @@ SELECT b._id AS {id_col}, b.n_tokens,
 FROM base b LEFT JOIN reb r ON b._id = r._id
 ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source priority dedup (survivor selection)
+# ---------------------------------------------------------------------------
+
+#: survivor encoding factor: enc = source_rank·10¹² + id. An id at or beyond
+#: the factor would corrupt the min-based survivor choice, so the operator
+#: raises instead; widen (or switch the min to a struct) for larger id spaces.
+_SURVIVOR_ID_LIMIT = 1_000_000_000_000
+
+
+def _source_rank(source_col: str, priority: list[str]):
+    """0-based rank of ``source_col`` in ``priority``; unlisted (and NULL)
+    sources rank after every listed one."""
+    rank = None
+    for i, s in enumerate(priority):
+        cond = (F.col(source_col) == F.lit(s), F.lit(i))
+        rank = F.when(*cond) if rank is None else rank.when(*cond)
+    return (rank.otherwise(F.lit(len(priority))) if rank is not None
+            else F.lit(len(priority))).cast("bigint")
+
+
+def cross_source_dedup(df: DataFrame, priority: list[str],
+                       id_col: str = "doc_id", text_col: str = "text",
+                       source_col: str = "source") -> DataFrame:
+    """Source-preference exact dedup — among documents with identical
+    normalized content, keep ONE survivor chosen by source priority (the
+    cross-dump curation rule: prefer the curated source, fall back to the
+    earliest id). ``priority`` lists preferred sources best-first; unlisted
+    and NULL sources rank after every listed one. NULL-text documents are
+    excluded (no content to compare); empty and whitespace-only documents
+    normalize to '' and dedup together.
+
+    Returns one row per distinct content:
+    (content_md5, id, source, n_copies, n_sources) — the surviving
+    document's id/source plus how many copies and distinct non-NULL
+    sources the content appeared under.
+
+    Survivor = min(rank·10¹² + id): ONE int64 min that any engine orders
+    identically; an id at or beyond 10¹² raises loudly
+    (``_SURVIVOR_ID_LIMIT``) instead of silently mis-choosing.
+
+    Scale: the (key, enc, source) relation — a 32-char hash, an int64 and
+    a short string per row, never the document text — shuffles ONCE on
+    the content hash; survivor stats are a hash aggregate over that
+    exchange, and the survivor fetch joins the aggregate's dedup-bounded
+    output back over the SAME exchange (ReusedExchange) as a sort-free
+    shuffle-hash join — the span_dedup pattern. The id is DECODED from
+    the encoding (enc mod 10¹²) rather than carried as its own column:
+    both consumer branches then prune to the identical column set, which
+    is what keeps the shared exchange shared (per-branch pruning defeats
+    ReusedExchange). Reference analog: the dedupe step of
+    DupeCheckTasklet semantics generalized to source preference (the
+    reference keeps first-seen only)."""
+    from etl_load_spark.operators.dedup import normalize_text
+
+    idc = F.col(id_col)
+    enc = F.when(
+        idc < _SURVIVOR_ID_LIMIT,
+        _source_rank(source_col, priority) * _SURVIVOR_ID_LIMIT + idc
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("cross_source_dedup: id "), idc.cast("string"),
+        F.lit(f" >= {_SURVIVOR_ID_LIMIT} overflows the survivor "
+              "encoding; widen _SURVIVOR_ID_LIMIT"))).cast("bigint"))
+    # the explicit isnotnull pair pre-empts InferFiltersFromConstraints:
+    # the join would otherwise push isnotnull(_enc) into the probe branch
+    # only and isnotnull(_key) into the aggregate branch only, making the
+    # two subtrees under the shared repartition differ (no ReusedExchange)
+    rel = (df.filter(F.col(text_col).isNotNull())
+           .select(F.md5(normalize_text(F.col(text_col))).alias("_key"),
+                   F.col(source_col).alias("_src"),
+                   enc.alias("_enc"))
+           .filter(F.col("_key").isNotNull() & F.col("_enc").isNotNull())
+           .repartition("_key"))
+    st = (rel.groupBy("_key")
+          .agg(F.min("_enc").alias("_min"),
+               F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+               F.countDistinct("_src").cast("bigint").alias("n_sources")))
+    # survivor test as `<=` not `==`: equal in effect (ids are unique, so
+    # exactly one row attains the min), but an EQUALITY here is absorbed
+    # into the join as a second key pair (_enc = _min), re-keying the
+    # probe's distribution to (_key, _enc) and splitting the shared
+    # exchange; the inequality stays a post-join filter and the join
+    # stays on _key alone
+    return (rel.join(st.hint("shuffle_hash"), "_key")
+            .filter(F.col("_enc") <= F.col("_min"))
+            .select(F.col("_key").alias("content_md5"),
+                    F.pmod(F.col("_enc"), F.lit(_SURVIVOR_ID_LIMIT))
+                    .alias(id_col),
+                    F.col("_src").alias(source_col),
+                    "n_copies", "n_sources")
+            .orderBy(id_col))
+
+
+def cross_source_dedup_sql(table: str, priority: list[str],
+                           id_col: str = "doc_id", text_col: str = "text",
+                           source_col: str = "source",
+                           dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``cross_source_dedup``. ``table`` may be an
+    aliased inline subquery (e.g. a planted-corpus UNION ALL)."""
+    from etl_load_spark.operators.dedup import normalize_text_sql
+    norm = normalize_text_sql(text_col, dialect)
+    cases = " ".join(f"WHEN '{s}' THEN {i}" for i, s in enumerate(priority))
+    return f"""
+WITH rel AS (
+  SELECT {id_col} AS _id, {source_col} AS _src,
+         md5({norm}) AS _key,
+         CAST(CASE {source_col} {cases} ELSE {len(priority)} END AS BIGINT)
+           * {_SURVIVOR_ID_LIMIT} + {id_col} AS _enc
+  FROM {table} WHERE {text_col} IS NOT NULL),
+st AS (
+  SELECT _key, MIN(_enc) AS _min,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(COUNT(DISTINCT _src) AS BIGINT) AS n_sources
+  FROM rel GROUP BY _key)
+SELECT rel._key AS content_md5, rel._id AS {id_col},
+       rel._src AS {source_col}, st.n_copies, st.n_sources
+FROM rel JOIN st USING (_key)
+WHERE rel._enc = st._min
+ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture realization (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def token_budget_select(df: DataFrame, budgets: dict[str, int],
+                        id_col: str = "doc_id", text_col: str = "text",
+                        source_col: str = "source", n_buckets: int = 4096,
+                        salt: str = "budget") -> DataFrame:
+    """Token-budget mixture realization — the step that turns per-source
+    TOKEN budgets (not doc-count weights: mixture papers specify token
+    proportions) into a concrete document selection. Documents are taken
+    in a deterministic pseudo-random order per source (md5 of the id)
+    until the source's budget is met; the document crossing the boundary
+    is included (fill-to-budget), sources without a budget contribute
+    nothing, and NULL-text documents are excluded. Deterministic: re-runs,
+    engines and partitionings pick the identical set (mixture_sample's
+    contract, at token granularity).
+
+    Returns a per-source manifest (source, n_docs, n_tokens, sel_xor):
+    ``sel_xor`` is the XOR of a portable 64-bit hash of each selected id —
+    an order-free, combinable certificate of the exact selected set.
+
+    Scale — a DISTRIBUTED PREFIX SUM, not a per-source window: a window
+    partitioned by source alone would put an entire source's corpus slice
+    in ONE task (unbounded at 100 TB). Instead each doc hashes to one of
+    ``n_buckets`` ordered buckets; per-(source, bucket) token totals are
+    a map-side-combinable hash aggregate whose exchange ships only
+    ~n_buckets partial rows per map task; bucket offsets are a window
+    over that BOUNDED relation (n_buckets rows per source); and the
+    offsets broadcast back (sources × buckets rows) so the within-bucket
+    running sum is a window over (source, bucket) partitions of
+    ~corpus/n_buckets rows. The corpus shuffles ONCE (the window's own
+    (source, bucket) exchange); the bucket-stats branch re-reads the
+    scan (projection-pruned, no ids or order keys) but moves only
+    map-combined partials — deliberately NOT a shared repartition, which
+    would push the full doc relation through the exchange before the
+    totals aggregate and tie both branches to one pruning."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    from etl_load_spark.operators.text import token_count
+
+    bkt = F.pmod(portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(n_buckets))
+    docs = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.col(source_col).alias("_src"),
+                    token_count(F.col(text_col)).alias("_n"),
+                    bkt.alias("_bkt"),
+                    F.md5(F.col(id_col).cast("string")).alias("_ok")))
+    btot = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(source_col).alias("_src"), bkt.alias("_bkt"),
+                    token_count(F.col(text_col)).alias("_n"))
+            .groupBy("_src", "_bkt")
+            .agg(F.sum("_n").cast("bigint").alias("_bt")))
+    boff = (btot.withColumn(
+        "_off", F.coalesce(
+            F.sum("_bt").over(
+                W.partitionBy("_src").orderBy("_bkt")
+                .rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint")))
+        .select("_src", "_bkt", "_off"))
+    bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    budget = F.coalesce(bmap[F.col("_src")].cast("bigint"),
+                        F.lit(0).cast("bigint"))
+    cum = F.col("_off") + F.sum("_n").over(
+        W.partitionBy("_src", "_bkt").orderBy("_ok", "_id"))
+    sel_h = portable_hash64(F.concat(F.col("_id").cast("string"),
+                                     F.lit(":sel")))
+    return (docs.join(F.broadcast(boff), ["_src", "_bkt"])
+            .withColumn("_cum", cum)
+            .filter(F.col("_cum") - F.col("_n") < budget)
+            .groupBy("_src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("_n").cast("bigint").alias("n_tokens"),
+                 F.bit_xor(sel_h).alias("sel_xor"))
+            .select(F.col("_src").alias(source_col),
+                    "n_docs", "n_tokens", "sel_xor")
+            .orderBy(source_col))
+
+
+def token_budget_select_sql(table: str, budgets: dict[str, int],
+                            id_col: str = "doc_id", text_col: str = "text",
+                            source_col: str = "source",
+                            n_buckets: int = 4096, salt: str = "budget",
+                            dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``token_budget_select``: ONE plain window replays
+    the distributed prefix sum (global cum per source over (bucket,
+    order-key, id) decomposes exactly into bucket offset + within-bucket
+    running sum — pure integer arithmetic)."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    from etl_load_spark.operators.text import token_count_sql
+    hb = portable_hash64_sql(
+        f"CAST({id_col} AS VARCHAR) || ':{salt}'", dialect)
+    hs = portable_hash64_sql(f"CAST(_id AS VARCHAR) || ':sel'", dialect)
+    cases = " ".join(f"WHEN '{k}' THEN {int(v)}" for k, v in budgets.items())
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS _id, {source_col} AS _src,
+         {token_count_sql(text_col, dialect)} AS _n,
+         (({hb}) % {n_buckets} + {n_buckets}) % {n_buckets} AS _bkt,
+         md5(CAST({id_col} AS VARCHAR)) AS _ok
+  FROM {table} WHERE {text_col} IS NOT NULL),
+c AS (
+  SELECT *, SUM(_n) OVER (PARTITION BY _src ORDER BY _bkt, _ok, _id
+                          ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM d),
+k AS (
+  SELECT * FROM c
+  WHERE _cum - _n < CAST(COALESCE(
+          CASE _src {cases} ELSE 0 END, 0) AS BIGINT))
+SELECT _src AS {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(_n) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({hs}) AS BIGINT) AS sel_xor
+FROM k GROUP BY _src ORDER BY {source_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard manifest (training-data export)
+# ---------------------------------------------------------------------------
+
+def shard_manifest(df: DataFrame, n_shards: int = 64,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   salt: str = "shard") -> DataFrame:
+    """Deterministic shard assignment + manifest — the training-data
+    export step: every document hashes to one of ``n_shards`` shards
+    (portable hash of its id, so any engine or re-run assigns
+    identically), and the manifest certifies each shard's exact contents:
+    (shard, n_docs, n_tokens, manifest_xor) where ``manifest_xor`` XORs a
+    portable 64-bit hash of each (id, token-count) pair — order-free and
+    combinable, so two exports match iff their manifests match. NULL-text
+    documents are excluded (nothing to ship).
+
+    Scale: assignment is a pure projection fused into the scan (a writer
+    partitionBy(shard) needs no extra shuffle beyond the write's own) and
+    the manifest is ONE map-side-combinable hash aggregation of n_shards
+    output rows — no window, no join, nothing driver-side."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    from etl_load_spark.operators.text import token_count
+
+    docs = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.pmod(portable_hash64(
+                        F.concat(F.col(id_col).cast("string"),
+                                 F.lit(":" + salt))),
+                           F.lit(n_shards)).alias("shard"),
+                    token_count(F.col(text_col)).alias("_n")))
+    man_h = portable_hash64(F.concat(F.col("_id").cast("string"),
+                                     F.lit(":"),
+                                     F.col("_n").cast("string")))
+    return (docs.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("_n").cast("bigint").alias("n_tokens"),
+                 F.bit_xor(man_h).alias("manifest_xor"))
+            .orderBy("shard"))
+
+
+def shard_manifest_sql(table: str = "documents", n_shards: int = 64,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       salt: str = "shard", dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``shard_manifest``."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    from etl_load_spark.operators.text import token_count_sql
+    hb = portable_hash64_sql(
+        f"CAST({id_col} AS VARCHAR) || ':{salt}'", dialect)
+    hm = portable_hash64_sql(
+        f"CAST({id_col} AS VARCHAR) || ':' || CAST(_n AS VARCHAR)", dialect)
+    return f"""
+WITH d AS (
+  SELECT {id_col},
+         (({hb}) % {n_shards} + {n_shards}) % {n_shards} AS shard,
+         {token_count_sql(text_col, dialect)} AS _n
+  FROM {table} WHERE {text_col} IS NOT NULL)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(_n) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({hm}) AS BIGINT) AS manifest_xor
+FROM d GROUP BY shard ORDER BY shard
+"""

@@ -5323,6 +5323,86 @@ def q146_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_bigram_surprisal_oracle()
 
 
+# --- q147: cross-source priority dedup (survivor selection) ----------------
+
+def _register_cross_source_dedup_oracle() -> None:
+    """q147's oracle replays the operator over the same planted corpus
+    (every document mirrored into a low-priority 'mirror' source) so
+    survivor choice is exercised on BOTH rules: the priority rank (src3 >
+    src1 > everything) and the min-id tie-break (original beats mirror)."""
+    from etl_load_spark.operators.corpus import cross_source_dedup_sql
+    planted = ("(SELECT doc_id, text, source FROM documents "
+               "UNION ALL "
+               "SELECT doc_id + 10000000, text, 'mirror' FROM documents) c")
+    QUERIES["q147_cross_source_dedup"].oracle = cross_source_dedup_sql(
+        planted, ["src3", "src1"])
+
+
+@query("q147_cross_source_dedup")  # oracle attached by the registrar above
+def q147_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-preference exact dedup over a planted cross-source corpus:
+    every document also appears under a low-priority 'mirror' source, so
+    each content group exercises survivor selection — priority rank first
+    (src3 best, then src1, then everything else), min id as tie-break.
+    See operators/corpus.py::cross_source_dedup for the 100 TB shape (one
+    content-hash shuffle, reused by the survivor-fetch join)."""
+    from etl_load_spark.operators.corpus import cross_source_dedup
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      "text", F.lit("mirror").alias("source"))
+    return cross_source_dedup(d.unionByName(mirror), ["src3", "src1"])
+
+
+_register_cross_source_dedup_oracle()
+
+
+# --- q148: token-budget mixture realization --------------------------------
+
+_Q148_BUDGETS = {"src0": 2000, "src7": 1500, "src19": 1}
+
+
+def _register_token_budget_oracle() -> None:
+    from etl_load_spark.operators.corpus import token_budget_select_sql
+    QUERIES["q148_token_budget"].oracle = token_budget_select_sql(
+        "documents", _Q148_BUDGETS)
+
+
+@query("q148_token_budget")  # oracle attached by the registrar above
+def q148_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture realization: fill three per-source TOKEN
+    budgets (src19's budget of 1 pins the fill-to-budget boundary rule —
+    exactly one document is taken) in a deterministic md5 order; the
+    manifest's sel_xor certifies the exact selected set. See
+    operators/corpus.py::token_budget_select for the distributed
+    prefix-sum (the 100 TB replacement for a per-source window)."""
+    from etl_load_spark.operators.corpus import token_budget_select
+    return token_budget_select(t(spark, sf_dir, "documents"), _Q148_BUDGETS)
+
+
+_register_token_budget_oracle()
+
+
+# --- q149: deterministic shard manifest ------------------------------------
+
+@query("q149_shard_manifest")  # oracle attached right below
+def q149_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shards: portable id-hash → one of 64
+    shards; the manifest (n_docs, n_tokens, XOR of per-doc hashes)
+    certifies each shard's exact contents. ONE combinable aggregation —
+    see operators/corpus.py::shard_manifest."""
+    from etl_load_spark.operators.corpus import shard_manifest
+    return shard_manifest(t(spark, sf_dir, "documents"), n_shards=64)
+
+
+def _register_shard_manifest_oracle() -> None:
+    from etl_load_spark.operators.corpus import shard_manifest_sql
+    QUERIES["q149_shard_manifest"].oracle = shard_manifest_sql(
+        "documents", n_shards=64)
+
+
+_register_shard_manifest_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

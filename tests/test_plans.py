@@ -514,3 +514,51 @@ def test_lm_surprisal_single_corpus_pass(spark, sf_dir):
     assert "partial" in final.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cross_source_dedup_shared_exchange(spark, sf_dir):
+    """q147: the (key, enc, source) relation shuffles ONCE on the content
+    hash — survivor stats aggregate over the exchange and the survivor
+    fetch reads the SAME exchange (ReusedExchange, post-execution final
+    plan) as a sort-free shuffle-hash join. The survivor test is an
+    inequality on purpose: an equality is absorbed as a second join key
+    pair and re-keys the probe's distribution (see cross_source_dedup)."""
+    df = QUERIES["q147_cross_source_dedup"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "ReusedExchange" in final, final
+    assert "ShuffledHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+    # one corpus pass: the planted union's two legs scan once each
+    assert final.count("Scan parquet") == 2, final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_token_budget_no_per_source_window(spark, sf_dir):
+    """q148: the distributed prefix sum must never window the doc relation
+    by source alone (an entire source in ONE task at 100 TB). The
+    doc-level running sum windows over (source, bucket); only the
+    bucket-stats relation (n_buckets rows per source) windows per source;
+    bucket offsets come back via broadcast."""
+    plan = plan_of(spark, sf_dir, "q148_token_budget")
+    assert "BroadcastHashJoin" in plan, plan
+    # every Window whose order key is the doc order hash (_ok) must
+    # partition on the bucket column too
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "_ok" in ln:
+            assert "_bkt" in ln.split("windowspecdefinition")[1], ln
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_manifest_single_combinable_agg(spark, sf_dir):
+    """q149: shard assignment is a pure projection; the manifest is ONE
+    two-phase hash aggregate (map-side partials) — no join, no window,
+    nothing driver-side."""
+    plan = plan_of(spark, sf_dir, "q149_shard_manifest")
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
