@@ -677,6 +677,49 @@ ORDER BY {id_col}
 # Token-budget mixture realization (distributed prefix sum)
 # ---------------------------------------------------------------------------
 
+def token_budget_kept(df: DataFrame, budgets: dict[str, int],
+                      id_col: str = "doc_id", text_col: str = "text",
+                      source_col: str = "source", n_buckets: int = 4096,
+                      salt: str = "budget") -> DataFrame:
+    """The doc-level kept relation behind ``token_budget_select`` (and the
+    TOKEN_BUDGET spec stage): (_id, _src, _n, _bkt, _ok, _off, _cum) rows
+    for every document the per-source token budget admits. See
+    token_budget_select for semantics and the distributed-prefix-sum
+    shape."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    from etl_load_spark.operators.text import token_count
+
+    bkt = F.pmod(portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(n_buckets))
+    docs = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.col(source_col).alias("_src"),
+                    token_count(F.col(text_col)).alias("_n"),
+                    bkt.alias("_bkt"),
+                    F.md5(F.col(id_col).cast("string")).alias("_ok")))
+    btot = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(source_col).alias("_src"), bkt.alias("_bkt"),
+                    token_count(F.col(text_col)).alias("_n"))
+            .groupBy("_src", "_bkt")
+            .agg(F.sum("_n").cast("bigint").alias("_bt")))
+    boff = (btot.withColumn(
+        "_off", F.coalesce(
+            F.sum("_bt").over(
+                W.partitionBy("_src").orderBy("_bkt")
+                .rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint")))
+        .select("_src", "_bkt", "_off"))
+    bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    budget = F.coalesce(bmap[F.col("_src")].cast("bigint"),
+                        F.lit(0).cast("bigint"))
+    cum = F.col("_off") + F.sum("_n").over(
+        W.partitionBy("_src", "_bkt").orderBy("_ok", "_id"))
+    return (docs.join(F.broadcast(boff), ["_src", "_bkt"])
+            .withColumn("_cum", cum)
+            .filter(F.col("_cum") - F.col("_n") < budget))
+
+
 def token_budget_select(df: DataFrame, budgets: dict[str, int],
                         id_col: str = "doc_id", text_col: str = "text",
                         source_col: str = "source", n_buckets: int = 4096,
@@ -711,39 +754,12 @@ def token_budget_select(df: DataFrame, budgets: dict[str, int],
     would push the full doc relation through the exchange before the
     totals aggregate and tie both branches to one pruning."""
     from etl_load_spark.operators.dedup import portable_hash64
-    from etl_load_spark.operators.text import token_count
 
-    bkt = F.pmod(portable_hash64(
-        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
-        F.lit(n_buckets))
-    docs = (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("_id"),
-                    F.col(source_col).alias("_src"),
-                    token_count(F.col(text_col)).alias("_n"),
-                    bkt.alias("_bkt"),
-                    F.md5(F.col(id_col).cast("string")).alias("_ok")))
-    btot = (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(source_col).alias("_src"), bkt.alias("_bkt"),
-                    token_count(F.col(text_col)).alias("_n"))
-            .groupBy("_src", "_bkt")
-            .agg(F.sum("_n").cast("bigint").alias("_bt")))
-    boff = (btot.withColumn(
-        "_off", F.coalesce(
-            F.sum("_bt").over(
-                W.partitionBy("_src").orderBy("_bkt")
-                .rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0).cast("bigint")))
-        .select("_src", "_bkt", "_off"))
-    bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
-    budget = F.coalesce(bmap[F.col("_src")].cast("bigint"),
-                        F.lit(0).cast("bigint"))
-    cum = F.col("_off") + F.sum("_n").over(
-        W.partitionBy("_src", "_bkt").orderBy("_ok", "_id"))
     sel_h = portable_hash64(F.concat(F.col("_id").cast("string"),
                                      F.lit(":sel")))
-    return (docs.join(F.broadcast(boff), ["_src", "_bkt"])
-            .withColumn("_cum", cum)
-            .filter(F.col("_cum") - F.col("_n") < budget)
+    return (token_budget_kept(df, budgets, id_col=id_col, text_col=text_col,
+                              source_col=source_col, n_buckets=n_buckets,
+                              salt=salt)
             .groupBy("_src")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("_n").cast("bigint").alias("n_tokens"),
@@ -794,6 +810,20 @@ FROM k GROUP BY _src ORDER BY {source_col}
 # Deterministic shard manifest (training-data export)
 # ---------------------------------------------------------------------------
 
+def shard_assign(df: DataFrame, n_shards: int = 64,
+                 id_col: str = "doc_id", salt: str = "shard",
+                 shard_col: str = "shard") -> DataFrame:
+    """``df`` plus a deterministic shard column: portable 64-bit hash of
+    the id mod ``n_shards``, so any engine, re-run or partitioning
+    assigns identically. A pure projection — map-side, stream-safe, and
+    the column a writer's partitionBy uses for shard-layout output (the
+    ASSIGN_SHARDS spec stage)."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    return df.withColumn(shard_col, F.pmod(portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(n_shards)))
+
+
 def shard_manifest(df: DataFrame, n_shards: int = 64,
                    id_col: str = "doc_id", text_col: str = "text",
                    salt: str = "shard") -> DataFrame:
@@ -813,12 +843,9 @@ def shard_manifest(df: DataFrame, n_shards: int = 64,
     from etl_load_spark.operators.dedup import portable_hash64
     from etl_load_spark.operators.text import token_count
 
-    docs = (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("_id"),
-                    F.pmod(portable_hash64(
-                        F.concat(F.col(id_col).cast("string"),
-                                 F.lit(":" + salt))),
-                           F.lit(n_shards)).alias("shard"),
+    docs = (shard_assign(df.filter(F.col(text_col).isNotNull()),
+                         n_shards=n_shards, id_col=id_col, salt=salt)
+            .select(F.col(id_col).alias("_id"), "shard",
                     token_count(F.col(text_col)).alias("_n")))
     man_h = portable_hash64(F.concat(F.col("_id").cast("string"),
                                      F.lit(":"),

@@ -118,7 +118,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "(known: NONE, PYTHON_SCRIPT, SCD2_MERGE, "
                          "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE, "
                          "QUALITY_CLASSIFIER, SEMANTIC_DEDUP, DECONTAMINATE, "
-                         "CLUSTER_BALANCE, CHUNK_DOCUMENTS, LM_SURPRISAL)")
+                         "CLUSTER_BALANCE, CHUNK_DOCUMENTS, LM_SURPRISAL, "
+                         "CROSS_SOURCE_DEDUP, TOKEN_BUDGET, ASSIGN_SHARDS)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -387,6 +388,54 @@ def _cluster_balance_transform(df: DataFrame, p: dict) -> DataFrame:
     return df.join(kept.select(id_col, "cluster"), id_col)
 
 
+def _cross_source_dedup_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative cross-source priority dedup: keep one survivor per
+    identical normalized content, preferring sources in
+    parameters.priority order (required, best first), min id as
+    tie-break. NULL-text rows drop (nothing to deduplicate). Row shape is
+    preserved — survivors keep every column."""
+    from etl_load_spark.operators.corpus import cross_source_dedup
+    if not p.get("priority"):
+        raise ValueError("CROSS_SOURCE_DEDUP requires parameters.priority "
+                         "(preferred sources, best first)")
+    id_col = p.get("idColumn", "doc_id")
+    surv = cross_source_dedup(
+        df, [str(s) for s in p["priority"]], id_col=id_col,
+        text_col=p.get("textColumn", "text"),
+        source_col=p.get("sourceColumn", "source"))
+    return df.join(surv.select(id_col), id_col, "semi")
+
+
+def _token_budget_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative token-budget mixture realization: keep documents that
+    fit each source's TOKEN budget (parameters.budgets, required), taken
+    in deterministic md5 order with the boundary document included.
+    NULL-text and unbudgeted-source rows drop. Row shape is preserved."""
+    from etl_load_spark.operators.corpus import token_budget_kept
+    if not p.get("budgets"):
+        raise ValueError("TOKEN_BUDGET requires parameters.budgets "
+                         "(source -> token budget)")
+    id_col = p.get("idColumn", "doc_id")
+    kept = token_budget_kept(
+        df, {str(k): int(v) for k, v in p["budgets"].items()},
+        id_col=id_col, text_col=p.get("textColumn", "text"),
+        source_col=p.get("sourceColumn", "source"),
+        n_buckets=int(p.get("nBuckets", 4096)),
+        salt=p.get("salt", "budget"))
+    return df.join(kept.select(F.col("_id").alias(id_col)), id_col, "semi")
+
+
+def _assign_shards_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative shard assignment: append a deterministic shard column
+    (portable id-hash mod nShards) for the destination's partitionBy —
+    a pure projection, so it is stream-safe and adds no shuffle."""
+    from etl_load_spark.operators.corpus import shard_assign
+    return shard_assign(df, n_shards=int(p.get("nShards", 64)),
+                        id_col=p.get("idColumn", "doc_id"),
+                        salt=p.get("salt", "shard"),
+                        shard_col=p.get("shardColumn", "shard"))
+
+
 _CORPUS_TRANSFORMS = {
     "PASSAGE_DEDUP": _passage_dedup_transform,
     "QUALITY_FILTER": _quality_filter_transform,
@@ -396,6 +445,9 @@ _CORPUS_TRANSFORMS = {
     "CLUSTER_BALANCE": _cluster_balance_transform,
     "CHUNK_DOCUMENTS": _chunk_documents_transform,
     "LM_SURPRISAL": _lm_surprisal_transform,
+    "CROSS_SOURCE_DEDUP": _cross_source_dedup_transform,
+    "TOKEN_BUDGET": _token_budget_transform,
+    "ASSIGN_SHARDS": _assign_shards_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -417,4 +469,14 @@ _BATCH_ONLY_TRANSFORMS = {
                      "train the counts offline, then score the stream "
                      "with a left join against the frozen table (a "
                      "stream-safe stream-static join)"),
+    "CROSS_SOURCE_DEDUP": ("survivor choice needs the whole content "
+                           "group; dedup each landed increment in a "
+                           "downstream batch job, or use "
+                           "streaming.windows.stream_block_dedup for "
+                           "checkpointed first-seen-wins without source "
+                           "preference"),
+    "TOKEN_BUDGET": ("the running token total is corpus-global; land the "
+                     "stream, then realize the budget in a downstream "
+                     "batch job (ASSIGN_SHARDS is the stream-safe layout "
+                     "stage)"),
 }

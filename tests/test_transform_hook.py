@@ -257,3 +257,56 @@ def test_lm_surprisal_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="keepQuantile"):
         build_plan(spark, _corpus_spec(
             tmp_path, "LM_SURPRISAL", {"keepQuantile": 1.5}))
+
+
+def test_cross_source_dedup_stage(spark, tmp_path):
+    """Declarative CROSS_SOURCE_DEDUP: identical content keeps one
+    survivor by source priority; distinct content and non-text columns
+    survive; missing priority raises."""
+    a16 = " ".join(f"a{i}" for i in range(16))
+    rows = [
+        {"doc_id": 1, "source": "web", "text": a16},
+        {"doc_id": 2, "source": "books", "text": a16},   # dup, preferred src
+        {"doc_id": 3, "source": "web", "text": "unique text here"},
+    ]
+    import json as _json
+    src = tmp_path / "xs.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "xs", "source": {"type": "FILE_JSON",
+                                  "details": {"path": str(src)}},
+        "transformation": {"type": "CROSS_SOURCE_DEDUP",
+                           "parameters": {"priority": ["books", "web"]}},
+    })
+    out = {r.doc_id: r for r in build_plan(spark, spec).collect()}
+    assert set(out) == {2, 3}              # books copy beats web's min id
+    assert out[2].source == "books"        # full row survives
+    with pytest.raises(ValueError, match="priority"):
+        build_plan(spark, JobSpec.from_dict({
+            "jobId": "xs2", "source": {"type": "FILE_JSON",
+                                       "details": {"path": str(src)}},
+            "transformation": {"type": "CROSS_SOURCE_DEDUP",
+                               "parameters": {}}}))
+
+
+def test_token_budget_stage(spark, tmp_path):
+    """Declarative TOKEN_BUDGET: a tiny budget keeps exactly the boundary
+    document per source; unbudgeted sources drop; missing budgets
+    raise."""
+    spec = _corpus_spec(tmp_path, "TOKEN_BUDGET",
+                        {"budgets": {"web": 1}})
+    out = [r.doc_id for r in build_plan(spark, spec).collect()]
+    assert len(out) == 1                   # budget 1 -> one boundary doc
+    assert out[0] in {1, 2, 4}             # a web doc; books unbudgeted
+    with pytest.raises(ValueError, match="budgets"):
+        build_plan(spark, _corpus_spec(tmp_path, "TOKEN_BUDGET", {}))
+
+
+def test_assign_shards_stage(spark, tmp_path):
+    """Declarative ASSIGN_SHARDS: every row gains a stable shard in
+    [0, nShards); re-running assigns identically (pure projection)."""
+    spec = _corpus_spec(tmp_path, "ASSIGN_SHARDS", {"nShards": 4})
+    a = {(r.doc_id, r.shard) for r in build_plan(spark, spec).collect()}
+    b = {(r.doc_id, r.shard) for r in build_plan(spark, spec).collect()}
+    assert a == b and len(a) == 4
+    assert all(0 <= s < 4 for _, s in a)
