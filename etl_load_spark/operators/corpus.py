@@ -895,3 +895,206 @@ SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(bit_xor({hm}) AS BIGINT) AS manifest_xor
 FROM d GROUP BY shard ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-example assembly)
+# ---------------------------------------------------------------------------
+
+def sequence_pack(df: DataFrame, seq_len: int = 2048,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n_buckets: int = 4096, salt: str = "pack") -> DataFrame:
+    """Concat-and-chunk sequence packing — the training-example assembly
+    step: documents are concatenated in a deterministic pseudo-random
+    order (each followed by ONE separator/EOS token) and the token stream
+    is chunked into fixed ``seq_len`` context windows. Returns the
+    doc-level packing manifest (doc_id, n_tokens, start_off, first_seq,
+    last_seq, n_seqs): exactly where every document lands in the packed
+    stream, which training sequences it spans, and hence (n_seqs > 1)
+    whether it is split across sequence boundaries. Zero padding by
+    construction — only the final partial sequence is short.
+
+    Deterministic: the global order is (bucket, md5(id), id), so re-runs,
+    engines and partitionings pack identically; every output column is
+    exact integer arithmetic on the prefix sum.
+
+    Scale — the token_budget_select distributed prefix sum, global
+    instead of per-source: a single ORDER BY over the corpus would sort
+    100 TB on one boundary; instead each doc hashes to one of
+    ``n_buckets`` ordered buckets, the within-bucket running sum is a
+    window over ~corpus/n_buckets rows, bucket totals are the MAX of
+    that running sum (derived downstream of the shared window so the
+    tokenize + exchange happen once — never fork below the tokenized
+    projection), and bucket offsets are a window over the BOUNDED
+    totals relation (n_buckets rows, one task is fine) broadcast back.
+    Sequence ids are pure projections off the offsets: no second
+    shuffle, no explode of per-sequence rows."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    from etl_load_spark.operators.text import token_count
+
+    bkt = F.pmod(portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(n_buckets))
+    # the explicit isnotnull(_bkt) is the q147/q148 recipe: the offsets
+    # join would otherwise push an inferred isnotnull into the probe
+    # branch only, making the two subtrees under the shared repartition
+    # differ — no ReusedExchange, tokenizer re-run per branch
+    cumd = (df.filter(F.col(text_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    token_count(F.col(text_col)).alias("_n"),
+                    bkt.alias("_bkt"),
+                    F.md5(F.col(id_col).cast("string")).alias("_ok"))
+            .filter(F.col("_bkt").isNotNull())
+            .repartition("_bkt")
+            # width = tokens + 1 EOS separator per document
+            .withColumn("_cum_in", F.sum(F.col("_n") + 1).over(
+                W.partitionBy("_bkt").orderBy("_ok", "_id"))))
+    boff = (cumd.groupBy("_bkt")
+            .agg(F.max("_cum_in").alias("_bt"))
+            .withColumn(
+                "_off", F.coalesce(
+                    F.sum("_bt").over(
+                        W.orderBy("_bkt")
+                        .rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0).cast("bigint")))
+            .select("_bkt", "_off"))
+    start = F.col("_off") + F.col("_cum_in") - F.col("_n") - 1
+    return (cumd.join(F.broadcast(boff), "_bkt")
+            .withColumn("_start", start)
+            .select(F.col("_id").alias(id_col),
+                    F.col("_n").alias("n_tokens"),
+                    F.col("_start").alias("start_off"),
+                    F.expr(f"_start div {int(seq_len)}").alias("first_seq"),
+                    F.expr(f"(_start + _n - 1) div {int(seq_len)}")
+                    .alias("last_seq"))
+            .withColumn("n_seqs",
+                        F.col("last_seq") - F.col("first_seq") + F.lit(1))
+            .orderBy(id_col))
+
+
+def sequence_pack_sql(table: str = "documents", seq_len: int = 2048,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_buckets: int = 4096, salt: str = "pack",
+                      dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``sequence_pack``: one plain window replays the
+    distributed prefix sum (global cum over (bucket, md5, id) decomposes
+    exactly into bucket offset + within-bucket running sum); sequence
+    ids are integer division on the prefix sum."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    from etl_load_spark.operators.text import token_count_sql
+    hb = portable_hash64_sql(
+        f"CAST({id_col} AS VARCHAR) || ':{salt}'", dialect)
+    L = int(seq_len)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS _id,
+         {token_count_sql(text_col, dialect)} AS _n,
+         (({hb}) % {n_buckets} + {n_buckets}) % {n_buckets} AS _bkt,
+         md5(CAST({id_col} AS VARCHAR)) AS _ok
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {id_col} IS NOT NULL),
+c AS (
+  SELECT *, SUM(_n + 1) OVER (ORDER BY _bkt, _ok, _id
+                              ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM d)
+SELECT _id AS {id_col}, CAST(_n AS BIGINT) AS n_tokens,
+       CAST(_cum - _n - 1 AS BIGINT) AS start_off,
+       CAST((_cum - _n - 1) // {L} AS BIGINT) AS first_seq,
+       CAST((_cum - 2) // {L} AS BIGINT) AS last_seq,
+       CAST((_cum - 2) // {L} - (_cum - _n - 1) // {L} + 1 AS BIGINT)
+         AS n_seqs
+FROM c ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (class balancing)
+# ---------------------------------------------------------------------------
+
+def stratified_sample(df: DataFrame, stratum_col: str = "lang",
+                      id_col: str = "doc_id", n_buckets: int = 4096,
+                      salt: str = "strat") -> DataFrame:
+    """Balance strata to the minority class: keep the first
+    ``min-stratum-size`` documents of EVERY stratum in a deterministic
+    pseudo-random order (md5 of the id) — the exact-count analogue of
+    mixture_sample for data-dependent targets (class balancing for
+    classifier training sets, language rebalancing). Deterministic:
+    re-runs, engines and partitionings select the identical set. NULL
+    stratum or id rows are excluded (no deterministic position).
+
+    Returns the kept (id, stratum) rows.
+
+    Scale — per-stratum RANK via the distributed prefix sum, not a
+    per-stratum window (which would buffer a whole stratum in one
+    task): docs hash into ordered buckets, within-bucket row_number
+    windows are bounded (~corpus/n_buckets rows), bucket totals derive
+    from the window output (max row_number — the shared-exchange rule),
+    offsets+thresholds are windows/aggregates over the BOUNDED totals
+    relation (n_buckets x strata rows) broadcast back. The minority
+    size is an aggregate of the same totals relation, never a second
+    corpus pass."""
+    from etl_load_spark.operators.dedup import portable_hash64
+
+    bkt = F.pmod(portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(n_buckets))
+    # explicit isnotnull(_bkt): same shared-exchange recipe as
+    # sequence_pack/token_budget_kept (three consumers here — the doc
+    # probe, the offsets window and the minority-size aggregate — must
+    # stay byte-identical below the repartition)
+    cumd = (df.filter(F.col(stratum_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.col(stratum_col).alias("_st"),
+                    bkt.alias("_bkt"),
+                    F.md5(F.col(id_col).cast("string")).alias("_ok"))
+            .filter(F.col("_bkt").isNotNull())
+            .repartition("_st", "_bkt")
+            .withColumn("_rn_in", F.row_number().over(
+                W.partitionBy("_st", "_bkt").orderBy("_ok", "_id"))
+                .cast("bigint")))
+    bt = cumd.groupBy("_st", "_bkt").agg(F.max("_rn_in").alias("_bt"))
+    boff = (bt.withColumn(
+                "_off", F.coalesce(
+                    F.sum("_bt").over(
+                        W.partitionBy("_st").orderBy("_bkt")
+                        .rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0).cast("bigint")))
+            .select("_st", "_bkt", "_off"))
+    m = (bt.groupBy("_st").agg(F.sum("_bt").alias("_cnt"))
+         .agg(F.min("_cnt").alias("_m")))
+    return (cumd.join(F.broadcast(boff), ["_st", "_bkt"])
+            .join(F.broadcast(m))
+            .filter(F.col("_off") + F.col("_rn_in") <= F.col("_m"))
+            .select(F.col("_id").alias(id_col),
+                    F.col("_st").alias(stratum_col))
+            .orderBy(id_col))
+
+
+def stratified_sample_sql(table: str = "documents",
+                          stratum_col: str = "lang",
+                          id_col: str = "doc_id", n_buckets: int = 4096,
+                          salt: str = "strat",
+                          dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``stratified_sample``: a per-stratum ROW_NUMBER
+    ordered (bucket, md5, id) replays the bucketed rank decomposition."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    hb = portable_hash64_sql(
+        f"CAST({id_col} AS VARCHAR) || ':{salt}'", dialect)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS _id, {stratum_col} AS _st,
+         (({hb}) % {n_buckets} + {n_buckets}) % {n_buckets} AS _bkt,
+         md5(CAST({id_col} AS VARCHAR)) AS _ok
+  FROM {table}
+  WHERE {stratum_col} IS NOT NULL AND {id_col} IS NOT NULL),
+c AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY _st
+                               ORDER BY _bkt, _ok, _id) AS _rn
+  FROM d),
+m AS (SELECT MIN(cnt) AS _m
+      FROM (SELECT COUNT(*) AS cnt FROM d GROUP BY _st))
+SELECT _id AS {id_col}, _st AS {stratum_col}
+FROM c, m WHERE _rn <= _m ORDER BY {id_col}
+"""

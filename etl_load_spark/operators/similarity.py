@@ -776,3 +776,118 @@ def cluster_balanced_sample(assigned: DataFrame, id_col: str = "vec_id",
                         < F.col("n_min") * F.lit(1_000_000))
             .filter("_keep")
             .drop("_keep", "n_min"))
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (index compression)
+# ---------------------------------------------------------------------------
+
+def quantizable_embeddings(df: DataFrame, vec_col: str = "embedding"
+                           ) -> DataFrame:
+    """Relation-level input filter for quantization: drop NULL arrays and
+    arrays containing NULL/NaN elements (they poison min/max). Unlike
+    ``valid_embeddings``, ZERO-NORM vectors are kept — quantization needs
+    a value range, not a direction, and a constant vector quantizes
+    exactly (all codes 0)."""
+    v = F.col(vec_col)
+    bad_elem = F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    return df.filter(v.isNotNull() & ~bad_elem)
+
+
+def quantizable_embeddings_sql(col: str = "embedding") -> str:
+    """DuckDB twin of ``quantizable_embeddings``'s predicate."""
+    return (f"({col} IS NOT NULL AND len(list_filter({col}, "
+            f"x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0)")
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 scalar quantization — the index-compression step
+    of an ANN/RAG pipeline (4x smaller than float32; the form FAISS
+    calls SQ8 with per-vector min/max calibration): each component maps
+    to floor((x - min) * 255 / (max - min)) in [0, 255], constant
+    vectors (max == min) map to all-zero codes. Math is float64
+    throughout — bit-identical IEEE ops in any engine, so codes are
+    EXACTLY replayable (no transcendentals, one multiply + one divide +
+    one floor per component).
+
+    Returns (id, q_min, q_max, q_sum, codes): the calibration range,
+    the code sum, and the full code vector as a comma-joined string —
+    an exact certificate of every byte the quantized index would store.
+
+    Scale: a PURE PROJECTION — one Arrow-batched vectorized kernel
+    (numpy row-wise min/max/scale over the batch matrix), no shuffle,
+    no window, no state; 100 TB of embeddings quantize in one map pass
+    fused into the scan. The JVM alternative (posexplode + per-vector
+    window min/max) shuffles a dims-times-amplified relation; the HOF
+    alternative (transform with a captured array_min) re-evaluates the
+    min per element after CollapseProject inlining — both wrong-shaped
+    at scale."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<q_min: double, q_max: double, q_sum: bigint, "
+                "codes: string>")
+    def _quant(*cols):  # legacy-style: *args defeats type-hint inference
+        # (this module stringizes annotations via `from __future__ import
+        # annotations`, which breaks pandas_udf signature resolution —
+        # the bloom_probe pattern)
+        import numpy as np
+        vecs = cols[0]
+        n = len(vecs)
+        if n == 0:
+            return pd.DataFrame({"q_min": [], "q_max": [], "q_sum": [],
+                                 "codes": []})
+        a = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = a.min(axis=1)
+        mx = a.max(axis=1)
+        rng = mx - mn
+        safe = rng > 0.0
+        scaled = np.zeros_like(a)
+        # exact expression shape shared with the oracle SQL:
+        # ((x - mn) * 255.0) / rng, floored, capped at 255
+        np.divide((a - mn[:, None]) * 255.0, rng[:, None],
+                  out=scaled, where=safe[:, None])
+        q = np.minimum(np.floor(scaled), 255.0).astype(np.int64)
+        q[~safe, :] = 0
+        return pd.DataFrame({
+            "q_min": mn, "q_max": mx, "q_sum": q.sum(axis=1),
+            "codes": [",".join(map(str, row)) for row in q]})
+
+    out = quantizable_embeddings(df, vec_col).select(
+        F.col(id_col), _quant(F.col(vec_col)).alias("_q"))
+    return (out.select(id_col, "_q.q_min", "_q.q_max", "_q.q_sum",
+                       "_q.codes")
+            .orderBy(id_col))
+
+
+def quantize_embeddings_sql(table: str = "embeddings",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """Exact SQL twin of ``quantize_embeddings`` (DuckDB): unnest with
+    subscripts, per-vector window min/max, the identical float64
+    expression, string_agg in component order. ``table`` may be an
+    aliased inline subquery."""
+    return f"""
+WITH e AS (
+  SELECT {id_col}, CAST(unnest({vec_col}) AS DOUBLE) AS x,
+         generate_subscripts({vec_col}, 1) AS pos
+  FROM {table}
+  WHERE {quantizable_embeddings_sql(vec_col)}),
+s AS (
+  SELECT {id_col}, x, pos,
+         MIN(x) OVER (PARTITION BY {id_col}) AS mn,
+         MAX(x) OVER (PARTITION BY {id_col}) AS mx
+  FROM e),
+q AS (
+  SELECT {id_col}, mn, mx, pos,
+         CASE WHEN mx > mn
+              THEN LEAST(CAST(FLOOR(((x - mn) * 255.0) / (mx - mn))
+                              AS BIGINT), 255)
+              ELSE 0 END AS qi
+  FROM s)
+SELECT {id_col}, MIN(mn) AS q_min, MIN(mx) AS q_max,
+       CAST(SUM(qi) AS BIGINT) AS q_sum,
+       string_agg(CAST(qi AS VARCHAR), ',' ORDER BY pos) AS codes
+FROM q GROUP BY {id_col} ORDER BY {id_col}
+"""

@@ -375,3 +375,100 @@ SELECT _id AS {id_col}, n_bigrams, total_bits,
          AS bits_per_bigram
 FROM agg ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-curation key hygiene)
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change page identity (tracking/attribution);
+#: shared verbatim between the Spark and oracle forms.
+TRACKING_PARAM_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=")
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the key-hygiene step
+    before any URL-level dedup or domain aggregation over a crawl (the
+    same content is crawled under case-varied hosts, default ports,
+    tracking parameters, fragments and trailing slashes; without
+    canonicalization every URL-keyed operator undercounts duplicates).
+
+    Rules (all pure JVM regex/array expressions, RE2-safe so the oracle
+    replays them verbatim): lowercase scheme and host; strip a leading
+    ``www.``; strip the scheme's default port (:80 http, :443 https);
+    collapse trailing slashes (root stays ``/``, empty path becomes
+    ``/``); drop tracking parameters (``TRACKING_PARAM_PREFIXES``) and
+    empty params, sort the survivors bytewise; drop the fragment.
+
+    Scale: a pure projection — fuses into the scan, streams, and costs
+    a handful of regex evaluations per row. Input contract: absolute
+    URLs with a scheme; rows that don't match produce empty host/path
+    parts rather than erroring (filter upstream if needed)."""
+    scheme = F.lower(F.regexp_extract(url, _URL_SCHEME_RE, 1))
+    hp = F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+    hp = (F.when(scheme == "http", F.regexp_replace(hp, r":80$", ""))
+          .when(scheme == "https", F.regexp_replace(hp, r":443$", ""))
+          .otherwise(hp))
+    host = F.regexp_replace(hp, r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(url, _URL_PATH_RE, 1), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(F.regexp_extract(url, _URL_QUERY_RE, 1), "&"),
+        lambda x: (x != "") & ~x.startswith("utm_") & ~x.startswith("ref=")
+        & ~x.startswith("fbclid=") & ~x.startswith("gclid="))
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(qs == "", F.lit(""))
+                    .otherwise(F.concat(F.lit("?"), qs)))
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of ``canonicalize_url`` for a URL expression — same
+    regexes verbatim, list_filter/list_sort for the parameter set. Every
+    regexp_extract is COALESCEd to '': DuckDB yields NULL on no match
+    where Spark yields '' (a URL without a query string would otherwise
+    NULL the whole concatenation)."""
+    scheme = (f"lower(coalesce(regexp_extract({expr}, "
+              f"'{_URL_SCHEME_RE}', 1), ''))")
+    hp = (f"lower(coalesce(regexp_extract({expr}, "
+          f"'{_URL_HOST_RE}', 1), ''))")
+    hp2 = (f"CASE WHEN {scheme} = 'http' "
+           f"THEN regexp_replace({hp}, ':80$', '') "
+           f"WHEN {scheme} = 'https' "
+           f"THEN regexp_replace({hp}, ':443$', '') ELSE {hp} END")
+    host = f"regexp_replace({hp2}, '^www\\.', '')"
+    path0 = (f"regexp_replace(coalesce(regexp_extract({expr}, "
+             f"'{_URL_PATH_RE}', 1), ''), '/+$', '')")
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    flt = " AND NOT ".join(
+        ["x <> ''"] + [f"starts_with(x, '{p}')"
+                       for p in TRACKING_PARAM_PREFIXES])
+    # outer coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+    # where Spark's array_join is ''
+    qs = (f"coalesce(array_to_string(list_sort(list_filter(string_split("
+          f"coalesce(regexp_extract({expr}, '\\?([^#]*)', 1), ''), '&'), "
+          f"x -> {flt})), '&'), '')")
+    return (f"({scheme} || '://' || {host} || {path} || "
+            f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)")
+
+
+def registered_domain(host_or_url: Column, from_url: bool = False) -> Column:
+    """Last-two-labels approximation of the registered domain (a full
+    public-suffix list is a broadcast lookup in production; the
+    aggregation shape is identical)."""
+    h = (F.lower(F.regexp_extract(host_or_url, _URL_HOST_RE, 1))
+         if from_url else host_or_url)
+    h = F.regexp_replace(h, r":[0-9]+$", "")
+    return F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+
+
+def registered_domain_sql(url_expr: str) -> str:
+    h = (f"regexp_replace(lower(coalesce(regexp_extract({url_expr}, "
+         f"'{_URL_HOST_RE}', 1), '')), ':[0-9]+$', '')")
+    return f"coalesce(regexp_extract({h}, '([^.]+\\.[^.]+)$', 1), '')"

@@ -5403,6 +5403,218 @@ def _register_shard_manifest_oracle() -> None:
 _register_shard_manifest_oracle()
 
 
+# --- q150: sequence packing ------------------------------------------------
+
+@query("q150_sequence_pack")  # oracle attached right below
+def q150_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: where every document
+    lands in the packed token stream and which 512-token training
+    sequences it spans. Distributed prefix sum (bucketed running sums +
+    broadcast offsets), pure integer outputs — see
+    operators/corpus.py::sequence_pack."""
+    from etl_load_spark.operators.corpus import sequence_pack
+    return sequence_pack(t(spark, sf_dir, "documents"), seq_len=512)
+
+
+def _register_sequence_pack_oracle() -> None:
+    from etl_load_spark.operators.corpus import sequence_pack_sql
+    QUERIES["q150_sequence_pack"].oracle = sequence_pack_sql(
+        "documents", seq_len=512)
+
+
+_register_sequence_pack_oracle()
+
+
+# --- q151: incremental dedup (new batch vs admitted corpus) -----------------
+
+_INC_HIST_SQL = """(SELECT doc_id, text FROM documents
+   WHERE doc_id % 2 = 0) h"""
+_INC_BATCH_SQL = """(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+   UNION ALL
+   SELECT doc_id + 1000000000, text FROM documents
+   WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+   UNION ALL
+   SELECT doc_id + 2000000000, text FROM documents
+   WHERE doc_id % 14 = 1) nb"""
+
+
+@query("q151_incremental_dedup")  # oracle attached right below
+def q151_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit a new batch against the already-admitted corpus: drop
+    batch documents whose content is in history, collapse within-batch
+    copies to the min-id survivor. The testdata has no duplicate
+    content, so duplicates are PLANTED deterministically (the q138
+    injection rule: an oracle over clean data would be vacuous):
+    history = even ids; the batch = odd ids + re-idded copies of every
+    10th history doc (dropped as history dups) + re-idded copies of
+    every (id % 14 == 1) batch doc (collapse to n_batch_copies = 2).
+    See operators/dedup.py::incremental_dedup."""
+    from etl_load_spark.operators.dedup import incremental_dedup
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    new0 = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    dup_hist = (hist.filter(F.pmod("doc_id", F.lit(10)) == 0)
+                .select((F.col("doc_id") + F.lit(1_000_000_000))
+                        .alias("doc_id"), "text"))
+    dup_batch = (new0.filter(F.pmod("doc_id", F.lit(14)) == 1)
+                 .select((F.col("doc_id") + F.lit(2_000_000_000))
+                         .alias("doc_id"), "text"))
+    batch = new0.unionByName(dup_hist).unionByName(dup_batch)
+    return incremental_dedup(batch, hist)
+
+
+def _register_incremental_dedup_oracle() -> None:
+    from etl_load_spark.operators.dedup import incremental_dedup_sql
+    QUERIES["q151_incremental_dedup"].oracle = incremental_dedup_sql(
+        _INC_BATCH_SQL, _INC_HIST_SQL)
+
+
+_register_incremental_dedup_oracle()
+
+
+# --- q152: int8 embedding quantization --------------------------------------
+
+@query("q152_embedding_quantize")  # oracle attached right below
+def q152_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (FAISS SQ8 shape) — ZERO
+    shuffle: one Arrow-batched vectorized kernel fused into the scan,
+    exact float64 arithmetic replayed bit-for-bit by the oracle. A
+    constant vector is PLANTED (vec_id 10^6) so the degenerate
+    max==min guard is exercised, not just declared. See
+    operators/similarity.py::quantize_embeddings."""
+    from etl_load_spark.operators.similarity import quantize_embeddings
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = spark.range(1).select(
+        F.lit(1_000_000).cast("long").alias("vec_id"),
+        F.array_repeat(F.lit(0.5).cast("float"), 64).alias("embedding"))
+    return quantize_embeddings(e.unionByName(planted))
+
+
+def _register_embedding_quantize_oracle() -> None:
+    from etl_load_spark.operators.similarity import quantize_embeddings_sql
+    QUERIES["q152_embedding_quantize"].oracle = quantize_embeddings_sql(
+        table="""(SELECT vec_id, embedding FROM embeddings
+   UNION ALL
+   SELECT CAST(1000000 AS BIGINT),
+          list_transform(generate_series(1, 64),
+                         i -> CAST(0.5 AS REAL))) u""")
+
+
+_register_embedding_quantize_oracle()
+
+
+# --- q153: stratified sampling (balance to minority stratum) ----------------
+
+@query("q153_stratified_sample")  # oracle attached right below
+def q153_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: keep the first minority-stratum-size documents
+    of every language in deterministic md5 order — per-stratum rank via
+    the bucketed prefix sum, never a whole stratum in one task. See
+    operators/corpus.py::stratified_sample."""
+    from etl_load_spark.operators.corpus import stratified_sample
+    return stratified_sample(t(spark, sf_dir, "documents"),
+                             stratum_col="lang")
+
+
+def _register_stratified_sample_oracle() -> None:
+    from etl_load_spark.operators.corpus import stratified_sample_sql
+    QUERIES["q153_stratified_sample"].oracle = stratified_sample_sql(
+        "documents", stratum_col="lang")
+
+
+_register_stratified_sample_oracle()
+
+
+# --- q154: URL canonicalization + domain aggregation ------------------------
+
+_URL_BLOCKED_DOMAINS = ("example2.com",)
+
+
+def _synth_url_spark() -> "F.Column":
+    """Deterministic dirty URL per doc_id (the q138 injection rule —
+    documents carry no URL column): case-varied schemes/hosts, default
+    and explicit ports, trailing slashes, tracking params in shuffled
+    order, fragments."""
+    i = F.col("doc_id")
+    pick = lambda n, *opts: F.element_at(  # noqa: E731
+        F.array(*[F.lit(o) for o in opts]), (F.pmod(i, F.lit(n)) + 1).cast("int"))
+    return F.concat(
+        pick(3, "http", "HTTPS", "https"), F.lit("://"),
+        pick(4, "WWW.", "", "www.", ""),
+        F.lit("Example"), F.pmod(i, F.lit(7)).cast("string"),
+        pick(2, ".COM", ".com"),
+        pick(5, ":80", ":8080", "", "", ""),
+        pick(6, "", "/a/b", "/a/b/", "/", "/C", "/c//"),
+        pick(4, "?utm_source=x&q=1&a=2", "?q=1&utm_medium=m",
+             "?b=2&a=1&ref=r", ""),
+        pick(2, "#Frag", ""))
+
+
+def _synth_url_sql() -> str:
+    def pick(n: int, *opts: str) -> str:
+        whens = " ".join(f"WHEN {k} THEN '{o}'"
+                         for k, o in enumerate(opts))
+        return f"(CASE doc_id % {n} {whens} END)"
+    return (f"({pick(3, 'http', 'HTTPS', 'https')} || '://' || "
+            f"{pick(4, 'WWW.', '', 'www.', '')} || 'Example' || "
+            f"CAST(doc_id % 7 AS VARCHAR) || {pick(2, '.COM', '.com')} || "
+            f"{pick(5, ':80', ':8080', '', '', '')} || "
+            f"{pick(6, '', '/a/b', '/a/b/', '/', '/C', '/c//')} || "
+            f"{pick(4, '?utm_source=x&q=1&a=2', '?q=1&utm_medium=m', '?b=2&a=1&ref=r', '')} || "
+            f"{pick(2, '#Frag', '')})")
+
+
+@query("q154_url_canonicalize")  # oracle attached right below
+def q154_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl key hygiene: canonicalize deterministically-injected dirty
+    URLs (case, default ports, www, trailing slashes, tracking params,
+    fragments), drop blocklisted domains, aggregate per registered
+    domain with an order-free canonical-set certificate. Pure map-side
+    regex/array expressions + ONE aggregation — see
+    operators/text.py::canonicalize_url."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    from etl_load_spark.operators.text import (canonicalize_url,
+                                               registered_domain)
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id").isNotNull())
+         .select(canonicalize_url(_synth_url_spark()).alias("canonical")))
+    d = d.withColumn("domain",
+                     registered_domain(F.col("canonical"), from_url=True))
+    return (d.filter(~F.col("domain").isin(*_URL_BLOCKED_DOMAINS))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("canonical").cast("bigint")
+                 .alias("n_urls"),
+                 F.bit_xor(portable_hash64(F.col("canonical")))
+                 .alias("canon_xor"))
+            .orderBy("domain"))
+
+
+def _register_url_canonicalize_oracle() -> None:
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    from etl_load_spark.operators.text import (canonicalize_url_sql,
+                                               registered_domain_sql)
+    canon = canonicalize_url_sql(_synth_url_sql())
+    blocked = ", ".join(f"'{b}'" for b in _URL_BLOCKED_DOMAINS)
+    QUERIES["q154_url_canonicalize"].oracle = f"""
+WITH c AS (
+  SELECT {canon} AS canonical
+  FROM documents WHERE doc_id IS NOT NULL),
+d AS (
+  SELECT canonical, {registered_domain_sql("canonical")} AS domain
+  FROM c)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_urls,
+       CAST(bit_xor({portable_hash64_sql("canonical")}) AS BIGINT)
+         AS canon_xor
+FROM d WHERE domain NOT IN ({blocked})
+GROUP BY domain ORDER BY domain
+"""
+
+
+_register_url_canonicalize_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -562,3 +562,81 @@ def test_shard_manifest_single_combinable_agg(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_pack_shared_prefix_sum_exchange(spark, sf_dir):
+    """q150: ONE corpus scan + ONE tokenized exchange feed both prefix-sum
+    consumers (doc probe + bucket offsets — the explicit isnotnull(_bkt)
+    keeps the subtrees identical, the q147/q148 recipe); every window
+    ordered by the doc order key partitions on the bucket column (never
+    the whole stream on one task); offsets come back via broadcast."""
+    df = QUERIES["q150_sequence_pack"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final
+    assert "BroadcastHashJoin" in final, final
+    for ln in final.splitlines():
+        if "windowspecdefinition" in ln and "_ok" in ln:
+            assert "_bkt" in ln.split("windowspecdefinition")[1], ln
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_incremental_dedup_anti_join_after_partial_agg(spark, sf_dir):
+    """q151: the history side contributes a distinct-key INDEX (hash
+    aggregate, no text columns shipped past the scan) consumed by a LEFT
+    ANTI join; the within-batch survivor is a partial-combining hash
+    aggregate. No window, no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "q151_incremental_dedup")
+    assert "LeftAnti" in plan, plan
+    assert "partial_min" in plan and "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_quantize_zero_shuffle(spark, sf_dir):
+    """q152: quantization is a PURE PROJECTION — one Arrow-batched kernel
+    fused over the scan, NO hash exchange, no join, no window (the only
+    exchange is the output sort's range partitioning). 100 TB of
+    embeddings quantize in one map pass."""
+    plan = plan_of(spark, sf_dir, "q152_embedding_quantize")
+    assert "ArrowEvalPython" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_stratified_sample_bucketed_rank(spark, sf_dir):
+    """q153: per-stratum rank via the bucketed prefix sum — ONE corpus
+    scan feeds all three consumers (doc probe, offsets, minority size)
+    through reused exchanges; doc-relation windows partition on
+    (stratum, bucket), never stratum alone; thresholds broadcast back
+    (the scalar minority size as the one BroadcastNestedLoopJoin —
+    q141's scalar-broadcast shape)."""
+    df = QUERIES["q153_stratified_sample"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final
+    for ln in final.splitlines():
+        if "windowspecdefinition" in ln and "_ok" in ln:
+            assert "_bkt" in ln.split("windowspecdefinition")[1], ln
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_url_canonicalize_map_side_plus_one_agg(spark, sf_dir):
+    """q154: canonicalization is pure map-side regex/array expressions;
+    the only relational work is the domain aggregation (partial combine
+    map-side). No join, no window, no Python."""
+    plan = plan_of(spark, sf_dir, "q154_url_canonicalize")
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
