@@ -800,6 +800,60 @@ def quantizable_embeddings_sql(col: str = "embedding") -> str:
             f"x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0)")
 
 
+def quantize_kernel_udf():
+    """The Arrow-batched SQ8 kernel as a reusable scalar pandas UDF
+    returning struct<q_min, q_max, q_sum, codes>. DEFENSIVE on dirty
+    rows (NULL array, NULL/NaN element → all-NULL struct fields), so
+    the QUANTIZE_EMBEDDINGS spec stage can apply it as a pure
+    projection — no pre-filter, no join-back, stream-safe. The q152
+    operator still excludes dirty rows relation-level
+    (quantizable_embeddings) so its oracle contract stays two-sided."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<q_min: double, q_max: double, q_sum: bigint, "
+                "codes: string>")
+    def _quant(*cols):  # legacy-style: *args defeats type-hint inference
+        # (this module stringizes annotations via `from __future__ import
+        # annotations`, which breaks pandas_udf signature resolution —
+        # the bloom_probe pattern)
+        import numpy as np
+        vecs = cols[0]
+        n = len(vecs)
+        out = pd.DataFrame({"q_min": [None] * n, "q_max": [None] * n,
+                            "q_sum": [None] * n, "codes": [None] * n},
+                           dtype=object)
+        if n == 0:
+            return out
+        arrs = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in vecs]
+        ok = [i for i, a in enumerate(arrs)
+              if a is not None and a.size > 0 and not np.isnan(a).any()]
+        if not ok:
+            return out
+        a = np.vstack([arrs[i] for i in ok])
+        mn = a.min(axis=1)
+        mx = a.max(axis=1)
+        rng = mx - mn
+        safe = rng > 0.0
+        scaled = np.zeros_like(a)
+        # exact expression shape shared with the oracle SQL:
+        # ((x - mn) * 255.0) / rng, floored, capped at 255
+        np.divide((a - mn[:, None]) * 255.0, rng[:, None],
+                  out=scaled, where=safe[:, None])
+        q = np.minimum(np.floor(scaled), 255.0).astype(np.int64)
+        q[~safe, :] = 0
+        qs = q.sum(axis=1)
+        for j, i in enumerate(ok):
+            out.iat[i, 0] = float(mn[j])
+            out.iat[i, 1] = float(mx[j])
+            out.iat[i, 2] = int(qs[j])
+            out.iat[i, 3] = ",".join(map(str, q[j]))
+        return out
+
+    return _quant
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Per-vector int8 scalar quantization — the index-compression step
@@ -823,39 +877,8 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     alternative (transform with a captured array_min) re-evaluates the
     min per element after CollapseProject inlining — both wrong-shaped
     at scale."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("struct<q_min: double, q_max: double, q_sum: bigint, "
-                "codes: string>")
-    def _quant(*cols):  # legacy-style: *args defeats type-hint inference
-        # (this module stringizes annotations via `from __future__ import
-        # annotations`, which breaks pandas_udf signature resolution —
-        # the bloom_probe pattern)
-        import numpy as np
-        vecs = cols[0]
-        n = len(vecs)
-        if n == 0:
-            return pd.DataFrame({"q_min": [], "q_max": [], "q_sum": [],
-                                 "codes": []})
-        a = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        mn = a.min(axis=1)
-        mx = a.max(axis=1)
-        rng = mx - mn
-        safe = rng > 0.0
-        scaled = np.zeros_like(a)
-        # exact expression shape shared with the oracle SQL:
-        # ((x - mn) * 255.0) / rng, floored, capped at 255
-        np.divide((a - mn[:, None]) * 255.0, rng[:, None],
-                  out=scaled, where=safe[:, None])
-        q = np.minimum(np.floor(scaled), 255.0).astype(np.int64)
-        q[~safe, :] = 0
-        return pd.DataFrame({
-            "q_min": mn, "q_max": mx, "q_sum": q.sum(axis=1),
-            "codes": [",".join(map(str, row)) for row in q]})
-
     out = quantizable_embeddings(df, vec_col).select(
-        F.col(id_col), _quant(F.col(vec_col)).alias("_q"))
+        F.col(id_col), quantize_kernel_udf()(F.col(vec_col)).alias("_q"))
     return (out.select(id_col, "_q.q_min", "_q.q_max", "_q.q_sum",
                        "_q.codes")
             .orderBy(id_col))
