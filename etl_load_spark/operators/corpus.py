@@ -601,9 +601,11 @@ def cross_source_dedup(df: DataFrame, priority: list[str],
     the encoding (enc mod 10¹²) rather than carried as its own column:
     both consumer branches then prune to the identical column set, which
     is what keeps the shared exchange shared (per-branch pruning defeats
-    ReusedExchange). Reference analog: the dedupe step of
-    DupeCheckTasklet semantics generalized to source preference (the
-    reference keeps first-seen only)."""
+    ReusedExchange). The reference has no data-level dedup (its only
+    duplicate check is job-level: wfqueuelistener.java:261-280 skips a
+    job config already RUNNING); this operator belongs to the
+    training-data curation surface added on top of the reference's
+    ETL scope."""
     from etl_load_spark.operators.dedup import normalize_text
 
     idc = F.col(id_col)

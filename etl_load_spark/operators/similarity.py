@@ -43,23 +43,33 @@ def cosine(a: Column, b: Column) -> Column:
 
 def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Relation-level degenerate filter shared by the similarity family:
-    drop NULL arrays, arrays containing NULL/NaN elements, and zero-norm
-    vectors. Degenerate embeddings carry no direction, so they can match
+    drop NULL arrays, arrays containing NULL/NaN/±inf elements, and
+    zero-norm vectors (empty arrays fall out of the zero-norm check).
+    Degenerate embeddings carry no direction, so they can match
     nothing — and they must be excluded BEFORE any cross-engine scoring:
     DuckDB's vectorized list_cosine_similarity raises on a NULL element
-    (and scores zero-norm as -1.0 where Spark's cosine yields NULL), so
+    (scores zero-norm as -1.0 where Spark's cosine yields NULL, and an
+    inf element turns the dot/norm ratio into engine-dependent nan), so
     the oracle contract is exclusion on BOTH sides
     (valid_embeddings_sql). Map-side only; fuses into the scan."""
     v = F.col(vec_col)
-    bad_elem = F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    bad_elem = F.exists(v, lambda x: _not_finite(x))
     return df.filter(v.isNotNull() & ~bad_elem & (dot(v, v) > 0))
+
+
+def _not_finite(x):
+    """Element predicate: NULL, NaN or ±inf — the Spark spelling of
+    DuckDB's ``x IS NULL OR NOT isfinite(x)``."""
+    xd = x.cast("double")
+    return (x.isNull() | F.isnan(xd)
+            | (F.abs(xd) == F.lit(float("inf"))))
 
 
 def valid_embeddings_sql(col: str = "embedding") -> str:
     """DuckDB twin of ``valid_embeddings``'s predicate."""
     c = f"CAST({col} AS DOUBLE[])"
     return (f"({col} IS NOT NULL AND len(list_filter({col}, "
-            f"x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0 "
+            f"x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 "
             f"AND list_dot_product({c}, {c}) > 0)")
 
 
@@ -221,10 +231,11 @@ def fit_centroids(vectors: DataFrame, vec_col: str = "embedding",
     s = vectors.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if n > fit_sample:
         s = s.sample(fraction=fit_sample / n, seed=seed)
-    # per-element conversion: NULL vectors are skipped, NULL elements
-    # become NaN and fall to the isfinite filter below
+    # per-element conversion: NULL and EMPTY vectors are skipped (both
+    # carry no geometry; an empty row would trip the ragged check), NULL
+    # elements become NaN and fall to the isfinite filter below
     rows = [np.asarray(r._v, dtype=np.float64)
-            for r in s.collect() if r._v is not None]
+            for r in s.collect() if r._v is not None and len(r._v) > 0]
     # degenerate inputs: an empty / all-NULL sample would build a 1-D (0,)
     # array (AxisError below), and ragged vector lengths an object array
     # that breaks the matmul — fail soft with an empty model / hard with a
@@ -610,14 +621,16 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     scale persist/checkpoint the assignment frame between the passes."""
     import pandas as pd
 
-    # NULL embeddings are degenerate input ("no matches", module contract)
-    # — filter JVM-side so the numpy kernels never see a None row; rows
-    # with NULL ELEMENTS or zero norm are dropped in find_pairs (their
+    # NULL and EMPTY embeddings are degenerate input ("no matches",
+    # module contract) — filter JVM-side so the numpy kernels never see
+    # a None row or a ragged zero-length row; rows with NULL ELEMENTS,
+    # inf or zero norm are dropped in find_pairs (their
     # nan-normalization marks them). Everything downstream normalizes
     # inside its own numpy pass — no per-element HOF transform, and the
     # shuffle carries the raw float32 arrays (half the bytes of
     # materialized unit-vector doubles).
-    clean = vectors.filter(F.col(vec_col).isNotNull())
+    clean = vectors.filter(F.col(vec_col).isNotNull()
+                           & (F.size(F.col(vec_col)) > 0))
     raw = clean.select(F.col(id_col).alias("_id"),
                        F.col(vec_col).alias("_v"))
     cents = fit_centroids(clean, vec_col=vec_col, n_cells=n_cells,
@@ -784,27 +797,33 @@ def cluster_balanced_sample(assigned: DataFrame, id_col: str = "vec_id",
 
 def quantizable_embeddings(df: DataFrame, vec_col: str = "embedding"
                            ) -> DataFrame:
-    """Relation-level input filter for quantization: drop NULL arrays and
-    arrays containing NULL/NaN elements (they poison min/max). Unlike
-    ``valid_embeddings``, ZERO-NORM vectors are kept — quantization needs
-    a value range, not a direction, and a constant vector quantizes
-    exactly (all codes 0)."""
+    """Relation-level input filter for quantization: drop NULL arrays,
+    EMPTY arrays (no components → no calibration range; the oracle's
+    unnest would silently emit zero rows where a pass-through kernel
+    emits one), and arrays containing NULL/NaN/±inf elements (NaN
+    poisons min/max; inf makes the scale expression cast-undefined).
+    Unlike ``valid_embeddings``, ZERO-NORM vectors are kept —
+    quantization needs a value range, not a direction, and a constant
+    vector quantizes exactly (all codes 0)."""
     v = F.col(vec_col)
-    bad_elem = F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
-    return df.filter(v.isNotNull() & ~bad_elem)
+    bad_elem = F.exists(v, lambda x: _not_finite(x))
+    return df.filter(v.isNotNull() & (F.size(v) > 0) & ~bad_elem)
 
 
 def quantizable_embeddings_sql(col: str = "embedding") -> str:
     """DuckDB twin of ``quantizable_embeddings``'s predicate."""
-    return (f"({col} IS NOT NULL AND len(list_filter({col}, "
-            f"x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0)")
+    return (f"({col} IS NOT NULL AND len({col}) > 0 "
+            f"AND len(list_filter({col}, "
+            f"x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)")
 
 
 def quantize_kernel_udf():
     """The Arrow-batched SQ8 kernel as a reusable scalar pandas UDF
     returning struct<q_min, q_max, q_sum, codes>. DEFENSIVE on dirty
-    rows (NULL array, NULL/NaN element → all-NULL struct fields), so
-    the QUANTIZE_EMBEDDINGS spec stage can apply it as a pure
+    rows (NULL array, empty array, NULL/NaN/±inf element → all-NULL
+    struct fields; MIXED-dimension batches are processed per length
+    bucket so vstack never sees ragged rows), so the
+    QUANTIZE_EMBEDDINGS spec stage can apply it as a pure
     projection — no pre-filter, no join-back, stream-safe. The q152
     operator still excludes dirty rows relation-level
     (quantizable_embeddings) so its oracle contract stays two-sided."""
@@ -828,27 +847,34 @@ def quantize_kernel_udf():
         arrs = [None if v is None else np.asarray(v, dtype=np.float64)
                 for v in vecs]
         ok = [i for i, a in enumerate(arrs)
-              if a is not None and a.size > 0 and not np.isnan(a).any()]
+              if a is not None and a.size > 0 and np.isfinite(a).all()]
         if not ok:
             return out
-        a = np.vstack([arrs[i] for i in ok])
-        mn = a.min(axis=1)
-        mx = a.max(axis=1)
-        rng = mx - mn
-        safe = rng > 0.0
-        scaled = np.zeros_like(a)
-        # exact expression shape shared with the oracle SQL:
-        # ((x - mn) * 255.0) / rng, floored, capped at 255
-        np.divide((a - mn[:, None]) * 255.0, rng[:, None],
-                  out=scaled, where=safe[:, None])
-        q = np.minimum(np.floor(scaled), 255.0).astype(np.int64)
-        q[~safe, :] = 0
-        qs = q.sum(axis=1)
-        for j, i in enumerate(ok):
-            out.iat[i, 0] = float(mn[j])
-            out.iat[i, 1] = float(mx[j])
-            out.iat[i, 2] = int(qs[j])
-            out.iat[i, 3] = ",".join(map(str, q[j]))
+        # bucket by dimension: a projection-shape kernel may see mixed
+        # dims in one Arrow batch (schema says array<float>, not a fixed
+        # dim) and vstack raises on ragged input
+        by_dim: dict = {}
+        for i in ok:
+            by_dim.setdefault(arrs[i].size, []).append(i)
+        for idxs in by_dim.values():
+            a = np.vstack([arrs[i] for i in idxs])
+            mn = a.min(axis=1)
+            mx = a.max(axis=1)
+            rng = mx - mn
+            safe = rng > 0.0
+            scaled = np.zeros_like(a)
+            # exact expression shape shared with the oracle SQL:
+            # ((x - mn) * 255.0) / rng, floored, capped at 255
+            np.divide((a - mn[:, None]) * 255.0, rng[:, None],
+                      out=scaled, where=safe[:, None])
+            q = np.minimum(np.floor(scaled), 255.0).astype(np.int64)
+            q[~safe, :] = 0
+            qs = q.sum(axis=1)
+            for j, i in enumerate(idxs):
+                out.iat[i, 0] = float(mn[j])
+                out.iat[i, 1] = float(mx[j])
+                out.iat[i, 2] = int(qs[j])
+                out.iat[i, 3] = ",".join(map(str, q[j]))
         return out
 
     return _quant

@@ -418,10 +418,16 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_replace(
         F.regexp_extract(url, _URL_PATH_RE, 1), r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    def _keep_param(x):
+        # derived from TRACKING_PARAM_PREFIXES so the Spark and oracle
+        # filters cannot silently diverge when the tuple is edited
+        cond = x != ""
+        for p in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~x.startswith(p)
+        return cond
+
     params = F.filter(
-        F.split(F.regexp_extract(url, _URL_QUERY_RE, 1), "&"),
-        lambda x: (x != "") & ~x.startswith("utm_") & ~x.startswith("ref=")
-        & ~x.startswith("fbclid=") & ~x.startswith("gclid="))
+        F.split(F.regexp_extract(url, _URL_QUERY_RE, 1), "&"), _keep_param)
     qs = F.array_join(F.array_sort(params), "&")
     return F.concat(scheme, F.lit("://"), host, path,
                     F.when(qs == "", F.lit(""))

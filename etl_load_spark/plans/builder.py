@@ -103,6 +103,15 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                 "batch pass — land the stream, then run DECONTAMINATE "
                 "downstream")
         return _decontaminate_transform(df, spark, spec)
+    if tr.type.upper() == "INCREMENTAL_DEDUP":
+        if df.isStreaming:
+            raise ValueError(
+                "transformation.type=INCREMENTAL_DEDUP is batch-only (the "
+                "within-batch survivor needs the whole content group); "
+                "use streaming.windows.stream_block_dedup for checkpointed "
+                "first-seen-wins on a live stream, or land the stream and "
+                "admit each landed batch downstream")
+        return _incremental_dedup_transform(df, spark, spec)
     if tr.type.upper() in _CORPUS_TRANSFORMS:
         if df.isStreaming and tr.type.upper() in _BATCH_ONLY_TRANSFORMS:
             # multi-stage stateful plans are not expressible as ONE
@@ -119,7 +128,10 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "PASSAGE_DEDUP, QUALITY_FILTER, MIXTURE_SAMPLE, "
                          "QUALITY_CLASSIFIER, SEMANTIC_DEDUP, DECONTAMINATE, "
                          "CLUSTER_BALANCE, CHUNK_DOCUMENTS, LM_SURPRISAL, "
-                         "CROSS_SOURCE_DEDUP, TOKEN_BUDGET, ASSIGN_SHARDS)")
+                         "CROSS_SOURCE_DEDUP, TOKEN_BUDGET, ASSIGN_SHARDS, "
+                         "SEQUENCE_PACK, INCREMENTAL_DEDUP, "
+                         "QUANTIZE_EMBEDDINGS, STRATIFIED_SAMPLE, "
+                         "URL_CANONICALIZE)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -436,6 +448,120 @@ def _assign_shards_transform(df: DataFrame, p: dict) -> DataFrame:
                         shard_col=p.get("shardColumn", "shard"))
 
 
+def _sequence_pack_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative sequence packing (operators/corpus.sequence_pack):
+    concat-and-chunk the corpus into fixed ``seqLen`` training windows
+    in a deterministic pseudo-random order. mode='annotate' (default)
+    appends the packing manifest columns (n_tokens, start_off,
+    first_seq, last_seq, n_seqs) to every row; mode='manifest' returns
+    the doc-level manifest alone — the table a sequence writer consumes.
+    NULL-text/id rows get NULL manifest columns in annotate mode and
+    are absent from manifest mode (no position in the packed stream).
+    Parameters: seqLen (2048), idColumn ('doc_id'), textColumn
+    ('text'), nBuckets (4096), salt ('pack')."""
+    from etl_load_spark.operators.corpus import sequence_pack
+    id_col = p.get("idColumn", "doc_id")
+    man = sequence_pack(df, seq_len=int(p.get("seqLen", 2048)),
+                        id_col=id_col,
+                        text_col=p.get("textColumn", "text"),
+                        n_buckets=int(p.get("nBuckets", 4096)),
+                        salt=p.get("salt", "pack"))
+    if p.get("mode", "annotate") == "manifest":
+        return man
+    return df.join(man, id_col, "left")
+
+
+def _incremental_dedup_transform(df: DataFrame, spark: SparkSession,
+                                 spec: JobSpec) -> DataFrame:
+    """Declarative batch admission against the already-admitted corpus
+    (operators/dedup.incremental_dedup): the admitted-content index
+    comes from ``extraSources.history``; rows whose normalized content
+    is already admitted — or appears in the batch under a smaller id —
+    drop; survivors keep every column. ``historyBloom: true`` switches
+    to the bloom-prefiltered anti-join (the oversized-history shape;
+    answer identical). Parameters: idColumn ('doc_id'), textColumn
+    ('text'), historyTextColumn (defaults to textColumn), historyBloom
+    (false), bloomFpp (0.01)."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.dedup import incremental_dedup
+    from etl_load_spark.sources.registry import read_source
+    if "history" not in spec.extra_sources:
+        raise ValueError("INCREMENTAL_DEDUP requires extraSources.history "
+                         "(the already-admitted corpus or its content "
+                         "index)")
+    p = spec.transformation.parameters or {}
+    id_col = p.get("idColumn", "doc_id")
+    text_col = p.get("textColumn", "text")
+    hist = read_source(spark, spec.extra_sources["history"]).select(
+        F.col(p.get("historyTextColumn", text_col)).alias(text_col))
+    surv = incremental_dedup(
+        df, hist, id_col=id_col, text_col=text_col,
+        history_bloom=bool(p.get("historyBloom", False)),
+        bloom_fpp=float(p.get("bloomFpp", 0.01)))
+    return df.join(surv.select(id_col), id_col, "semi")
+
+
+def _quantize_embeddings_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative int8 scalar quantization (operators/similarity.
+    quantize_kernel_udf): appends q_min, q_max, q_sum, codes — the
+    per-vector calibration range plus the full SQ8 code vector. A PURE
+    PROJECTION (one Arrow-batched kernel fused into the scan — no
+    shuffle, no state), so it is STREAM-SAFE; dirty rows (NULL/empty
+    array, NULL/NaN/±inf element) get all-NULL quantization columns
+    rather than dropping (keep row shape; filter downstream if
+    desired). Parameters: vectorColumn ('embedding')."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.similarity import quantize_kernel_udf
+    vec = p.get("vectorColumn", "embedding")
+    q = quantize_kernel_udf()(F.col(vec)).alias("_q")
+    return (df.withColumn("_q", q)
+            .withColumn("q_min", F.col("_q.q_min"))
+            .withColumn("q_max", F.col("_q.q_max"))
+            .withColumn("q_sum", F.col("_q.q_sum"))
+            .withColumn("codes", F.col("_q.codes"))
+            .drop("_q"))
+
+
+def _stratified_sample_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative minority-class balancing (operators/corpus.
+    stratified_sample): keep the first min-stratum-size rows of every
+    stratum in deterministic md5 order. NULL stratum/id rows drop (no
+    deterministic position). Row shape is preserved. Parameters:
+    stratumColumn ('lang'), idColumn ('doc_id'), nBuckets (4096),
+    salt ('strat')."""
+    from etl_load_spark.operators.corpus import stratified_sample
+    id_col = p.get("idColumn", "doc_id")
+    kept = stratified_sample(df,
+                             stratum_col=p.get("stratumColumn", "lang"),
+                             id_col=id_col,
+                             n_buckets=int(p.get("nBuckets", 4096)),
+                             salt=p.get("salt", "strat"))
+    return df.join(kept.select(id_col), id_col, "semi")
+
+
+def _url_canonicalize_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative URL key hygiene (operators/text.canonicalize_url):
+    append the canonical form of ``urlColumn`` (required — no corpus
+    convention to default to) as ``outputColumn`` ('canonical_url'),
+    plus the registered domain as ``domainColumn`` when set. Pure
+    map-side regex/array expressions — STREAM-SAFE, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.text import (canonicalize_url,
+                                               registered_domain)
+    if not p.get("urlColumn"):
+        raise ValueError("URL_CANONICALIZE requires parameters.urlColumn")
+    url = F.col(p["urlColumn"])
+    out = df.withColumn(p.get("outputColumn", "canonical_url"),
+                        canonicalize_url(url))
+    if p.get("domainColumn"):
+        out = out.withColumn(p["domainColumn"],
+                             registered_domain(url, from_url=True))
+    return out
+
+
 _CORPUS_TRANSFORMS = {
     "PASSAGE_DEDUP": _passage_dedup_transform,
     "QUALITY_FILTER": _quality_filter_transform,
@@ -448,6 +574,10 @@ _CORPUS_TRANSFORMS = {
     "CROSS_SOURCE_DEDUP": _cross_source_dedup_transform,
     "TOKEN_BUDGET": _token_budget_transform,
     "ASSIGN_SHARDS": _assign_shards_transform,
+    "SEQUENCE_PACK": _sequence_pack_transform,
+    "QUANTIZE_EMBEDDINGS": _quantize_embeddings_transform,
+    "STRATIFIED_SAMPLE": _stratified_sample_transform,
+    "URL_CANONICALIZE": _url_canonicalize_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -479,4 +609,12 @@ _BATCH_ONLY_TRANSFORMS = {
                      "stream, then realize the budget in a downstream "
                      "batch job (ASSIGN_SHARDS is the stream-safe layout "
                      "stage)"),
+    "SEQUENCE_PACK": ("the packed stream's offsets are a corpus-global "
+                      "prefix sum; land the stream, then pack in a "
+                      "downstream batch job (ASSIGN_SHARDS is the "
+                      "stream-safe layout stage)"),
+    "STRATIFIED_SAMPLE": ("the minority-stratum size is corpus-global; "
+                          "land the stream, then balance in a downstream "
+                          "batch job (MIXTURE_SAMPLE is the stream-safe "
+                          "fixed-rate alternative)"),
 }

@@ -2717,10 +2717,13 @@ def q87_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q88_feature_moments", oracle="""
-WITH e AS (
+WITH e0 AS (
   SELECT unnest(embedding) AS x,
          generate_subscripts(embedding, 1) - 1 AS dim
   FROM embeddings),
+e AS (
+  SELECT x, dim FROM e0
+  WHERE x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))),
 a AS (
   SELECT dim, COUNT(*) AS n_vals,
          SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(14,7))) AS s,
@@ -2753,10 +2756,15 @@ def q88_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: posexplode is codegen'd row multiplication (×dim), and the
     aggregate has exactly `dim` groups — map-side partials reduce the
     shuffle to dim rows per partition regardless of corpus size. No
-    driver collection, no Python.
+    driver collection, no Python. Non-finite elements (NULL/NaN/±inf)
+    are excluded on both sides: normalization constants over inf are
+    meaningless, and the decimal exact-sum cast is undefined on them
+    (DuckDB errors, Spark NULLs).
     """
+    from etl_load_spark.operators.similarity import _not_finite
     e = (t(spark, sf_dir, "embeddings")
-         .select(F.posexplode("embedding").alias("dim", "x")))
+         .select(F.posexplode("embedding").alias("dim", "x"))
+         .filter(~_not_finite(F.col("x"))))
     xd = F.col("x").cast("double").cast("decimal(14,7)")
     a = (e.groupBy("dim")
          .agg(F.count(F.lit(1)).alias("n_vals"),

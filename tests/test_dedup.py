@@ -286,3 +286,54 @@ def test_passage_dedup_sql_twin_null_parity(spark):
     assert by_id[2] == (2, "x y z w", 2, 1)       # cross-doc dup removed
     assert by_id[3] == (3, "", 1, 0)              # NULL text → empty, kept row
     assert by_id[None][1] == "" and by_id[None][3] == 0
+
+
+def test_incremental_dedup_bloom_prefilter_identical(spark):
+    """history_bloom is a PREFILTER, never the verdict: the bloom path
+    must return the exact rows of the direct anti-join form (bloom
+    misses are definite survivors; possible hits go through the exact
+    anti join that removes every false positive)."""
+    from etl_load_spark.operators.dedup import incremental_dedup
+    hist = spark.createDataFrame(
+        [(i, f"admitted doc number {i}") for i in range(200)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        # 50 history dups (re-idded), 100 fresh, 2 within-batch copies
+        [(10_000 + i, f"admitted doc number {i}") for i in range(50)]
+        + [(20_000 + i, f"fresh doc number {i}") for i in range(100)]
+        + [(30_000, "fresh doc number 7"), (30_001, None)],
+        "doc_id long, text string")
+    direct = sorted(map(tuple, incremental_dedup(batch, hist).collect()))
+    bloomed = sorted(map(tuple, incremental_dedup(
+        batch, hist, history_bloom=True).collect()))
+    assert direct == bloomed
+    ids = {t[1] for t in direct}
+    assert not any(10_000 <= i < 10_050 for i in ids)   # history dups out
+    assert 20_007 in ids and 30_000 not in ids          # batch dup collapsed
+
+
+def test_incremental_and_cross_source_dedup_agree_on_content_identity(spark):
+    """Chained-pipeline convention pin (ADVICE r4): both dedup stages key
+    content on md5(normalize_text(text)), so a whitespace/case-variant
+    duplicate collapsed by cross_source_dedup is NEVER re-admitted by
+    incremental_dedup — and vice versa."""
+    from etl_load_spark.operators.corpus import cross_source_dedup
+    from etl_load_spark.operators.dedup import incremental_dedup
+    variants = [(1, "The  Quick  Brown Fox!", "web"),
+                (2, "the quick brown fox", "books"),   # same normalized
+                (3, "a genuinely different doc", "web")]
+    df = spark.createDataFrame(variants, "doc_id long, text string,"
+                               " source string")
+    survivors = cross_source_dedup(df, priority=["books", "web"])
+    got = {r.doc_id: r.n_copies for r in survivors.collect()}
+    assert got == {2: 2, 3: 1}  # variants collapse; books outranks web
+    # stage 2: the admitted corpus is the history; a NEW whitespace
+    # variant of an admitted doc must be rejected by incremental_dedup
+    hist = survivors.select("doc_id", F.lit("the quick brown fox")
+                            .alias("text")).filter("doc_id = 2")
+    newb = spark.createDataFrame(
+        [(100, "THE QUICK BROWN FOX"),        # variant of admitted content
+         (101, "an actually new doc")],
+        "doc_id long, text string")
+    admitted = {r.doc_id for r in incremental_dedup(newb, hist).collect()}
+    assert admitted == {101}

@@ -52,20 +52,21 @@ def test_corpus_curation_output_shape(spark, tmp_path):
 
 
 def test_refinery_chain_through_queue(spark, tmp_path):
-    """The five-stage training-refinery example chained the way production
+    """The seven-stage training-refinery example chained the way production
     would run it: specs dropped into the spool queue in order, drained by
-    the listener (ack-after-completion), funnel monotone, the
-    LM-perplexity head last."""
+    the listener (ack-after-completion), funnel monotone through the
+    LM-perplexity head, then the training-example assembly tail
+    (sequence packing → shard layout) preserving every surviving row."""
     import shutil
     from etl_load_spark.queue_listener import FileQueueTransport, QueueListener
     shutil.rmtree("/tmp/etl_refinery", ignore_errors=True)
     stages = [p for p in EXAMPLES if "training_refinery" in p]
-    assert len(stages) == 5
+    assert len(stages) == 7
     q = FileQueueTransport(str(tmp_path / "q"))
     for p in stages:
         q.submit(json.load(open(p)))
     results = QueueListener(spark, q).drain()
-    assert [r["status"] for r in results] == ["COMPLETED"] * 5
+    assert [r["status"] for r in results] == ["COMPLETED"] * 7
     n1 = spark.read.parquet("/tmp/etl_refinery/stage1_quality").count()
     n2 = spark.read.parquet("/tmp/etl_refinery/stage2_dedup").count()
     n3 = spark.read.parquet("/tmp/etl_refinery/stage3_decontam").count()
@@ -78,3 +79,24 @@ def test_refinery_chain_through_queue(spark, tmp_path):
     held_out = spark.read.parquet(
         "/tmp/etl_refinery/stage3_decontam").filter("doc_id % 10 = 0")
     assert held_out.count() == 0
+    # stage 6 (SEQUENCE_PACK annotate) keeps every surviving row and
+    # assembles a gap-free packed stream: token widths (+1 EOS each)
+    # sum exactly to the stream length implied by the last document
+    packed = spark.read.parquet("/tmp/etl_refinery/final_packed")
+    assert packed.count() == n5
+    from pyspark.sql import functions as F
+    agg = packed.agg(
+        F.sum(F.col("n_tokens") + 1).alias("width"),
+        F.max(F.col("start_off") + F.col("n_tokens") + 1).alias("end"))
+    row = agg.collect()[0]
+    assert row["width"] == row["end"]
+    # stage 7 (ASSIGN_SHARDS) lays the packed corpus out by shard; the
+    # manifest over the landed table reconciles exactly with the rows
+    shards = spark.read.parquet("/tmp/etl_refinery/final_shards")
+    assert shards.count() == n5
+    from etl_load_spark.operators.corpus import shard_manifest
+    man = shard_manifest(shards.select("doc_id", "text"), n_shards=16)
+    mrows = man.collect()
+    assert sum(r.n_docs for r in mrows) == n5
+    assert {r.shard for r in shards.select("shard").distinct().collect()} \
+        == {r.shard for r in mrows}

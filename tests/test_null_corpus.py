@@ -70,13 +70,17 @@ def test_oracle_parity_on_null_injected_corpus(spark, null_fix, name):
 
 @pytest.fixture(scope="module")
 def emb_fix(spark, sf_dir, tmp_path_factory):
-    """Degenerate-embedding fixture: NULL array, zero vector, NULL label.
-    (DuckDB's vectorized list_cosine_similarity ERRORS on a NULL element
-    in a batch and scores zero-norm -1.0 where Spark's cosine is NULL —
-    hence the family contract: degenerate vectors are excluded from every
-    similarity relation on BOTH sides, via valid_embeddings /
-    valid_embeddings_sql, with the filtered CTE MATERIALIZED so DuckDB
-    cannot push the cosine below the filter.)"""
+    """Degenerate-embedding fixture: NULL array, zero vector, NULL label,
+    EMPTY array, +inf element. (DuckDB's vectorized
+    list_cosine_similarity ERRORS on a NULL element in a batch and
+    scores zero-norm -1.0 where Spark's cosine is NULL; an empty array
+    unnests to zero oracle rows where a naive kernel emits one; an inf
+    element crashes CAST-to-BIGINT oracles and turns numpy int64 casts
+    into garbage — hence the family contract: degenerate vectors are
+    excluded from every similarity/quantization relation on BOTH sides,
+    via valid_embeddings / quantizable_embeddings and their _sql twins,
+    with the filtered CTE MATERIALIZED so DuckDB cannot push the cosine
+    below the filter.)"""
     import shutil
     fix = str(tmp_path_factory.mktemp("embfix"))
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -84,7 +88,9 @@ def emb_fix(spark, sf_dir, tmp_path_factory):
     extra = spark.createDataFrame(
         [(800001, None, 0),
          (800002, [0.0] * dim, 1),
-         (800003, [1.0] + [0.0] * (dim - 1), None)],
+         (800003, [1.0] + [0.0] * (dim - 1), None),
+         (800004, [], 2),
+         (800005, [float("inf")] + [1.0] * (dim - 1), 2)],
         "vec_id long, embedding array<float>, label int")
     (e.unionByName(extra).coalesce(1)
      .write.mode("overwrite").parquet(f"{fix}/embeddings.parquet"))

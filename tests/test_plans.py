@@ -640,3 +640,27 @@ def test_url_canonicalize_map_side_plus_one_agg(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_bloom_path_shape(spark, sf_dir):
+    """history_bloom=True (the oversized-history shape): the batch
+    aggregate is probed MAP-SIDE (one Arrow-batched bit test) and splits
+    into a join-free definite-survivor branch and a possible-hit branch
+    — exactly ONE LeftAnti in the plan, under a Union, with the batch
+    shuffle shared between the branches (ReusedExchange). The full batch
+    never shuffles against full history."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.operators.dedup import incremental_dedup
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text"))
+    hist = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    batch = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    df = incremental_dedup(batch, hist, history_bloom=True)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("LeftAnti") == 1, final
+    assert "Union" in final, final
+    assert "ArrowEvalPython" in final, final   # the vectorized bloom probe
+    assert "ReusedExchange" in final, final
+    assert "BatchEvalPython" not in final, final

@@ -166,3 +166,44 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
         spark.read.parquet(str(tmp_path / "in")),
         chunk_tokens=4, overlap=1).collect()))
     assert got == want and len(got) > 3
+
+    # the corpus-global training-assembly stages refuse with pointers
+    r = run_job(spark, spec("SEQUENCE_PACK", {"seqLen": 8}, "sp"))
+    assert r.status == "FAILED" and "prefix sum" in (r.error or "")
+    r = run_job(spark, spec("STRATIFIED_SAMPLE",
+                            {"stratumColumn": "source"}, "ss"))
+    assert r.status == "FAILED" and "MIXTURE_SAMPLE" in (r.error or "")
+    r = run_job(spark, spec("INCREMENTAL_DEDUP", {}, "inc"))
+    assert r.status == "FAILED" and "stream_block_dedup" in (r.error or "")
+
+    # URL_CANONICALIZE is a pure projection — it must RUN incrementally
+    r = run_job(spark, spec("URL_CANONICALIZE",
+                            {"urlColumn": "text",
+                             "outputColumn": "canon"}, "url"))
+    assert r.status == "COMPLETED", r.error
+    assert "canon" in spark.read.parquet(str(tmp_path / "url")).columns
+
+
+def test_streaming_quantize_embeddings_runs(spark, tmp_path):
+    """QUANTIZE_EMBEDDINGS is a pure Arrow-batched projection — it must
+    run incrementally and match the batch kernel byte-for-byte."""
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    rows = [(1, [0.0, 1.0, 2.0, 4.0]), (2, [3.0, 3.0, 3.0, 3.0])]
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<double>") \
+         .write.parquet(str(tmp_path / "in"))
+    r = run_job(spark, JobSpec.from_dict({
+        "jobId": "stream-quantize",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(tmp_path / "in"),
+                               "schema": ("vec_id bigint,"
+                                          " embedding array<double>")}},
+        "transformation": {"type": "QUANTIZE_EMBEDDINGS", "parameters": {}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out")}},
+        "streaming": {"checkpoint": str(tmp_path / "chk")},
+    }))
+    assert r.status == "COMPLETED", r.error
+    got = {x.vec_id: x.codes for x in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1: "0,63,127,255", 2: "0,0,0,0"}

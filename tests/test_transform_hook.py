@@ -310,3 +310,127 @@ def test_assign_shards_stage(spark, tmp_path):
     b = {(r.doc_id, r.shard) for r in build_plan(spark, spec).collect()}
     assert a == b and len(a) == 4
     assert all(0 <= s < 4 for _, s in a)
+
+
+def test_sequence_pack_stage_modes(spark, tmp_path):
+    """Declarative SEQUENCE_PACK: annotate mode keeps every row and
+    appends a gap-free packing manifest; manifest mode returns the
+    doc-level manifest alone."""
+    spec = _corpus_spec(tmp_path, "SEQUENCE_PACK", {"seqLen": 8})
+    out = {r.doc_id: r for r in build_plan(spark, spec).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3].source == "books"        # original columns survive
+    width = sum(r.n_tokens + 1 for r in out.values())
+    assert max(r.start_off + r.n_tokens + 1 for r in out.values()) == width
+    assert all(r.n_seqs == r.last_seq - r.first_seq + 1
+               for r in out.values())
+    man = build_plan(spark, _corpus_spec(
+        tmp_path, "SEQUENCE_PACK", {"seqLen": 8, "mode": "manifest"}))
+    assert set(man.columns) == {"doc_id", "n_tokens", "start_off",
+                                "first_seq", "last_seq", "n_seqs"}
+    assert man.count() == 4
+
+
+def test_incremental_dedup_stage(spark, tmp_path):
+    """Declarative INCREMENTAL_DEDUP: content already admitted (even as
+    a whitespace/case variant) drops; within-batch copies collapse to
+    the min id; missing extraSources.history raises; historyBloom
+    returns the identical set."""
+    import json as _json
+    hist = tmp_path / "hist.json"
+    hist.write_text(_json.dumps({"doc_id": 0,
+                                 "text": "an admitted document"}))
+    batch = tmp_path / "batch.json"
+    rows = [
+        {"doc_id": 1, "text": "An  Admitted   DOCUMENT"},  # variant → drop
+        {"doc_id": 2, "text": "a fresh document"},
+        {"doc_id": 3, "text": "a fresh document"},         # batch copy
+        {"doc_id": 4, "text": "another fresh one"},
+    ]
+    batch.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(extra, params=None):
+        d = {
+            "jobId": "inc-stage",
+            "source": {"type": "FILE_JSON", "details": {"path": str(batch)}},
+            "transformation": {"type": "INCREMENTAL_DEDUP",
+                               "parameters": params or {}},
+        }
+        if extra:
+            d["extraSources"] = {"history": {
+                "type": "FILE_JSON", "details": {"path": str(hist)}}}
+        return JobSpec.from_dict(d)
+
+    got = {r.doc_id for r in build_plan(spark, spec(True)).collect()}
+    assert got == {2, 4}
+    bloomed = {r.doc_id for r in build_plan(
+        spark, spec(True, {"historyBloom": True})).collect()}
+    assert bloomed == got
+    with pytest.raises(ValueError, match="history"):
+        build_plan(spark, spec(False))
+
+
+def test_quantize_embeddings_stage(spark, tmp_path):
+    """Declarative QUANTIZE_EMBEDDINGS: a pure projection appending the
+    SQ8 calibration + code columns; dirty rows (empty array, NaN-free
+    contract) keep their row with NULL quantization fields."""
+    import json as _json
+    src = tmp_path / "emb.json"
+    rows = [{"vec_id": 1, "embedding": [0.0, 1.0, 2.0, 4.0]},
+            {"vec_id": 2, "embedding": [3.0, 3.0, 3.0, 3.0]},  # constant
+            {"vec_id": 3, "embedding": []}]                    # degenerate
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "quant-stage",
+        "source": {"type": "FILE_JSON", "details": {"path": str(src)}},
+        "transformation": {"type": "QUANTIZE_EMBEDDINGS", "parameters": {}},
+    })
+    out = {r.vec_id: r for r in build_plan(spark, spec).collect()}
+    assert set(out) == {1, 2, 3}           # row shape preserved
+    assert out[1].q_min == 0.0 and out[1].q_max == 4.0
+    assert out[1].codes == "0,63,127,255"
+    assert out[2].codes == "0,0,0,0"       # constant vector → all zeros
+    assert out[3].q_min is None and out[3].codes is None
+
+
+def test_stratified_sample_stage(spark, tmp_path):
+    """Declarative STRATIFIED_SAMPLE: every stratum thins to the
+    minority stratum's size; row shape preserved."""
+    spec = _corpus_spec(tmp_path, "STRATIFIED_SAMPLE",
+                        {"stratumColumn": "source"})
+    out = [r for r in build_plan(spark, spec).collect()]
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # books has 1 doc (the minority) → exactly 1 doc kept per stratum
+    assert {k: len(v) for k, v in by_src.items()} == {"web": 1, "books": 1}
+    assert by_src["books"] == [3]
+
+
+def test_url_canonicalize_stage(spark, tmp_path):
+    """Declarative URL_CANONICALIZE: appends the canonical URL (and the
+    registered domain when asked); missing urlColumn raises."""
+    import json as _json
+    src = tmp_path / "urls.json"
+    rows = [{"doc_id": 1,
+             "url": "HTTPS://WWW.Example.COM:443/a//?utm_source=x&b=1#f"},
+            {"doc_id": 2, "url": "http://sub.site.org/path/"}]
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(params):
+        return JobSpec.from_dict({
+            "jobId": "url-stage",
+            "source": {"type": "FILE_JSON", "details": {"path": str(src)}},
+            "transformation": {"type": "URL_CANONICALIZE",
+                               "parameters": params},
+        })
+
+    out = {r.doc_id: r for r in build_plan(
+        spark, spec({"urlColumn": "url",
+                     "domainColumn": "domain"})).collect()}
+    assert out[1].canonical_url == "https://example.com/a?b=1"
+    assert out[1].domain == "example.com"
+    assert out[2].canonical_url == "http://sub.site.org/path"
+    assert out[2].domain == "site.org"
+    with pytest.raises(ValueError, match="urlColumn"):
+        build_plan(spark, spec({}))
