@@ -5632,52 +5632,52 @@ _register_url_canonicalize_oracle()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
-# Round-4 rotation (VERDICT r3 "Next round" #1): anchors thinned 15 → 10
-# (one per operator family, every one 2-3× driver-green; the freed slots
-# buy first-time driver rows) so 40 of the 46 never-covered queries get a
-# driver row this round — led by the round-3 flagship operators q140-q146.
-# Deferred to round 5: the scalar/window breadth grab-bags q91/q119/q120/
-# q121/q124/q125 (their family has anchors + 20 green members already) and
-# the rows-only ANN rungs q31/q47/q127 (each already has a rows-only driver
-# row AND a driver-green planted-certificate twin). Everything outside the
-# window keeps the identical-methodology local pytest oracle gate.
+# Round-5 rotation (VERDICT r4 "Next round" #1 — finish the book): the
+# same 10 family anchors, then every query that has NEVER had a driver
+# row (the round-4 operators q147-q154, registered after the r4 window
+# froze, and the deliberately deferred breadth queries
+# q91/q119/q120/q121/q124/q125), the three rows-only ANN rungs
+# q31/q47/q127 (a fresh rows-only row beats a two-round-old one; each has
+# a driver-green planted-certificate twin), and the freed slots re-green
+# the STALEST prior rows: all 15 queries whose only green row is from
+# round 1, plus the 8 heaviest-operator round-2-only members. After this
+# round every one of the 154 registered queries has a driver row and
+# none is more than three rounds old. Everything outside the window
+# keeps the identical-methodology local pytest oracle gate
+# (tests/test_entry.py).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate
     "q24_mapping_pipeline",     # declarative ETL spec core
     "q05_join_left_chain",      # join family
     "q23_events_tumbling",      # streaming windows
-    "q48_stateful_stats",       # stateful streaming (r3-proven fix)
+    "q48_stateful_stats",       # stateful streaming
     "q44_csv_roundtrip",        # connector round trip
     "q25_dedup_exact",          # dedup ladder base
     "q27_dedup_minhash",        # LSH dedup
     "q30_sim_topk",             # similarity exact baseline
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
-    # --- rotation (40): first driver rows ---
-    # round-3 flagship operators (registered after the r3 window froze)
-    "q140_cluster_balance", "q141_source_divergence",
-    "q142_repeated_spans", "q143_image_near_dup", "q144_chunk_overlap",
-    "q145_span_dedup", "q146_lm_surprisal",
-    # TPC-H stragglers
-    "q96_important_parts", "q97_qualified_suppliers",
-    "q98_cheapest_supplier", "q103_disjunctive_predicates",
-    "q108_supplier_part_counts",
-    # subquery family
-    "q61_correlated_subquery", "q81_exists_returned", "q82_dormant_rich",
-    "q83_cust_order_distribution", "q84_promo_share",
-    # join breadth
-    "q62_full_outer_join", "q65_stream_static_enrich", "q68_join_right",
-    "q69_union_by_name", "q70_stream_interval_left",
-    "q122_shuffle_hash_join",
-    # array / JSON / string breadth
-    "q40_grouping_sets", "q42_array_explode", "q43_array_agg",
-    "q75_weighted_sample", "q76_json_shred_roundtrip", "q77_histogram",
-    "q78_pivot_multi_agg", "q79_array_set_ops", "q80_regexp_extract_all",
-    # multimodal breadth
-    "q64_media_resize", "q100_audio_chunks",
-    # window / time-series breadth
-    "q93_window_distribution", "q115_sessionize", "q116_date_spine",
-    "q117_mad_outliers", "q118_argmax_customer", "q132_forecast_revenue",
+    # --- never driver-checked: round-4 training-pipeline operators ---
+    "q147_cross_source_dedup", "q148_token_budget",
+    "q149_shard_manifest", "q150_sequence_pack",
+    "q151_incremental_dedup", "q152_embedding_quantize",
+    "q153_stratified_sample", "q154_url_canonicalize",
+    # --- never driver-checked: deferred breadth queries ---
+    "q91_profile", "q119_window_misc", "q120_agg_misc",
+    "q121_date_breadth", "q124_string_breadth", "q125_math_breadth",
+    # --- rows-only ANN rungs (fresh driver rows; certificates are the
+    #     driver-green twins q131/q136/q137) ---
+    "q31_sim_topk_lsh", "q47_sim_topk_ivf", "q127_sim_topk_pq",
+    # --- stalest re-greens: round-1-only rows (15) ---
+    "q04_group_having", "q06_join_semi", "q09_join_range_theta",
+    "q11_window_running", "q12_rollup", "q13_cube", "q15_intersect",
+    "q16_except_all", "q20_distinct_agg", "q22_json_events",
+    "q26_dedup_normalized", "q36_band_join", "q53_time_bucket",
+    "q55_range_frame", "q58_local_supplier_volume",
+    # --- stalest re-greens: heaviest round-2-only members (8) ---
+    "q02_filter_predicates", "q29_ngram_jaccard", "q50_salted_join",
+    "q51_asof_join", "q57_dedup_clusters", "q95_event_dedup",
+    "q112_dedup_edit_distance", "q123_cdc_apply",
 ]
 
 
