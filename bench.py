@@ -114,6 +114,30 @@ def main() -> None:
          .collect())
     except Exception:  # noqa: BLE001
         pass
+    # Regex/array codegen-family warmup (VERDICT r4 #5): the URL/text
+    # operators compile a large regexp_extract/regexp_replace +
+    # filter/array_sort/array_join lambda family whose first use measured
+    # 9.2s cold vs 0.89s steady (q154 r4). One tiny synthetic round trip
+    # through canonicalize_url + registered_domain + regexp_extract_all
+    # pays that codegen once; no bench table or query logic is pre-run.
+    try:
+        from pyspark.sql import functions as F
+
+        from etl_load_spark.operators.text import (canonicalize_url,
+                                                   registered_domain)
+        urls = spark.range(8).selectExpr(
+            "concat('HTTPS://WWW.Example', id % 3, '.COM:443/p', id, "
+            "'//?utm_source=x&b=', id, '#frag') AS u")
+        (urls.select(canonicalize_url(F.col("u")).alias("c"),
+                     registered_domain(F.col("u"), from_url=True)
+                     .alias("d"),
+                     F.regexp_extract_all("u", F.lit(r"([a-z]+)=(\w+)"))
+                     .alias("params"))
+         .groupBy("d").agg(F.count_distinct("c").alias("n"),
+                           F.bit_xor(F.xxhash64("c")).alias("x"))
+         .collect())
+    except Exception:  # noqa: BLE001
+        pass
 
     from etl_load_spark.session import release_operator_caches
 
@@ -138,15 +162,14 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
-    # Steady-state second runs for the slowest queries (VERDICT r3 #3):
-    # the cold pass above includes per-query first-use codegen/JIT, which
-    # makes round-over-round totals noisy enough to mask real plan
-    # regressions. A second run of the top offenders separates "plan got
-    # slower" from "JIT accounting" in BENCH_DETAIL.json without doubling
-    # the whole bench.
+    # Steady-state second runs for EVERY query (VERDICT r4 #6): the cold
+    # pass above includes per-query first-use codegen/JIT, which makes
+    # round-over-round totals noisy enough to mask real plan regressions.
+    # The full second pass separates "plan got slower" from "JIT
+    # accounting" per query, forever; it is cheaper than the cold pass
+    # (all codegen already compiled) and BENCH_DETAIL.json records both.
     steady: dict[str, float] = {}
-    for name in sorted((k for k, v in timings.items() if v >= 0),
-                       key=lambda k: -timings[k])[:15]:
+    for name in sorted(k for k, v in timings.items() if v >= 0):
         t0 = time.monotonic()
         try:
             QUERIES[name].fn(spark, sf_dir).write.format("noop") \
@@ -175,6 +198,7 @@ def main() -> None:
                    "unit": "sec", "sf": sf_val, "n_queries": len(timings),
                    "queries": timings, "steady_state_second_run": steady},
                   f, indent=1, sort_keys=True)
+    steady_total = round(sum(steady.values()), 3)
     print(json.dumps({
         "metric": "declared_query_surface_total",
         "value": total,
@@ -183,6 +207,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "failed": failed,
+        "steady_total": steady_total,
         "detail": "BENCH_DETAIL.json",
         "sf": sf_val,
     }))
