@@ -1100,3 +1100,168 @@ m AS (SELECT MIN(cnt) AS _m
 SELECT _id AS {id_col}, _st AS {stratum_col}
 FROM c, m WHERE _rn <= _m ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (targeted data selection)
+# ---------------------------------------------------------------------------
+
+def hashed_feature_relation(df: DataFrame, id_col: str, text_col: str,
+                            n_buckets: int) -> DataFrame:
+    """(_id, _b) — one row per hashed n-gram feature occurrence: word
+    unigrams AND adjacent bigrams of the normalized token stream, hashed
+    into ``n_buckets`` buckets with the portable 64-bit hash (so the
+    whole featurizer replays as oracle SQL). One posexplode over token
+    positions; each position emits its unigram plus — when a successor
+    exists — its bigram, via a two-element array explode (never a
+    higher-order transform over the full token array: HOF lambdas are
+    interpreted per element). Documents whose normalized text is empty
+    or NULL yield no rows (no features to weigh)."""
+    from etl_load_spark.operators.dedup import normalize_text, portable_hash64
+
+    norm = normalize_text(F.col(text_col))
+    t = (df.filter(F.col(text_col).isNotNull()
+                   & F.col(id_col).isNotNull())
+         .select(F.col(id_col).alias("_id"), norm.alias("_nt"))
+         .filter(F.length("_nt") > 0)
+         .select("_id", F.split("_nt", " ").alias("_ws")))
+    occ = t.select(
+        "_id",
+        F.posexplode("_ws").alias("_i", "_w"),
+        # try_: the last token has no successor and ANSI element_at throws
+        F.try_element_at("_ws", F.col("_i") + 2).alias("_nx"))
+    feat = occ.select(
+        "_id",
+        F.explode(F.when(F.col("_nx").isNull(), F.array("_w"))
+                  .otherwise(F.array(
+                      F.col("_w"),
+                      F.concat_ws(" ", "_w", "_nx")))).alias("_f"))
+    return feat.select(
+        "_id", F.pmod(portable_hash64(F.col("_f")),
+                      F.lit(n_buckets)).alias("_b"))
+
+
+def importance_weights(df: DataFrame, target_df: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_buckets: int = 1024) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed n-gram features are
+    under the TARGET distribution than under the raw corpus — the
+    data-selection stage that picks pretraining data resembling a
+    high-quality target domain. Features are hashed word uni+bigrams in
+    ``n_buckets`` buckets; both distributions are Laplace-smoothed bag
+    models, and the per-feature log-likelihood ratio is QUANTIZED to
+    whole bits with the exact integer floor-log2 (the q146 rule: never
+    hash a transcendental), so scores are bit-replayable in any engine:
+
+        s(b) = fl2(c_t(b)+1) - fl2(c_r(b)+1)
+        K    = fl2(N_r + B)  - fl2(N_t + B)
+        total_bits(doc) = sum_feats s(b) + n_feats * K
+
+    Positive = more target-like. Returns (id, n_feats, total_bits,
+    bits_per_feat) with bits_per_feat the ONE IEEE division, computed
+    after both integer aggregates.
+
+    Scale: ONE token-level shuffle for the corpus. The hashed-feature
+    relation repartitions on the bucket (hash(_b) satisfies the
+    (_id,_b) grouping too), aggregates to the dedup-compressed
+    (_id,_b,k) relation ONCE (persisted + registered with the session
+    cache registry — it feeds the raw histogram AND the scoring probe;
+    without the boundary Catalyst clones the tokenizer per consumer,
+    the q146 lesson), the RAW histogram is derived from it (never a
+    second corpus pass), the target histogram is a separate bounded
+    pass over the (small, fixed) target set, the B-row score relation
+    broadcasts back, and the per-document reduction ships
+    (doc, bucket)-level partial sums. The reference has no selection
+    ops; this extends the curation surface (module docstring)."""
+    from etl_load_spark.operators.text import floor_log2
+    from etl_load_spark.session import register_operator_cache
+
+    B = int(n_buckets)
+    docb = register_operator_cache(
+        hashed_feature_relation(df, id_col, text_col, B)
+        .repartition("_b")
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+        .persist())
+    raw = docb.groupBy("_b").agg(F.sum("_k").cast("bigint").alias("_cr"))
+    tgt = (hashed_feature_relation(target_df, id_col, text_col, B)
+           .groupBy("_b").agg(F.count(F.lit(1)).cast("bigint").alias("_ct")))
+    nr = raw.agg(F.sum("_cr").cast("bigint").alias("_nr"))
+    nt = tgt.agg(F.sum("_ct").cast("bigint").alias("_nt"))
+    scores = (raw.join(tgt, "_b", "left")
+              .select("_b", (floor_log2(F.coalesce(F.col("_ct"),
+                                                   F.lit(0)) + 1)
+                             - floor_log2(F.col("_cr") + 1)).alias("_s")))
+    k_const = (floor_log2(F.col("_nr") + F.lit(B))
+               - floor_log2(F.col("_nt") + F.lit(B)))
+    return (docb.join(F.broadcast(scores), "_b")
+            .groupBy(F.col("_id").alias(id_col))
+            .agg(F.sum("_k").cast("bigint").alias("n_feats"),
+                 F.sum(F.col("_k") * F.col("_s")).cast("bigint")
+                 .alias("_sb"))
+            .crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(nt))
+            .select(id_col, "n_feats",
+                    (F.col("_sb") + F.col("n_feats") * k_const)
+                    .cast("bigint").alias("total_bits"))
+            .withColumn("bits_per_feat",
+                        F.col("total_bits").cast("double")
+                        / F.col("n_feats").cast("double"))
+            .orderBy(id_col))
+
+
+def _hashed_feats_cte(table: str, pred: str, id_col: str, text_col: str,
+                      n_buckets: int, dialect: str) -> str:
+    """Shared oracle CTE body for the hashed uni+bigram featurizer."""
+    from etl_load_spark.operators.dedup import (normalize_text_sql,
+                                                portable_hash64_sql)
+    norm = normalize_text_sql(text_col, dialect)
+    hf = portable_hash64_sql("f", dialect)
+    return f"""
+  SELECT _id, (({hf}) % {n_buckets} + {n_buckets}) % {n_buckets} AS _b
+  FROM (
+    SELECT _id, unnest(list_concat(
+             ws, [ws[i] || ' ' || ws[i + 1]
+                  for i in generate_series(1, len(ws) - 1)])) AS f
+    FROM (SELECT {id_col} AS _id, string_split({norm}, ' ') AS ws
+          FROM {table}
+          WHERE {text_col} IS NOT NULL AND {id_col} IS NOT NULL
+            AND {norm} <> '' {pred}) tk) oc"""
+
+
+def importance_weights_sql(table: str, target_pred: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n_buckets: int = 1024,
+                           dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``importance_weights`` where the target set is
+    ``table`` rows satisfying ``target_pred`` (the q155 planted-target
+    form). Replays the featurizer, both smoothed histograms, the
+    integer floor-log2 ratio and the per-doc reduction."""
+    from etl_load_spark.operators.text import floor_log2_sql
+    fl2 = floor_log2_sql
+    B = int(n_buckets)
+    return f"""
+WITH rawf AS ({_hashed_feats_cte(table, "", id_col, text_col, B, dialect)}),
+tgtf AS ({_hashed_feats_cte(table, f"AND ({target_pred})", id_col,
+                            text_col, B, dialect)}),
+docb AS (SELECT _id, _b, CAST(COUNT(*) AS BIGINT) AS k
+         FROM rawf GROUP BY _id, _b),
+rh AS (SELECT _b, CAST(SUM(k) AS BIGINT) AS cr FROM docb GROUP BY _b),
+th AS (SELECT _b, CAST(COUNT(*) AS BIGINT) AS ct FROM tgtf GROUP BY _b),
+nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM rh),
+nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM th),
+sc AS (SELECT rh._b,
+              {fl2("COALESCE(th.ct, 0) + 1")} - {fl2("rh.cr + 1")} AS s
+       FROM rh LEFT JOIN th ON rh._b = th._b),
+agg AS (SELECT _id, CAST(SUM(k) AS BIGINT) AS n_feats,
+               CAST(SUM(k * s) AS BIGINT) AS sb
+        FROM docb JOIN sc USING (_b) GROUP BY _id)
+SELECT _id AS {id_col}, n_feats,
+       CAST(sb + n_feats * ({fl2(f"nr.nr + {B}")} - {fl2(f"nt.nt + {B}")})
+            AS BIGINT) AS total_bits,
+       CAST(sb + n_feats * ({fl2(f"nr.nr + {B}")} - {fl2(f"nt.nt + {B}")})
+            AS DOUBLE) / CAST(n_feats AS DOUBLE) AS bits_per_feat
+FROM agg, nr, nt ORDER BY {id_col}
+"""

@@ -112,6 +112,14 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                 "first-seen-wins on a live stream, or land the stream and "
                 "admit each landed batch downstream")
         return _incremental_dedup_transform(df, spark, spec)
+    if tr.type.upper() == "IMPORTANCE_RESAMPLE":
+        if df.isStreaming:
+            raise ValueError(
+                "transformation.type=IMPORTANCE_RESAMPLE is batch-only "
+                "(the raw-corpus feature histogram is corpus-global); "
+                "train the histograms offline, then score the stream with "
+                "a broadcast join against the frozen bucket-score table")
+        return _importance_resample_transform(df, spark, spec)
     if tr.type.upper() in _CORPUS_TRANSFORMS:
         if df.isStreaming and tr.type.upper() in _BATCH_ONLY_TRANSFORMS:
             # multi-stage stateful plans are not expressible as ONE
@@ -131,7 +139,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "CROSS_SOURCE_DEDUP, TOKEN_BUDGET, ASSIGN_SHARDS, "
                          "SEQUENCE_PACK, INCREMENTAL_DEDUP, "
                          "QUANTIZE_EMBEDDINGS, STRATIFIED_SAMPLE, "
-                         "URL_CANONICALIZE)")
+                         "URL_CANONICALIZE, IMPORTANCE_RESAMPLE)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -500,6 +508,51 @@ def _incremental_dedup_transform(df: DataFrame, spark: SparkSession,
         history_bloom=bool(p.get("historyBloom", False)),
         bloom_fpp=float(p.get("bloomFpp", 0.01)))
     return df.join(surv.select(id_col), id_col, "semi")
+
+
+def _importance_resample_transform(df: DataFrame, spark: SparkSession,
+                                   spec: JobSpec) -> DataFrame:
+    """Declarative DSIR-style targeted selection (operators/corpus.
+    importance_weights): score documents by the quantized
+    log-likelihood ratio of their hashed n-gram features under the
+    ``extraSources.target`` distribution vs the raw corpus.
+    mode='annotate' appends (n_feats, total_bits, bits_per_feat);
+    mode='filter' (default) keeps the most target-like ``keepQuantile``
+    fraction (required in filter mode — a self-relative cut, since
+    quantized LLR scales with corpus/target overlap). Parameters:
+    idColumn ('doc_id'), textColumn ('text'), nBuckets (1024),
+    targetFilter (optional SQL predicate narrowing the target source),
+    keepQuantile, mode."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.corpus import importance_weights
+    from etl_load_spark.sources.registry import read_source
+    if "target" not in spec.extra_sources:
+        raise ValueError("IMPORTANCE_RESAMPLE requires extraSources.target "
+                         "(the distribution to select toward)")
+    p = spec.transformation.parameters or {}
+    id_col = p.get("idColumn", "doc_id")
+    text_col = p.get("textColumn", "text")
+    tgt = read_source(spark, spec.extra_sources["target"])
+    if p.get("targetFilter"):
+        tgt = tgt.filter(p["targetFilter"])
+    scored = importance_weights(df, tgt, id_col=id_col, text_col=text_col,
+                                n_buckets=int(p.get("nBuckets", 1024)))
+    if p.get("mode", "filter") == "annotate":
+        return df.join(scored, id_col, "left")
+    if "keepQuantile" not in p:
+        raise ValueError("IMPORTANCE_RESAMPLE filter mode requires "
+                         "keepQuantile (the most target-like fraction to "
+                         "keep); use mode='annotate' to inspect scores")
+    q = float(p["keepQuantile"])
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"keepQuantile must be in (0, 1], got {q}")
+    cut = scored.agg(F.percentile_approx(
+        "bits_per_feat", F.lit(1.0 - q), F.lit(10000)).alias("_cut"))
+    keep = (scored.crossJoin(F.broadcast(cut))
+            .filter(F.col("bits_per_feat") >= F.col("_cut"))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
 
 
 def _quantize_embeddings_transform(df: DataFrame, p: dict) -> DataFrame:

@@ -5623,6 +5623,31 @@ GROUP BY domain ORDER BY domain
 _register_url_canonicalize_oracle()
 
 
+# --- q155: DSIR-style importance weighting ----------------------------------
+
+@query("q155_importance_weights")  # oracle attached right below
+def q155_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted data selection à la DSIR (Xie et al. 2023): score every
+    document by the quantized log-likelihood ratio of its hashed
+    uni+bigram features under a target distribution (the English slice
+    as the in-data target — realistic for selecting language-matching
+    crawl data) vs the raw corpus. Integer floor-log2 bits, exactly
+    replayable. ONE corpus token shuffle; the target pass is bounded by
+    the target slice. See operators/corpus.py::importance_weights."""
+    from etl_load_spark.operators.corpus import importance_weights
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return importance_weights(d, d.filter(F.col("lang") == "en"))
+
+
+def _register_importance_weights_oracle() -> None:
+    from etl_load_spark.operators.corpus import importance_weights_sql
+    QUERIES["q155_importance_weights"].oracle = importance_weights_sql(
+        "documents", "lang = 'en'")
+
+
+_register_importance_weights_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -664,3 +664,21 @@ def test_incremental_dedup_bloom_path_shape(spark, sf_dir):
     assert "ArrowEvalPython" in final, final   # the vectorized bloom probe
     assert "ReusedExchange" in final, final
     assert "BatchEvalPython" not in final, final
+
+
+def test_importance_weights_single_corpus_pass(spark, sf_dir):
+    """q155: ONE corpus scan + ONE cached (doc, bucket, count) relation
+    shared by the raw histogram and the scoring probe (the q146 persist
+    boundary — without it Catalyst clones the featurizer per consumer);
+    the only FileScan in the final plan is the bounded TARGET slice; the
+    per-doc reduction partial-aggregates map-side; scores broadcast; no
+    Python anywhere (the scalar N_r/N_t broadcasts are the q141
+    BroadcastNestedLoopJoin shape)."""
+    plan = plan_of(spark, sf_dir, "q155_importance_weights", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert len([l for l in final.splitlines()
+                if "FileScan parquet" in l]) == 1, final
+    assert "InMemoryTableScan" in final, final
+    assert "partial" in final.lower(), final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

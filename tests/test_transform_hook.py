@@ -434,3 +434,56 @@ def test_url_canonicalize_stage(spark, tmp_path):
     assert out[2].domain == "site.org"
     with pytest.raises(ValueError, match="urlColumn"):
         build_plan(spark, spec({}))
+
+
+def test_importance_resample_stage_modes(spark, tmp_path):
+    """Declarative IMPORTANCE_RESAMPLE: annotate appends the DSIR score
+    columns; filter keeps the most target-like keepQuantile fraction;
+    missing extraSources.target / keepQuantile raise."""
+    import json as _json
+    src = tmp_path / "corpus.json"
+    rows = (
+        [{"doc_id": i,
+          "text": "alpha beta gamma " + " ".join(
+              f"t{i}w{j}" for j in range(6))} for i in range(8)]
+        + [{"doc_id": 100 + i,
+            "text": "zeta eta theta " + " ".join(
+                f"u{i}w{j}" for j in range(6))} for i in range(8)])
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    tgt = tmp_path / "target.json"
+    tgt.write_text("\n".join(_json.dumps(
+        {"doc_id": 1000 + i, "text": "alpha beta gamma alpha beta"})
+        for i in range(4)))
+
+    def spec(params, with_target=True):
+        d = {
+            "jobId": "dsir-stage",
+            "source": {"type": "FILE_JSON", "details": {"path": str(src)}},
+            "transformation": {"type": "IMPORTANCE_RESAMPLE",
+                               "parameters": params},
+        }
+        if with_target:
+            d["extraSources"] = {"target": {
+                "type": "FILE_JSON", "details": {"path": str(tgt)}}}
+        return JobSpec.from_dict(d)
+
+    ann = {r.doc_id: r for r in build_plan(
+        spark, spec({"mode": "annotate"})).collect()}
+    assert len(ann) == 16 and ann[1].n_feats is not None
+    # alpha/beta/gamma docs must out-score the zeta family
+    lo = {r for r in ann if r >= 100}
+    hi = {r for r in ann if r < 100}
+    assert min(ann[r].bits_per_feat for r in hi) > \
+        max(ann[r].bits_per_feat for r in lo)
+    kept = {r.doc_id for r in build_plan(
+        spark, spec({"keepQuantile": 0.5})).collect()}
+    # the target-like half survives; the cut is an actual data value
+    # (percentile), so docs TIED at the boundary score are included —
+    # any extra survivor must sit exactly on the cut
+    assert hi <= kept
+    cut_score = max(ann[r].bits_per_feat for r in lo)
+    assert all(ann[r].bits_per_feat == cut_score for r in kept - hi)
+    with pytest.raises(ValueError, match="keepQuantile"):
+        build_plan(spark, spec({}))
+    with pytest.raises(ValueError, match="target"):
+        build_plan(spark, spec({"keepQuantile": 0.5}, with_target=False))
