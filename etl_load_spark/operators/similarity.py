@@ -940,3 +940,99 @@ SELECT {id_col}, MIN(mn) AS q_min, MIN(mx) AS q_max,
        string_agg(CAST(qi AS VARCHAR), ',' ORDER BY pos) AS codes
 FROM q GROUP BY {id_col} ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-retrieval training data)
+# ---------------------------------------------------------------------------
+
+def hard_negatives(vectors: DataFrame, anchors: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   dup_ceiling: float = 0.999) -> DataFrame:
+    """DPR/Contriever-style hard-negative mining: for each anchor, the k
+    most-similar corpus vectors with a DIFFERENT label (same-label rows
+    are potential positives, not negatives), plus the anchor's best
+    same-label similarity and the resulting margin — the triplet-quality
+    signal a contrastive trainer thresholds on. Cross-label pairs at or
+    above ``dup_ceiling`` are excluded from negatives (near-identical
+    vectors across labels are labeling noise — mining them as negatives
+    poisons the loss with false negatives).
+
+    Returns (q_id, n_id, cosine_sim, pos_sim, margin, rank) with
+    margin = pos_sim - cosine_sim (positive ⇒ the positive still
+    outranks the mined negative; NULL when the anchor has no same-label
+    peer). Determinism: sims round to 6 dp before ranking/thresholds
+    (the q30 rule), rank ties break on n_id. Label comparison is
+    null-safe: a NULL-label corpus row is a different-label row for
+    every labeled anchor.
+
+    Scale — the cosine_topk contract: ``anchors`` is the BOUNDED
+    training-batch slice and broadcasts; the corpus never shuffles for
+    scoring (partition-local cross score), the positive max is a
+    map-side-combinable aggregate, and only the per-anchor top-k window
+    runs on the anchor-keyed relation. When the anchor set outgrows
+    broadcast, generate candidates with lsh_topk/ivf_topk and re-rank
+    exactly — the mining semantics here are unchanged."""
+    anchors = valid_embeddings(anchors, vec_col)
+    vectors = valid_embeddings(vectors, vec_col)
+    q = anchors.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("_qv"),
+                       F.col(label_col).alias("_ql"))
+    c = vectors.select(F.col(id_col).alias("n_id"),
+                       F.col(vec_col).alias("_cv"),
+                       F.col(label_col).alias("_cl"))
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      F.col("_ql").eqNullSafe(F.col("_cl")).alias("_same"),
+                      sim.alias("cosine_sim"))
+              .filter(F.col("cosine_sim").isNotNull()))
+    pos = (scored.filter(F.col("_same"))
+           .groupBy("q_id").agg(F.max("cosine_sim").alias("pos_sim")))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(),
+                                      F.col("n_id"))
+    return (scored.filter(~F.col("_same")
+                          & (F.col("cosine_sim") < dup_ceiling))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .join(F.broadcast(pos), "q_id", "left")
+            .select("q_id", "n_id", "cosine_sim", "pos_sim",
+                    (F.col("pos_sim") - F.col("cosine_sim")).alias("margin"),
+                    "rank")
+            .orderBy("q_id", "rank"))
+
+
+def hard_negatives_sql(table: str = "embeddings", anchor_pred: str =
+                       "vec_id < 10", k: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding", label_col: str = "label",
+                       dup_ceiling: float = 0.999) -> str:
+    """Exact DuckDB twin of ``hard_negatives`` with the anchor set =
+    ``table`` rows satisfying ``anchor_pred``."""
+    ve = valid_embeddings_sql(vec_col)
+    return f"""
+WITH ef AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB otherwise pushes the cosine below this filter
+  -- and errors on degenerate (NULL-element) vectors
+  SELECT {id_col}, {vec_col}, {label_col} FROM {table} WHERE {ve}),
+q AS (SELECT {id_col} AS q_id, CAST({vec_col} AS DOUBLE[]) AS qv,
+             {label_col} AS ql
+      FROM ef WHERE {anchor_pred}),
+c AS (SELECT {id_col} AS n_id, CAST({vec_col} AS DOUBLE[]) AS cv,
+             {label_col} AS cl FROM ef),
+s AS (SELECT q_id, n_id, (ql IS NOT DISTINCT FROM cl) AS same,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE q_id <> n_id),
+p AS (SELECT q_id, MAX(cosine_sim) AS pos_sim FROM s WHERE same
+      GROUP BY q_id),
+r AS (SELECT q_id, n_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rank
+      FROM s WHERE NOT same AND cosine_sim < {dup_ceiling})
+SELECT r.q_id, r.n_id, r.cosine_sim, p.pos_sim,
+       p.pos_sim - r.cosine_sim AS margin, r.rank
+FROM r LEFT JOIN p ON r.q_id = p.q_id
+WHERE r.rank <= {k}
+ORDER BY r.q_id, r.rank
+"""

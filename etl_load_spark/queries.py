@@ -5648,6 +5648,30 @@ def _register_importance_weights_oracle() -> None:
 _register_importance_weights_oracle()
 
 
+# --- q156: hard-negative mining (contrastive retrieval) ---------------------
+
+@query("q156_hard_negatives")  # oracle attached right below
+def q156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR/Contriever-style hard-negative mining: for 10 anchor vectors,
+    the 5 most-similar DIFFERENT-label corpus vectors (near-identical
+    cross-label pairs excluded as labeling noise), plus each anchor's
+    best same-label similarity and the triplet margin. Anchors
+    broadcast; the corpus never shuffles for scoring. See
+    operators/similarity.py::hard_negatives."""
+    from etl_load_spark.operators.similarity import hard_negatives
+    e = t(spark, sf_dir, "embeddings")
+    return hard_negatives(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _register_hard_negatives_oracle() -> None:
+    from etl_load_spark.operators.similarity import hard_negatives_sql
+    QUERIES["q156_hard_negatives"].oracle = hard_negatives_sql(
+        "embeddings", "vec_id < 10", k=5)
+
+
+_register_hard_negatives_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -682,3 +682,15 @@ def test_importance_weights_single_corpus_pass(spark, sf_dir):
     assert "partial" in final.lower(), final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_anchors_broadcast_no_python(spark, sf_dir):
+    """q156: the anchor set broadcasts (the one deliberate
+    BroadcastNestedLoopJoin — the cosine_topk brute-force contract);
+    corpus scoring is partition-local JVM expressions; the positive max
+    partial-aggregates map-side; no Python anywhere."""
+    plan = plan_of(spark, sf_dir, "q156_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_max" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

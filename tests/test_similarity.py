@@ -217,3 +217,39 @@ def test_pq_degenerate_inputs(spark, vectors):
         vectors.filter("vec_id = 0"))
     out = pq_topk(vectors, mixed, k=1).collect()
     assert [r.q_id for r in out] == [0]      # real query answered, NULL skipped
+
+
+def test_hard_negatives_semantics(spark):
+    """Mining contract on a constructed corpus: same-label rows never
+    appear as negatives, near-identical cross-label rows are excluded by
+    the dup ceiling, margins use the anchor's best same-label sim, and
+    an anchor without a same-label peer gets NULL pos_sim/margin."""
+    from etl_load_spark.operators.similarity import hard_negatives
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),    # anchor
+        (1, [1.0, 0.0, 0.0, 0.0], "b"),    # cross-label exact dup → excluded
+        (2, [0.9, 0.1, 0.0, 0.0], "b"),    # the real hard negative
+        (3, [0.8, 0.2, 0.0, 0.0], "a"),    # positive (same label)
+        (4, [0.0, 1.0, 0.0, 0.0], "b"),    # easy negative
+        (10, [0.0, 0.0, 1.0, 0.0], "c"),   # anchor with no same-label peer
+        (11, [0.0, 0.0, 0.9, 0.3], "b"),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>,"
+                              " label string")
+    out = hard_negatives(e, e.filter("vec_id IN (0, 10)"), k=3)
+    got = {(r.q_id, r.rank): r for r in out.collect()}
+    # anchor 0: rank 1 must be vec 2 (vec 1 is dup-ceiling'd out,
+    # vec 3 is same-label)
+    assert got[(0, 1)].n_id == 2
+    assert all(got[k].n_id != 3 for k in got if k[0] == 0)
+    assert all(got[k].n_id != 1 for k in got if k[0] == 0)
+    # margin against the label-a positive (vec 3)
+    import math
+    pos = got[(0, 1)].pos_sim
+    assert math.isclose(pos, 0.8 / math.sqrt(0.68), rel_tol=1e-5)
+    assert math.isclose(got[(0, 1)].margin, pos - got[(0, 1)].cosine_sim,
+                        rel_tol=1e-9)
+    # anchor 10 has no same-label peer: NULL pos_sim/margin, negatives
+    # still mined
+    assert got[(10, 1)].pos_sim is None and got[(10, 1)].margin is None
+    assert got[(10, 1)].n_id == 11
