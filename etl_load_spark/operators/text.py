@@ -478,3 +478,86 @@ def registered_domain_sql(url_expr: str) -> str:
     h = (f"regexp_replace(lower(coalesce(regexp_extract({url_expr}, "
          f"'{_URL_HOST_RE}', 1), '')), ':[0-9]+$', '')")
     return f"coalesce(regexp_extract({h}, '([^.]+\\.[^.]+)$', 1), '')"
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping / boilerplate stats (crawl-text hygiene)
+# ---------------------------------------------------------------------------
+
+#: regexes shared verbatim between the Spark and oracle forms. RE2-safe:
+#: no backreferences (script and style are separate passes — RE2 cannot
+#: express <(script|style)>.*?</\1>), lazy quantifiers + (?is) flags only.
+_MD_COMMENT_RE = r"(?s)<!--.*?-->"
+_MD_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_MD_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_MD_TAG_RE = r"<[^>]*>"
+_MD_LINK_TEXT_RE = r"(?is)<a[^>]*>(.*?)</a>"
+
+#: HTML entity unescapes applied after tag removal, in THIS order
+#: (&amp; last so '&amp;lt;' decodes to the literal '&lt;', not '<').
+MARKUP_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                   ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def strip_markup(col: Column) -> Column:
+    """Plain text of an HTML-ish payload — the markup-hygiene step before
+    any text-quality scoring of crawled pages: comments, script/style
+    BLOCKS (content dropped — code is not prose), then every remaining
+    tag (content kept), basic entity unescapes, whitespace collapse.
+    Deliberately a hygiene pass, not a browser: malformed markup
+    degrades to extra text, never an error. Pure map-side regex —
+    fuses into the scan, streams."""
+    c = F.regexp_replace(col, _MD_COMMENT_RE, " ")
+    c = F.regexp_replace(c, _MD_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _MD_STYLE_RE, " ")
+    c = F.regexp_replace(c, _MD_TAG_RE, " ")
+    for ent, rep in MARKUP_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_markup_sql(expr: str) -> str:
+    """DuckDB twin of ``strip_markup`` — same regexes verbatim ('g' flag:
+    DuckDB replaces first-match-only by default where Spark replaces
+    all)."""
+    c = f"regexp_replace({expr}, '{_MD_COMMENT_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_MD_SCRIPT_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_MD_STYLE_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_MD_TAG_RE}', ' ', 'g')"
+    for ent, rep in MARKUP_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+def markup_stats(col: Column) -> "list[Column]":
+    """Boilerplate signals of an HTML-ish payload: tag count, link count,
+    and the total character length of link anchor texts (link density =
+    link_chars / clean text length is the classic boilerplate
+    discriminator — nav/footer blocks are nearly all links). The
+    per-link length fold is a HOF over the per-document link array
+    (bounded by links-per-doc, not corpus size)."""
+    links = F.regexp_extract_all(col, F.lit(_MD_LINK_TEXT_RE), F.lit(1))
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(_MD_TAG_RE), F.lit(0)))
+        .cast("bigint").alias("n_tags"),
+        F.size(links).cast("bigint").alias("n_links"),
+        F.aggregate(links, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).alias("link_chars"),
+    ]
+
+
+def markup_stats_sql(expr: str) -> "dict[str, str]":
+    """DuckDB twins of ``markup_stats`` (same regexes verbatim)."""
+    links = f"regexp_extract_all({expr}, '{_MD_LINK_TEXT_RE}', 1)"
+    return {
+        "n_tags": (f"CAST(len(regexp_extract_all({expr}, "
+                   f"'{_MD_TAG_RE}', 0)) AS BIGINT)"),
+        "n_links": f"CAST(len({links}) AS BIGINT)",
+        # the inner coalesce covers DuckDB's list_sum([]) = NULL (Spark's
+        # aggregate over [] is the 0 initializer); the CASE keeps NULL
+        # input NULL (coalesce alone would turn it into 0)
+        "link_chars": (f"(CASE WHEN {expr} IS NULL THEN NULL ELSE "
+                       f"CAST(coalesce(list_sum(list_transform({links}, "
+                       f"x -> length(x))), 0) AS BIGINT) END)"),
+    }

@@ -5672,6 +5672,98 @@ def _register_hard_negatives_oracle() -> None:
 _register_hard_negatives_oracle()
 
 
+# --- q157: markup stripping / boilerplate stats ------------------------------
+
+def _synth_html_spark() -> "F.Column":
+    """Deterministic HTML wrapper per document (the q138/q154 injection
+    rule — documents carry no markup): script+style heads, comments,
+    case-varied tags, entities, per-doc link(s)."""
+    i = F.col("doc_id").cast("string")
+    extra = F.when(F.pmod("doc_id", F.lit(2)) == 0,
+                   F.lit('<A HREF="/t">&lt;extra&gt; link</A>')) \
+        .otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<html><head><script>var id="), i,
+        F.lit(';</script><STYLE>.a{}</STYLE></head><body class="c'),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit('"><!-- hdr '), i, F.lit(" --><h1>"), F.col("source"),
+        F.lit(" &amp; "), F.col("lang"), F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><a href="/d/'), i, F.lit('">more '), i, F.lit("</a>"),
+        extra, F.lit("</body></html>"))
+
+
+_SYNTH_HTML_SQL = (
+    "('<html><head><script>var id=' || CAST(doc_id AS VARCHAR) || "
+    "';</script><STYLE>.a{}</STYLE></head><body class=\"c' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '\"><!-- hdr ' || "
+    "CAST(doc_id AS VARCHAR) || ' --><h1>' || source || ' &amp; ' || "
+    "lang || '</h1><p>' || text || '</p><a href=\"/d/' || "
+    "CAST(doc_id AS VARCHAR) || '\">more ' || CAST(doc_id AS VARCHAR) || "
+    "'</a>' || (CASE WHEN doc_id % 2 = 0 THEN "
+    "'<A HREF=\"/t\">&lt;extra&gt; link</A>' ELSE '' END) || "
+    "'</body></html>')")
+
+
+@query("q157_markup_strip")  # oracle attached right below
+def q157_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup hygiene for crawled pages: strip script/style/comments/
+    tags + entity unescape, score boilerplate signals (tag count, link
+    count, link-text density), aggregate per source with an order-free
+    XOR certificate of every cleaned text. Markup is INJECTED
+    deterministically (the q154 rule: the synthetic corpus carries no
+    HTML, and an oracle over markup-free text would be vacuous). Pure
+    map-side regex + ONE aggregation. See
+    operators/text.py::strip_markup / markup_stats."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    from etl_load_spark.operators.text import markup_stats, strip_markup
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+         .select("source", _synth_html_spark().alias("_raw")))
+    s = d.select("source", F.col("_raw"),
+                 strip_markup(F.col("_raw")).alias("_clean"),
+                 *markup_stats(F.col("_raw")))
+    return (s.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.length("_raw")).cast("bigint").alias("raw_chars"),
+                 F.sum(F.length("_clean")).cast("bigint")
+                 .alias("clean_chars"),
+                 F.sum("n_tags").cast("bigint").alias("n_tags"),
+                 F.sum("n_links").cast("bigint").alias("n_links"),
+                 F.sum("link_chars").cast("bigint").alias("link_chars"),
+                 F.bit_xor(portable_hash64(F.col("_clean")))
+                 .alias("clean_xor"))
+            .orderBy("source"))
+
+
+def _register_markup_strip_oracle() -> None:
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    from etl_load_spark.operators.text import (markup_stats_sql,
+                                               strip_markup_sql)
+    ms = markup_stats_sql("_raw")
+    QUERIES["q157_markup_strip"].oracle = f"""
+WITH d AS (
+  SELECT source, {_SYNTH_HTML_SQL} AS _raw
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+s AS (
+  SELECT source, _raw, {strip_markup_sql("_raw")} AS _clean,
+         {ms["n_tags"]} AS n_tags, {ms["n_links"]} AS n_links,
+         {ms["link_chars"]} AS link_chars
+  FROM d)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(_raw)) AS BIGINT) AS raw_chars,
+       CAST(SUM(length(_clean)) AS BIGINT) AS clean_chars,
+       CAST(SUM(n_tags) AS BIGINT) AS n_tags,
+       CAST(SUM(n_links) AS BIGINT) AS n_links,
+       CAST(SUM(link_chars) AS BIGINT) AS link_chars,
+       CAST(bit_xor({portable_hash64_sql("_clean")}) AS BIGINT)
+         AS clean_xor
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+_register_markup_strip_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -694,3 +694,15 @@ def test_hard_negatives_anchors_broadcast_no_python(spark, sf_dir):
     assert "partial_max" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_markup_strip_map_side_plus_one_agg(spark, sf_dir):
+    """q157: markup stripping + boilerplate stats are pure map-side
+    regex/array expressions; the only relational work is the per-source
+    aggregation (partial combine map-side). No join, no window, no
+    Python."""
+    plan = plan_of(spark, sf_dir, "q157_markup_strip")
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
