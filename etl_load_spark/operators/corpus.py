@@ -1107,17 +1107,27 @@ FROM c, m WHERE _rn <= _m ORDER BY {id_col}
 # ---------------------------------------------------------------------------
 
 def hashed_feature_relation(df: DataFrame, id_col: str, text_col: str,
-                            n_buckets: int) -> DataFrame:
+                            n_buckets: int,
+                            hasher: str = "portable") -> DataFrame:
     """(_id, _b) — one row per hashed n-gram feature occurrence: word
     unigrams AND adjacent bigrams of the normalized token stream, hashed
-    into ``n_buckets`` buckets with the portable 64-bit hash (so the
-    whole featurizer replays as oracle SQL). One posexplode over token
-    positions; each position emits its unigram plus — when a successor
-    exists — its bigram, via a two-element array explode (never a
-    higher-order transform over the full token array: HOF lambdas are
-    interpreted per element). Documents whose normalized text is empty
-    or NULL yield no rows (no features to weigh)."""
+    into ``n_buckets`` buckets. One posexplode over token positions;
+    each position emits its unigram plus — when a successor exists —
+    its bigram, via a two-element array explode (never a higher-order
+    transform over the full token array: HOF lambdas are interpreted
+    per element). Documents whose normalized text is empty or NULL
+    yield no rows (no features to weigh).
+
+    ``hasher='portable'`` (default) uses the md5-derived 64-bit hash so
+    the whole featurizer replays as oracle SQL; ``hasher='fast'`` uses
+    JVM xxhash64 — the 100 TB production setting (the bucket hash is an
+    arbitrary projection, so any uniform hash gives statistically
+    identical DSIR weights; only cross-engine replayability changes).
+    Measured in SCALE.md."""
     from etl_load_spark.operators.dedup import normalize_text, portable_hash64
+
+    if hasher not in ("portable", "fast"):
+        raise ValueError(f"hasher must be 'portable' or 'fast', got {hasher!r}")
 
     norm = normalize_text(F.col(text_col))
     t = (df.filter(F.col(text_col).isNotNull()
@@ -1136,14 +1146,15 @@ def hashed_feature_relation(df: DataFrame, id_col: str, text_col: str,
                   .otherwise(F.array(
                       F.col("_w"),
                       F.concat_ws(" ", "_w", "_nx")))).alias("_f"))
-    return feat.select(
-        "_id", F.pmod(portable_hash64(F.col("_f")),
-                      F.lit(n_buckets)).alias("_b"))
+    h = (portable_hash64(F.col("_f")) if hasher == "portable"
+         else F.xxhash64(F.col("_f")))
+    return feat.select("_id", F.pmod(h, F.lit(n_buckets)).alias("_b"))
 
 
 def importance_weights(df: DataFrame, target_df: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
-                       n_buckets: int = 1024) -> DataFrame:
+                       n_buckets: int = 1024,
+                       hasher: str = "portable") -> DataFrame:
     """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
     document by how much more likely its hashed n-gram features are
@@ -1180,13 +1191,13 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
 
     B = int(n_buckets)
     docb = register_operator_cache(
-        hashed_feature_relation(df, id_col, text_col, B)
+        hashed_feature_relation(df, id_col, text_col, B, hasher)
         .repartition("_b")
         .groupBy("_id", "_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
         .persist())
     raw = docb.groupBy("_b").agg(F.sum("_k").cast("bigint").alias("_cr"))
-    tgt = (hashed_feature_relation(target_df, id_col, text_col, B)
+    tgt = (hashed_feature_relation(target_df, id_col, text_col, B, hasher)
            .groupBy("_b").agg(F.count(F.lit(1)).cast("bigint").alias("_ct")))
     nr = raw.agg(F.sum("_cr").cast("bigint").alias("_nr"))
     nt = tgt.agg(F.sum("_ct").cast("bigint").alias("_nt"))

@@ -84,3 +84,26 @@ def test_bigram_surprisal_ranks_noise_above_repetition(spark):
     out = _surprisal(spark, [(1, rep), (2, uniq), (3, "spam ham filler"),
                              (4, " ".join(f"v{i}" for i in range(80)))])
     assert out[1].bits_per_bigram < out[2].bits_per_bigram
+
+
+def test_importance_weights_fast_hasher_same_structure(spark):
+    """hasher='fast' (xxhash64 buckets, the 100 TB setting) must agree
+    with the portable form on everything except the arbitrary bucket
+    choice: same rows, same n_feats per doc (bucketing never changes
+    feature counts), finite scores; bad hasher names raise."""
+    import pytest
+    from etl_load_spark.operators.corpus import importance_weights
+    rows = [(i, "alpha beta gamma " + " ".join(f"w{i}x{j}" for j in range(5)))
+            for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = d.filter("doc_id < 5")
+    a = {r.doc_id: r for r in importance_weights(d, tgt).collect()}
+    b = {r.doc_id: r for r in
+         importance_weights(d, tgt, hasher="fast").collect()}
+    assert set(a) == set(b) == set(range(20))
+    assert all(a[i].n_feats == b[i].n_feats for i in a)
+    assert all(b[i].total_bits is not None for i in b)
+    with pytest.raises(ValueError, match="hasher"):
+        importance_weights(d, tgt, hasher="md5")
+    from etl_load_spark.session import release_operator_caches
+    release_operator_caches()  # operator-cache hygiene contract
