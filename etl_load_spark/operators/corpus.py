@@ -1276,3 +1276,51 @@ SELECT _id AS {id_col}, n_feats,
             AS DOUBLE) / CAST(n_feats AS DOUBLE) AS bits_per_feat
 FROM agg, nr, nt ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Eval-leakage report (per-eval-document contamination coverage)
+# ---------------------------------------------------------------------------
+
+def eval_leakage(corpus: DataFrame, eval_df: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 8) -> DataFrame:
+    """Per-EVAL-document leakage coverage — the reverse direction of the
+    q87/q139 contamination check: for every held-out document, what
+    fraction of its distinct verbatim n-grams appears ANYWHERE in the
+    training corpus. The decontamination stage answers "which train
+    docs must go"; this report answers "how burned is each benchmark
+    item" — the number an eval-integrity review quotes.
+
+    Returns (eval_doc_id, n_ngrams, n_leaked, leak_ratio) for every
+    eval document with at least one n-gram; leak_ratio is the ONE IEEE
+    division of the two counts.
+
+    Scale: the eval shingle set is small and fixed — it BROADCASTS; the
+    corpus streams through one map-side semi probe (broadcast hash
+    join) and contributes only its matched shingles, deduped to a
+    relation bounded by the EVAL size. The corpus never shuffles; no
+    (eval x train) pair relation is ever built (q87 builds one because
+    it must name the contaminating train docs; coverage does not)."""
+    from etl_load_spark.operators.dedup import shingles_exploded
+
+    ev = (shingles_exploded(eval_df, id_col, text_col, n=n)
+          .select(F.col("_id").alias("eval_doc_id"), "_s")
+          .distinct())
+    ev_s = ev.select("_s").distinct()
+    tr = shingles_exploded(corpus, id_col, text_col, n=n, distinct=False)
+    found = (tr.join(F.broadcast(ev_s), "_s", "left_semi")
+             .select("_s").distinct())
+    totals = ev.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"))
+    leaked = (ev.join(F.broadcast(found), "_s")
+              .groupBy("eval_doc_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked")))
+    return (totals.join(leaked, "eval_doc_id", "left")
+            .select("eval_doc_id", "n_ngrams",
+                    F.coalesce("n_leaked", F.lit(0)).cast("bigint")
+                    .alias("n_leaked"))
+            .withColumn("leak_ratio",
+                        F.col("n_leaked").cast("double")
+                        / F.col("n_ngrams").cast("double"))
+            .orderBy("eval_doc_id"))

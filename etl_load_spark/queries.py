@@ -5764,6 +5764,46 @@ FROM s GROUP BY source ORDER BY source
 _register_markup_strip_oracle()
 
 
+# --- q158: eval-leakage report -----------------------------------------------
+
+@query("q158_eval_leakage", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[s:s+7], ' ')
+         for s in generate_series(1, greatest(len(ws)-7, 1))])) AS s
+  FROM tk),
+shf AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+ev AS (SELECT doc_id AS eval_doc_id, s FROM shf WHERE doc_id % 10 = 0),
+found AS (SELECT DISTINCT e.s
+          FROM (SELECT DISTINCT s FROM ev) e
+          JOIN (SELECT s FROM shf WHERE doc_id % 10 <> 0) t ON e.s = t.s),
+tot AS (SELECT eval_doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+        FROM ev GROUP BY eval_doc_id),
+lk AS (SELECT eval_doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked
+       FROM ev JOIN found USING (s) GROUP BY eval_doc_id)
+SELECT tot.eval_doc_id, tot.n_ngrams,
+       CAST(COALESCE(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+       CAST(COALESCE(lk.n_leaked, 0) AS DOUBLE) / CAST(tot.n_ngrams AS DOUBLE)
+         AS leak_ratio
+FROM tot LEFT JOIN lk ON tot.eval_doc_id = lk.eval_doc_id
+ORDER BY tot.eval_doc_id
+""")
+def q158_eval_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document leakage coverage: what fraction of each held-out
+    document's distinct 8-grams appears anywhere in the training split —
+    the eval-integrity number, reverse direction of q87's contamination
+    listing. Eval shingles broadcast; the corpus streams through one
+    map-side semi probe and never shuffles. See
+    operators/corpus.py::eval_leakage."""
+    from etl_load_spark.operators.corpus import eval_leakage
+    d = t(spark, sf_dir, "documents")
+    return eval_leakage(d.filter(F.pmod("doc_id", F.lit(10)) != 0),
+                        d.filter(F.pmod("doc_id", F.lit(10)) == 0))
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -706,3 +706,15 @@ def test_markup_strip_map_side_plus_one_agg(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_eval_leakage_corpus_never_shuffles(spark, sf_dir):
+    """q158: the training corpus contributes matched shingles through a
+    broadcast semi probe — every join over the corpus relation is a
+    BroadcastHashJoin (no corpus-sized exchange for candidate
+    generation); the per-eval aggregates run on eval-bounded relations.
+    No Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q158_eval_leakage")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
