@@ -536,6 +536,15 @@ def _importance_resample_transform(df: DataFrame, spark: SparkSession,
     tgt = read_source(spark, spec.extra_sources["target"])
     if p.get("targetFilter"):
         tgt = tgt.filter(p["targetFilter"])
+    # loud config check: an empty target distribution would NULL the
+    # smoothing constant (SUM over zero rows) and silently NULL-score
+    # the whole corpus
+    if tgt.filter(F.col(text_col).isNotNull()).limit(1).count() == 0:
+        raise ValueError(
+            "IMPORTANCE_RESAMPLE: extraSources.target has no non-NULL "
+            f"{text_col!r} rows" + (f" after targetFilter "
+                                    f"{p['targetFilter']!r}"
+                                    if p.get("targetFilter") else ""))
     scored = importance_weights(df, tgt, id_col=id_col, text_col=text_col,
                                 n_buckets=int(p.get("nBuckets", 1024)))
     if p.get("mode", "filter") == "annotate":

@@ -487,3 +487,7 @@ def test_importance_resample_stage_modes(spark, tmp_path):
         build_plan(spark, spec({}))
     with pytest.raises(ValueError, match="target"):
         build_plan(spark, spec({"keepQuantile": 0.5}, with_target=False))
+    # an empty target must fail loudly, not NULL-score the corpus
+    with pytest.raises(ValueError, match="no non-NULL"):
+        build_plan(spark, spec({"keepQuantile": 0.5,
+                                "targetFilter": "doc_id < 0"}))
