@@ -139,7 +139,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "CROSS_SOURCE_DEDUP, TOKEN_BUDGET, ASSIGN_SHARDS, "
                          "SEQUENCE_PACK, INCREMENTAL_DEDUP, "
                          "QUANTIZE_EMBEDDINGS, STRATIFIED_SAMPLE, "
-                         "URL_CANONICALIZE, IMPORTANCE_RESAMPLE)")
+                         "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -603,6 +603,23 @@ def _stratified_sample_transform(df: DataFrame, p: dict) -> DataFrame:
     return df.join(kept.select(id_col), id_col, "semi")
 
 
+def _markup_strip_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative markup hygiene (operators/text.strip_markup): append
+    the cleaned text as ``outputColumn`` ('clean_text'; set it to
+    textColumn to clean in place) and — when ``withStats`` (default
+    true) — the boilerplate signals n_tags / n_links / link_chars.
+    Pure map-side regex — STREAM-SAFE, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.text import markup_stats, strip_markup
+    text_col = p.get("textColumn", "text")
+    out = df
+    if p.get("withStats", True):
+        out = out.select("*", *markup_stats(F.col(text_col)))
+    return out.withColumn(p.get("outputColumn", "clean_text"),
+                          strip_markup(F.col(text_col)))
+
+
 def _url_canonicalize_transform(df: DataFrame, p: dict) -> DataFrame:
     """Declarative URL key hygiene (operators/text.canonicalize_url):
     append the canonical form of ``urlColumn`` (required — no corpus
@@ -640,6 +657,7 @@ _CORPUS_TRANSFORMS = {
     "QUANTIZE_EMBEDDINGS": _quantize_embeddings_transform,
     "STRATIFIED_SAMPLE": _stratified_sample_transform,
     "URL_CANONICALIZE": _url_canonicalize_transform,
+    "MARKUP_STRIP": _markup_strip_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE

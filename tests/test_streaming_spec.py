@@ -207,3 +207,27 @@ def test_streaming_quantize_embeddings_runs(spark, tmp_path):
     got = {x.vec_id: x.codes for x in
            spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1: "0,63,127,255", 2: "0,0,0,0"}
+
+
+def test_streaming_markup_strip_runs(spark, tmp_path):
+    """MARKUP_STRIP is a pure map-side projection — it must run
+    incrementally and match the batch operator."""
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    rows = [(1, "<p>Hello <b>world</b></p>"), (2, "plain")]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+         .write.parquet(str(tmp_path / "in"))
+    r = run_job(spark, JobSpec.from_dict({
+        "jobId": "stream-markup",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(tmp_path / "in"),
+                               "schema": "doc_id bigint, text string"}},
+        "transformation": {"type": "MARKUP_STRIP", "parameters": {}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out")}},
+        "streaming": {"checkpoint": str(tmp_path / "chk")},
+    }))
+    assert r.status == "COMPLETED", r.error
+    got = {x.doc_id: x.clean_text for x in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1: "Hello world", 2: "plain"}

@@ -491,3 +491,32 @@ def test_importance_resample_stage_modes(spark, tmp_path):
     with pytest.raises(ValueError, match="no non-NULL"):
         build_plan(spark, spec({"keepQuantile": 0.5,
                                 "targetFilter": "doc_id < 0"}))
+
+
+def test_markup_strip_stage(spark, tmp_path):
+    """Declarative MARKUP_STRIP: cleaned text + boilerplate stats
+    appended; withStats=false skips the signal columns; in-place clean
+    via outputColumn=textColumn."""
+    import json as _json
+    src = tmp_path / "pages.json"
+    rows = [{"doc_id": 1,
+             "text": '<p>Hello <b>world</b></p><a href="/x">nav</a>'},
+            {"doc_id": 2, "text": "plain"}]
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(params):
+        return JobSpec.from_dict({
+            "jobId": "strip-stage",
+            "source": {"type": "FILE_JSON", "details": {"path": str(src)}},
+            "transformation": {"type": "MARKUP_STRIP", "parameters": params},
+        })
+
+    out = {r.doc_id: r for r in build_plan(spark, spec({})).collect()}
+    assert out[1].clean_text == "Hello world nav"
+    assert out[1].n_tags == 6 and out[1].n_links == 1
+    assert out[1].link_chars == 3
+    assert out[2].clean_text == "plain" and out[2].n_tags == 0
+    lean = build_plan(spark, spec({"withStats": False,
+                                   "outputColumn": "text"}))
+    assert set(lean.columns) == {"doc_id", "text"}
+    assert {r.text for r in lean.collect()} == {"Hello world nav", "plain"}
