@@ -107,3 +107,46 @@ def test_importance_weights_fast_hasher_same_structure(spark):
         importance_weights(d, tgt, hasher="md5")
     from etl_load_spark.session import release_operator_caches
     release_operator_caches()  # operator-cache hygiene contract
+
+
+def test_canonicalize_url_idempotent_and_oracle_parity(spark):
+    """Property sweep over composed URLs: canonicalization is IDEMPOTENT
+    (a canonical URL re-canonicalizes to itself — the key-hygiene
+    requirement for repeated pipeline runs) and bit-identical to the
+    DuckDB twin on every generated case."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+    from etl_load_spark.operators.text import (canonicalize_url,
+                                               canonicalize_url_sql)
+
+    schemes = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+    hosts = st.sampled_from(["example.com", "WWW.Example.COM", "sub.a.org",
+                             "www.x.io:443", "x.io:80", "h.net:8080"])
+    paths = st.sampled_from(["", "/", "/a", "/a/", "/a//b///", "/A/b.c"])
+    params = st.lists(st.sampled_from(
+        ["utm_source=x", "utm_medium=mail", "ref=home", "fbclid=1",
+         "gclid=2", "b=1", "a=2", "z=", "q=hello", ""]), max_size=5)
+    frags = st.sampled_from(["", "#frag", "#a/b?c=1"])
+
+    @settings(max_examples=20, deadline=None)
+    @given(schemes, hosts, paths, params, frags)
+    def check(sch, host, path, ps, frag):
+        url = f"{sch}://{host}{path}"
+        if ps:
+            url += "?" + "&".join(ps)
+        url += frag
+        df = spark.createDataFrame([(url,)], "u string")
+        row = df.select(
+            canonicalize_url(F.col("u")).alias("c1"),
+            canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+        ).collect()[0]
+        assert row.c1 == row.c2, f"not idempotent: {url!r} -> {row.c1!r} -> {row.c2!r}"
+        con = duckdb.connect()
+        # literal, not a prepared param: the fragment references the
+        # expression many times and each ? would count separately
+        lit = "'" + url.replace("'", "''") + "'"
+        want = con.sql("SELECT " + canonicalize_url_sql(lit)).fetchone()[0]
+        assert row.c1 == want, f"{url!r}: spark {row.c1!r} duck {want!r}"
+
+    check()
