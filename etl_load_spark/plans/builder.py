@@ -107,10 +107,12 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
         if df.isStreaming:
             raise ValueError(
                 "transformation.type=INCREMENTAL_DEDUP is batch-only (the "
-                "within-batch survivor needs the whole content group); "
-                "use streaming.windows.stream_block_dedup for checkpointed "
-                "first-seen-wins on a live stream, or land the stream and "
-                "admit each landed batch downstream")
+                "within-batch survivor needs the whole content group); use "
+                "streaming.windows.stream_content_dedup for checkpointed "
+                "first-seen-wins content admission on a live stream "
+                "(stream-static anti join against the admitted index + "
+                "stateful in-stream dedup), or land the stream and admit "
+                "each landed batch downstream")
         return _incremental_dedup_transform(df, spark, spec)
     if tr.type.upper() == "IMPORTANCE_RESAMPLE":
         if df.isStreaming:

@@ -279,3 +279,46 @@ def stream_block_dedup(docs: DataFrame, id_col: str = "doc_id",
     return (blocks.dropDuplicates(["_bhash", "_btext"])
             .select(id_col, F.col("_bno").alias("block_no"),
                     F.col("_btext").alias("block_text")))
+
+
+def stream_content_dedup(docs: DataFrame, history_df: DataFrame | None = None,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Streaming content-level admission — the streaming face of
+    operators/dedup.incremental_dedup: documents arriving on a stream are
+    keyed on md5(normalize_text(text)) (the chained dedup convention);
+    content already in the STATIC admitted index (``history_df``, the
+    maintained table a batch pipeline appends each round) is dropped via
+    a stream-static LEFT ANTI join, and within the stream each content
+    emits exactly once across ALL micro-batches (``dropDuplicates`` on
+    the key — checkpointed state, so each crawl increment dedups against
+    everything already ingested without rescanning it).
+
+    Survivor attribution differs from the batch operator by design:
+    batch resolves the within-batch survivor by MIN id, the stream by
+    arrival order — the admitted CONTENT SET is identical (equivalence
+    pinned in tests/test_streaming.py). Emits (content_md5, id)
+    append-mode; there is no n_batch_copies (a stream has no batch to
+    count over — run the batch operator on landed data when copy counts
+    matter).
+
+    State: one state-store row per distinct ADMITTED content — the same
+    key space the batch aggregate shuffles; the history index never
+    enters state (it stays a static relation, re-read per micro-batch
+    and broadcast when small). Deliberately NO watermark: content dedup
+    is global by definition; at 100 TB use the RocksDB state store
+    provider, or dropDuplicatesWithinWatermark if the product defines
+    an eviction horizon."""
+    from etl_load_spark.operators.dedup import normalize_text
+
+    keyed = (docs.filter(F.col(text_col).isNotNull())
+             .select(F.md5(normalize_text(F.col(text_col)))
+                     .alias("content_md5"),
+                     F.col(id_col).alias(id_col)))
+    if history_df is not None:
+        hist = (history_df.filter(F.col(text_col).isNotNull())
+                .select(F.md5(normalize_text(F.col(text_col)))
+                        .alias("content_md5"))
+                .distinct())
+        keyed = keyed.join(hist, "content_md5", "left_anti")
+    return keyed.dropDuplicates(["content_md5"])

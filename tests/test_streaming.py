@@ -358,3 +358,54 @@ def test_stateful_stats_null_values_stream_equals_batch(spark, tmp_path):
     assert by_user[2].total_micros is None               # SQL SUM(all NULL)
     assert by_user[2].max_value is None
     assert by_user[3].total_micros == 125_000
+
+
+def test_stream_content_dedup_against_history_and_state(spark, tmp_path):
+    """Streaming content-level admission (stream_content_dedup): content
+    in the static admitted index never emits; within the stream each
+    content emits exactly once ACROSS micro-batches (checkpointed
+    state); whitespace/case variants collapse (the chained
+    md5(normalize_text) convention); and the admitted content SET equals
+    the batch operator's (incremental_dedup) — survivor attribution
+    differs by design (arrival order vs min id)."""
+    from etl_load_spark.operators.dedup import incremental_dedup
+    from etl_load_spark.streaming.windows import stream_content_dedup
+
+    schema = "doc_id bigint, text string"
+    hist = spark.createDataFrame(
+        [(0, "an admitted document")], schema)
+    in_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+
+    def run_increment():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (stream_content_dedup(stream, hist)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", chk)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return {r.content_md5 for r in spark.read.parquet(out_dir).collect()}
+
+    batch1 = [(1, "An  Admitted DOCUMENT"),   # history variant → dropped
+              (2, "a fresh document"),
+              (3, "A FRESH document")]        # in-stream variant of 2
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+         .write.mode("append").parquet(in_dir)
+    out1 = run_increment()
+    assert len(out1) == 1                     # only the fresh content
+
+    # increment 2: a repeat of already-admitted content + one new —
+    # the resumed checkpoint's state filters the repeat
+    batch2 = [(4, "a fresh document"), (5, "another new one")]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+         .write.mode("append").parquet(in_dir)
+    out2 = run_increment()
+    assert len(out2) == 2 and out1 < out2
+
+    # content-set equivalence with the batch operator over the full feed
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = {r.content_md5
+            for r in incremental_dedup(full, hist).collect()}
+    assert out2 == want

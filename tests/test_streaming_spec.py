@@ -174,7 +174,7 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
                             {"stratumColumn": "source"}, "ss"))
     assert r.status == "FAILED" and "MIXTURE_SAMPLE" in (r.error or "")
     r = run_job(spark, spec("INCREMENTAL_DEDUP", {}, "inc"))
-    assert r.status == "FAILED" and "stream_block_dedup" in (r.error or "")
+    assert r.status == "FAILED" and "stream_content_dedup" in (r.error or "")
 
     # URL_CANONICALIZE is a pure projection — it must RUN incrementally
     r = run_job(spark, spec("URL_CANONICALIZE",
