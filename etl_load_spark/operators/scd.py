@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 META_COLS = ("valid_from", "valid_to", "is_current")
 
@@ -78,3 +78,89 @@ def as_scd2(df: DataFrame, valid_from, key_cols: list[str] | None = None) -> Dat
     return (df.withColumn("valid_from", vf)
             .withColumn("valid_to", F.lit(None).cast("date"))
             .withColumn("is_current", F.lit(True)))
+
+
+def cdc_scd2_apply(dim: DataFrame, changes: DataFrame, key_cols: list[str],
+                   attr_cols: list[str], seq_col: str,
+                   op_col: str = "op") -> DataFrame:
+    """Fold a CDC change FEED into an SCD2 dimension — the lakehouse
+    "apply changes with history" semantic (Delta's APPLY CHANGES ...
+    STORED AS SCD TYPE 2): unlike ``scd2_merge`` (one snapshot, at most
+    one new version per key) every EFFECTIVE change in the feed becomes
+    its own version, so a key updated five times in one batch gains five
+    versions with contiguous [valid_from, valid_to) ranges.
+
+    Feed contract: (key_cols, attr_cols, seq_col, op_col) with op in
+    I/U/D (anything else raises loudly) and seq monotone change order,
+    strictly greater than the dimension's open valid_from for the key
+    (standard CDC ordering). Semantics per key, in seq order:
+      - same-seq ties collapse deterministically (D < I < U — a key that
+        died and changed at the same instant stays dead);
+      - an I/U whose tracked attrs null-safe-equal the previous
+        effective state is a NO-OP (never forks a version); an I/U after
+        a delete always reopens;
+      - a D closes the open version at its seq (a D on a dead/absent key
+        is a no-op);
+      - the dimension's open version closes at the key's first effective
+        change; keys with only no-op changes keep their open version
+        bit-identically; history rows and untouched keys pass through.
+    valid_from / valid_to carry the SEQ column's type (the dimension
+    must use the same).
+
+    Scale: both windows run on the FEED (plus one seed row per touched
+    key), never the dimension — one feed-key shuffle serves the
+    keep-filter lag and the version-bounding lead (same partitioning
+    and ordering); the dimension is touched by one semi and one anti
+    key join. The no-op suppression composes transitively: a dropped
+    row null-safe-equals its raw predecessor, so comparing each row to
+    its immediate predecessor equals comparing to the last EFFECTIVE
+    state."""
+    seq_t = changes.schema[seq_col].dataType
+    op = F.col(op_col)
+    checked_op = F.when(op.isin("I", "U", "D"), op).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cdc_scd2_apply: op must be I/U/D, got "),
+            F.coalesce(op.cast("string"), F.lit("NULL"))))).cast("string")
+    # 1. same-seq collapse (D < I < U makes the tie deterministic)
+    w0 = W.partitionBy(*key_cols, seq_col).orderBy(F.col(op_col).asc())
+    ch = (changes.withColumn(op_col, checked_op)
+          .withColumn("_rn", F.row_number().over(w0))
+          .filter(F.col("_rn") == 1)
+          .select(*key_cols, *attr_cols, seq_col, op_col,
+                  F.lit(False).alias("_seed")))
+    # 2. one seed row per touched key: the dimension's open version,
+    #    sequenced at its own valid_from (sorts before every feed seq)
+    cur = dim.filter(F.col("is_current"))
+    touched = ch.select(*key_cols).distinct()
+    seed = (cur.join(touched, key_cols, "left_semi")
+            .select(*key_cols, *attr_cols,
+                    F.col("valid_from").alias(seq_col),
+                    F.lit("S").alias(op_col),
+                    F.lit(True).alias("_seed")))
+    uni = seed.unionByName(ch)
+    # 3. effective-change filter: compare each row to its immediate
+    #    predecessor (seed first at seq ties)
+    wk = W.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).asc(), F.col("_seed").desc(), F.col(op_col).asc())
+    lagged = uni.select(
+        "*", F.lag(op_col).over(wk).alias("_pop"),
+        *[F.lag(a).over(wk).alias(f"_p_{a}") for a in attr_cols])
+    differs = _any_attr_differs(attr_cols, "_p_")
+    keep = (F.col("_seed")
+            | ((op != "D") & (F.col("_pop").isNull()
+                              | (F.col("_pop") == "D") | differs))
+            | ((op == "D") & F.col("_pop").isNotNull()
+               & (F.col("_pop") != "D")))
+    kept = lagged.filter(keep).select(*key_cols, *attr_cols, seq_col,
+                                      op_col, "_seed")
+    # 4. bound each version at the next effective change
+    kept = kept.withColumn("_next", F.lead(seq_col).over(wk))
+    versions = (kept.filter(op != "D")
+                .select(*key_cols, *attr_cols,
+                        F.col(seq_col).alias("valid_from"),
+                        F.col("_next").cast(seq_t).alias("valid_to"),
+                        F.col("_next").isNull().alias("is_current")))
+    history = dim.filter(~F.col("is_current"))
+    untouched = cur.join(touched, key_cols, "left_anti")
+    return (history.unionByName(untouched)
+            .unionByName(versions.select(*dim.columns)))

@@ -5804,6 +5804,100 @@ def q158_eval_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                         d.filter(F.pmod("doc_id", F.lit(10)) == 0))
 
 
+# --- q159: CDC feed -> SCD2 dimension (APPLY CHANGES with history) -----------
+
+@query("q159_cdc_scd2_apply", oracle="""
+WITH dim AS (
+  SELECT c_custkey AS k, 'seg' || CAST(c_custkey % 3 AS VARCHAR) AS attr,
+         CAST(-1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'old' || CAST(c_custkey % 2 AS VARCHAR),
+         CAST(-10 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+  FROM customer WHERE c_custkey % 100 = 0),
+feed AS (
+  SELECT o_custkey AS k, 'seg' || CAST(o_orderkey % 3 AS VARCHAR) AS attr,
+         CAST(o_orderkey AS BIGINT) AS seq,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+              WHEN o_orderkey % 7 IN (1, 2) THEN 'I' ELSE 'U' END AS op
+  FROM orders),
+ch AS (
+  SELECT k, attr, seq, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY k, seq ORDER BY op ASC) AS rn
+    FROM feed) t WHERE rn = 1),
+seed AS (
+  SELECT d.k, d.attr, d.valid_from AS seq, 'S' AS op, TRUE AS _seed
+  FROM dim d WHERE d.is_current
+    AND EXISTS (SELECT 1 FROM ch WHERE ch.k = d.k)),
+uni AS (
+  SELECT k, attr, seq, op, FALSE AS _seed FROM ch
+  UNION ALL SELECT k, attr, seq, op, _seed FROM seed),
+lg AS (
+  SELECT *, lag(op) OVER w AS pop, lag(attr) OVER w AS pattr
+  FROM uni
+  WINDOW w AS (PARTITION BY k ORDER BY seq ASC, _seed DESC, op ASC)),
+kp AS (
+  SELECT * FROM lg WHERE _seed
+    OR (op <> 'D' AND (pop IS NULL OR pop = 'D'
+                       OR pattr IS DISTINCT FROM attr))
+    OR (op = 'D' AND pop IS NOT NULL AND pop <> 'D')),
+bounded AS (
+  SELECT *, lead(seq) OVER (PARTITION BY k ORDER BY seq ASC, _seed DESC,
+                            op ASC) AS nxt
+  FROM kp),
+versions AS (
+  SELECT k, attr, seq AS valid_from, nxt AS valid_to,
+         nxt IS NULL AS is_current
+  FROM bounded WHERE op <> 'D')
+SELECT k, attr, valid_from, valid_to, is_current FROM versions
+UNION ALL
+SELECT k, attr, valid_from, valid_to, is_current FROM dim
+WHERE NOT is_current
+UNION ALL
+SELECT d.k, d.attr, d.valid_from, d.valid_to, d.is_current FROM dim d
+WHERE d.is_current AND NOT EXISTS (SELECT 1 FROM ch WHERE ch.k = d.k)
+ORDER BY k, valid_from
+""")
+def q159_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed → SCD2 dimension (the lakehouse APPLY CHANGES ... SCD
+    TYPE 2 semantic): every effective change in an orders-derived feed
+    (multi-change keys, same-seq D-beats-U ties, no-op updates,
+    deletes, post-delete reopens) becomes its own version with
+    contiguous validity; the customer dimension seeds the open
+    versions, planted history rows pass through. The oracle replays the
+    whole fold — same-seq collapse, seed, effective-change lag filter,
+    version-bounding lead — in SQL windows. See
+    operators/scd.py::cdc_scd2_apply."""
+    from etl_load_spark.operators.scd import cdc_scd2_apply
+    c = t(spark, sf_dir, "customer")
+    seg = F.concat(F.lit("seg"), F.pmod("c_custkey", F.lit(3)).cast("string"))
+    cur = c.select(F.col("c_custkey").alias("k"), seg.alias("attr"),
+                   F.lit(-1).cast("long").alias("valid_from"),
+                   F.lit(None).cast("long").alias("valid_to"),
+                   F.lit(True).alias("is_current"))
+    hist = (c.filter(F.pmod("c_custkey", F.lit(100)) == 0)
+            .select(F.col("c_custkey").alias("k"),
+                    F.concat(F.lit("old"), F.pmod("c_custkey", F.lit(2))
+                             .cast("string")).alias("attr"),
+                    F.lit(-10).cast("long").alias("valid_from"),
+                    F.lit(-1).cast("long").alias("valid_to"),
+                    F.lit(False).alias("is_current")))
+    dim = cur.unionByName(hist)
+    o = t(spark, sf_dir, "orders")
+    mod7 = F.pmod("o_orderkey", F.lit(7))
+    feed = o.select(
+        F.col("o_custkey").alias("k"),
+        F.concat(F.lit("seg"), F.pmod("o_orderkey", F.lit(3))
+                 .cast("string")).alias("attr"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.when(mod7 == 0, F.lit("D"))
+        .when(mod7.isin(1, 2), F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"))
+    return (cdc_scd2_apply(dim, feed, ["k"], ["attr"], "seq")
+            .orderBy("k", "valid_from"))
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

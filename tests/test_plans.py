@@ -718,3 +718,14 @@ def test_eval_leakage_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_scd2_apply_windows_on_feed_not_dim(spark, sf_dir):
+    """q159: both windows (effective-change lag filter, version-bounding
+    lead) run on the FEED+seed relation; the dimension is touched by one
+    semi and one anti key join only. No cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "q159_cdc_scd2_apply")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "windowspecdefinition" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -74,3 +74,57 @@ def test_history_rows_pass_through(spark):
         ("2020-01-01", "2021-06-01", False, 10.0),
         ("2021-06-01", "2022-01-01", False, 99.0),
         ("2022-01-01", "None", True, 123.0)]
+
+
+def test_cdc_scd2_apply_semantics(spark):
+    """Hand-built walk of the APPLY CHANGES semantics: no-op suppression,
+    multi-version batches, delete closing, dead-key delete no-op,
+    post-delete reopen, same-seq D-beats-U tie, untouched/no-op keys kept
+    bit-identically, history passthrough, new keys."""
+    from etl_load_spark.operators.scd import cdc_scd2_apply
+    dim = spark.createDataFrame(
+        [(1, "A", 0, None, True),
+         (1, "Z", -5, 0, False),        # history row
+         (2, "B", 0, None, True),       # untouched
+         (3, "C", 0, None, True)],      # no-op updates only
+        "k long, attr string, valid_from long, valid_to long,"
+        " is_current boolean")
+    feed = spark.createDataFrame(
+        [(1, "A", 10, "U"),    # no-op vs the open version
+         (1, "B", 20, "U"),    # real change
+         (1, "B", 30, "D"),    # closes at 30
+         (1, "B", 35, "D"),    # delete on dead key: no-op
+         (1, "C", 40, "I"),    # reopen after delete
+         (3, "C", 50, "U"),    # no-op
+         (4, "N", 15, "I"),    # new key
+         (4, "N2", 25, "U"),   # second version, same batch
+         (5, "X", 11, "D"),    # delete of an absent key
+         (6, "Y", 7, "U"),
+         (6, "Y", 7, "D")],    # same-seq: D wins, key 6 never exists
+        "k long, attr string, seq long, op string")
+    got = sorted(map(tuple,
+                     cdc_scd2_apply(dim, feed, ["k"], ["attr"],
+                                    "seq").collect()))
+    assert got == [
+        (1, "A", 0, 20, False),
+        (1, "B", 20, 30, False),
+        (1, "C", 40, None, True),
+        (1, "Z", -5, 0, False),
+        (2, "B", 0, None, True),
+        (3, "C", 0, None, True),
+        (4, "N", 15, 25, False),
+        (4, "N2", 25, None, True),
+    ]
+
+
+def test_cdc_scd2_apply_rejects_unknown_op(spark):
+    import pytest
+    from etl_load_spark.operators.scd import cdc_scd2_apply
+    dim = spark.createDataFrame(
+        [(1, "A", 0, None, True)],
+        "k long, attr string, valid_from long, valid_to long,"
+        " is_current boolean")
+    feed = spark.createDataFrame([(1, "B", 10, "UPSERT")],
+                                 "k long, attr string, seq long, op string")
+    with pytest.raises(Exception, match="op must be I/U/D"):
+        cdc_scd2_apply(dim, feed, ["k"], ["attr"], "seq").collect()
