@@ -94,6 +94,13 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
         return df
     if tr.type.upper() == "SCD2_MERGE":
         return _scd2_transform(df, spark, spec)
+    if tr.type.upper() == "CDC_SCD2_APPLY":
+        if df.isStreaming:
+            raise ValueError(
+                "transformation.type=CDC_SCD2_APPLY is batch-only (version "
+                "bounding needs the whole key group); land the feed, then "
+                "apply each landed batch downstream")
+        return _cdc_scd2_transform(df, spark, spec)
     if tr.type.upper() == "DECONTAMINATE":
         if df.isStreaming:
             raise ValueError(
@@ -141,7 +148,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "CROSS_SOURCE_DEDUP, TOKEN_BUDGET, ASSIGN_SHARDS, "
                          "SEQUENCE_PACK, INCREMENTAL_DEDUP, "
                          "QUANTIZE_EMBEDDINGS, STRATIFIED_SAMPLE, "
-                         "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP)")
+                         "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP, "
+                         "CDC_SCD2_APPLY)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -189,6 +197,32 @@ def _scd2_transform(df: DataFrame, spark: SparkSession,
     dim = read_source(spark, spec.extra_sources["dim"])
     return scd2_merge(dim, df, list(p["keyColumns"]), list(p["attrColumns"]),
                       p["effectiveDate"])
+
+
+def _cdc_scd2_transform(df: DataFrame, spark: SparkSession,
+                        spec: JobSpec) -> DataFrame:
+    """Declarative CDC→SCD2 stage (operators/scd.cdc_scd2_apply wired
+    into the job spec): the mapped source rows are the CHANGE FEED
+    (op column with I/U/D + a monotone seq column); the existing
+    dimension comes from ``extraSources.dim``. Parameters: keyColumns,
+    attrColumns, seqColumn (all required), opColumn ('op'). Write the
+    result with mode=overwrite (the fold re-emits the full dimension)."""
+    from etl_load_spark.operators.scd import cdc_scd2_apply
+    from etl_load_spark.sources.registry import read_source
+
+    p = spec.transformation.parameters or {}
+    missing = [k for k in ("keyColumns", "attrColumns", "seqColumn")
+               if not p.get(k)]
+    if missing:
+        raise ValueError(f"CDC_SCD2_APPLY parameters missing: {missing}")
+    if "dim" not in spec.extra_sources:
+        raise ValueError("CDC_SCD2_APPLY requires extraSources.dim "
+                         "(the existing SCD2 dimension; bootstrap one "
+                         "with SCD2_MERGE first)")
+    dim = read_source(spark, spec.extra_sources["dim"])
+    return cdc_scd2_apply(dim, df, list(p["keyColumns"]),
+                          list(p["attrColumns"]), p["seqColumn"],
+                          op_col=p.get("opColumn", "op"))
 
 
 def _passage_dedup_transform(df: DataFrame, p: dict) -> DataFrame:

@@ -54,3 +54,44 @@ def test_scd2_missing_params_fails(spark, tmp_path):
     spec.transformation.parameters = {"keyColumns": ["k"]}
     r = run_job(spark, spec)
     assert r.status == "FAILED" and "SCD2_MERGE parameters missing" in r.error
+
+
+def test_cdc_scd2_apply_stage(spark, tmp_path):
+    """Declarative CDC_SCD2_APPLY: the source is the change feed, the
+    dimension comes from extraSources.dim; multi-change keys version
+    correctly; missing dim / params raise."""
+    import json as _json
+    import pytest
+    from etl_load_spark.plans.builder import build_plan
+    from etl_load_spark.spec import JobSpec
+    dim_p = tmp_path / "dim"
+    spark.createDataFrame(
+        [(1, "A", 0, None, True)],
+        "k long, attr string, valid_from long, valid_to long,"
+        " is_current boolean").write.parquet(str(dim_p))
+    feed_p = tmp_path / "feed.json"
+    feed_p.write_text("\n".join(_json.dumps(r) for r in [
+        {"k": 1, "attr": "B", "seq": 10, "op": "U"},
+        {"k": 1, "attr": "C", "seq": 20, "op": "U"}]))
+
+    def spec(params, with_dim=True):
+        d = {
+            "jobId": "cdc-scd2",
+            "source": {"type": "FILE_JSON", "details": {"path": str(feed_p)}},
+            "transformation": {"type": "CDC_SCD2_APPLY",
+                               "parameters": params},
+        }
+        if with_dim:
+            d["extraSources"] = {"dim": {
+                "type": "PARQUET", "details": {"path": str(dim_p)}}}
+        return JobSpec.from_dict(d)
+
+    full = {"keyColumns": ["k"], "attrColumns": ["attr"],
+            "seqColumn": "seq"}
+    got = sorted(map(tuple, build_plan(spark, spec(full)).collect()))
+    assert got == [(1, "A", 0, 10, False), (1, "B", 10, 20, False),
+                   (1, "C", 20, None, True)]
+    with pytest.raises(ValueError, match="missing"):
+        build_plan(spark, spec({"keyColumns": ["k"]}))
+    with pytest.raises(ValueError, match="extraSources.dim"):
+        build_plan(spark, spec(full, with_dim=False))
