@@ -5898,6 +5898,132 @@ def q159_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("k", "valid_from"))
 
 
+# --- q160: tokenizer fertility per language ----------------------------------
+
+@query("q160_tokenizer_fertility")  # oracle attached right below
+def q160_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language — the budget-planning
+    numbers a tokenizer change shifts: whitespace words, BPE-ish tokens
+    (letter runs / digit runs / punctuation marks), characters, and the
+    derived fertility (BPE tokens per word) and compression (chars per
+    BPE token) ratios. Pure map-side expressions + ONE aggregation;
+    both token counts share regexes verbatim with the oracle
+    (operators/text.py::token_count / token_count_bpe)."""
+    from etl_load_spark.operators.text import token_count, token_count_bpe
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()))
+    s = d.select("lang", token_count(F.col("text")).alias("_ws"),
+                 token_count_bpe(F.col("text")).alias("_bpe"),
+                 F.length("text").cast("bigint").alias("_ch"))
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("_ws").cast("bigint").alias("ws_tokens"),
+                 F.sum("_bpe").cast("bigint").alias("bpe_tokens"),
+                 F.sum("_ch").cast("bigint").alias("n_chars"))
+            .withColumn("fertility",
+                        F.col("bpe_tokens").cast("double")
+                        / F.col("ws_tokens").cast("double"))
+            .withColumn("chars_per_token",
+                        F.col("n_chars").cast("double")
+                        / F.col("bpe_tokens").cast("double"))
+            .orderBy("lang"))
+
+
+def _register_tokenizer_fertility_oracle() -> None:
+    from etl_load_spark.operators.text import (token_count_bpe_sql,
+                                               token_count_sql)
+    ws = token_count_sql("text", "duckdb")
+    bpe = token_count_bpe_sql("text", "duckdb")
+    QUERIES["q160_tokenizer_fertility"].oracle = f"""
+WITH s AS (
+  SELECT lang, {ws} AS _ws, {bpe} AS _bpe,
+         CAST(length(text) AS BIGINT) AS _ch
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+a AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(_ws) AS BIGINT) AS ws_tokens,
+         CAST(SUM(_bpe) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(_ch) AS BIGINT) AS n_chars
+  FROM s GROUP BY lang)
+SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS fertility,
+       CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
+         AS chars_per_token
+FROM a ORDER BY lang
+"""
+
+
+_register_tokenizer_fertility_oracle()
+
+
+# --- q161: embedding drift between corpus slices ------------------------------
+
+@query("q161_embedding_drift")  # oracle attached right below
+def q161_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift check between two corpus slices (the
+    old-crawl/new-crawl ops alarm — a re-trained or corrupted encoder
+    shifts per-dimension statistics): exact decimal per-dim means for
+    each slice plus the integer-exact absolute mean gap, scaled to
+    micro-units so the drift ranking is bit-replayable (the q88 decimal
+    rule: double summation is not associative). Even/odd vec_id halves
+    stand in for the two crawls. One explode + ONE aggregation with
+    exactly dim groups; non-finite elements excluded on both sides."""
+    from etl_load_spark.operators.similarity import _not_finite
+    e = (t(spark, sf_dir, "embeddings")
+         .select(F.pmod("vec_id", F.lit(2)).alias("_slice"),
+                 F.posexplode("embedding").alias("dim", "x"))
+         .filter(~_not_finite(F.col("x"))))
+    xd = F.col("x").cast("double").cast("decimal(14,7)")
+    a = (e.groupBy("dim")
+         .agg(F.sum(F.when(F.col("_slice") == 0, xd)).alias("_s0"),
+              F.count(F.when(F.col("_slice") == 0, F.lit(1))).alias("_n0"),
+              F.sum(F.when(F.col("_slice") == 1, xd)).alias("_s1"),
+              F.count(F.when(F.col("_slice") == 1, F.lit(1))).alias("_n1")))
+    mean0 = F.round(F.col("_s0"), 6).cast("double") / F.col("_n0")
+    mean1 = F.round(F.col("_s1"), 6).cast("double") / F.col("_n1")
+    # the gap derives from the ROUNDED-decimal double means (identical
+    # bits in any engine), never from decimal cross-multiplication —
+    # decimal*integer precision-loss rules differ between engines
+    return (a.select(F.col("dim").cast("bigint").alias("dim"),
+                     F.col("_n0").cast("bigint").alias("n_old"),
+                     F.col("_n1").cast("bigint").alias("n_new"),
+                     mean0.alias("mean_old"), mean1.alias("mean_new"))
+            .withColumn("mean_gap",
+                        F.abs(F.col("mean_new") - F.col("mean_old")))
+            .orderBy("dim"))
+
+
+def _register_embedding_drift_oracle() -> None:
+    QUERIES["q161_embedding_drift"].oracle = """
+WITH e0 AS (
+  SELECT vec_id % 2 AS _slice, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+e AS (
+  SELECT _slice, dim, x FROM e0
+  WHERE x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))),
+a AS (
+  SELECT dim,
+         SUM(CASE WHEN _slice = 0
+             THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(14,7)) END) AS s0,
+         COUNT(CASE WHEN _slice = 0 THEN 1 END) AS n0,
+         SUM(CASE WHEN _slice = 1
+             THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(14,7)) END) AS s1,
+         COUNT(CASE WHEN _slice = 1 THEN 1 END) AS n1
+  FROM e GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n0 AS BIGINT) AS n_old, CAST(n1 AS BIGINT) AS n_new,
+       CAST(ROUND(s0, 6) AS DOUBLE) / n0 AS mean_old,
+       CAST(ROUND(s1, 6) AS DOUBLE) / n1 AS mean_new,
+       abs(CAST(ROUND(s1, 6) AS DOUBLE) / n1
+           - CAST(ROUND(s0, 6) AS DOUBLE) / n0) AS mean_gap
+FROM a ORDER BY dim
+"""
+
+
+_register_embedding_drift_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
