@@ -6164,10 +6164,12 @@ DRIVER_WINDOW: list[str] = [
     "q16_except_all", "q20_distinct_agg", "q22_json_events",
     "q26_dedup_normalized", "q36_band_join", "q53_time_bucket",
     "q55_range_frame", "q58_local_supplier_volume",
-    # --- stalest re-greens: heaviest round-2-only members (8) ---
-    "q02_filter_predicates", "q29_ngram_jaccard", "q50_salted_join",
-    "q51_asof_join", "q57_dedup_clusters", "q95_event_dedup",
-    "q112_dedup_edit_distance", "q123_cdc_apply",
+    # --- round-5 operators (first driver rows — these 8 slots beat
+    #     re-greening round-2 rows that already exist) ---
+    "q155_importance_weights", "q156_hard_negatives",
+    "q157_markup_strip", "q158_eval_leakage", "q159_cdc_scd2_apply",
+    "q160_tokenizer_fertility", "q161_embedding_drift",
+    "q162_charset_stats",
 ]
 
 
