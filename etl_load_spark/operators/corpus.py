@@ -1324,3 +1324,53 @@ def eval_leakage(corpus: DataFrame, eval_df: DataFrame,
                         F.col("n_leaked").cast("double")
                         / F.col("n_ngrams").cast("double"))
             .orderBy("eval_doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Group-keyed dataset split (leakage-safe train/valid/test)
+# ---------------------------------------------------------------------------
+
+#: default split weights in integer percent (must sum to 100); shared
+#: between the Spark and oracle forms.
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 80), ("valid", 10), ("test", 10))
+
+
+def grouped_split(group: Column, splits=DEFAULT_SPLITS,
+                  salt: str = "gsplit") -> Column:
+    """Split assignment keyed on a GROUP (registered domain, source
+    site, author…), not the row: every row of a group lands in the same
+    split. Doc-level hash splits (q60) leak near-duplicate same-site
+    content across train and test — the classic contamination vector a
+    crawl corpus has to close at the GROUP level. Deterministic
+    (portable hash bucket in [0,100), integer-percent thresholds), no
+    RNG, pure map-side projection at any scale. NULL groups get a NULL
+    split (no deterministic assignment — filter or route upstream)."""
+    from etl_load_spark.operators.dedup import portable_hash64
+    weights = [w for _, w in splits]
+    if sum(weights) != 100 or any(w <= 0 for w in weights):
+        raise ValueError(f"split weights must be positive and sum to "
+                         f"100, got {splits}")
+    u = F.pmod(portable_hash64(F.concat(group, F.lit(":" + salt))),
+               F.lit(100))
+    expr = F.when(group.isNull(), F.lit(None).cast("string"))
+    hi = 0
+    for name, w in splits:
+        hi += w
+        expr = expr.when(u < hi, F.lit(name))
+    return expr
+
+
+def grouped_split_sql(group_expr: str, splits=DEFAULT_SPLITS,
+                      salt: str = "gsplit",
+                      dialect: str = "duckdb") -> str:
+    """DuckDB twin of ``grouped_split`` for a group expression."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    h = portable_hash64_sql(f"({group_expr}) || ':{salt}'", dialect)
+    u = f"((({h}) % 100 + 100) % 100)"
+    whens, hi = [], 0
+    for name, w in splits:
+        hi += w
+        whens.append(f"WHEN {u} < {hi} THEN '{name}'")
+    return (f"(CASE WHEN ({group_expr}) IS NULL THEN NULL "
+            + " ".join(whens) + " END)")

@@ -149,7 +149,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "SEQUENCE_PACK, INCREMENTAL_DEDUP, "
                          "QUANTIZE_EMBEDDINGS, STRATIFIED_SAMPLE, "
                          "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP, "
-                         "CDC_SCD2_APPLY)")
+                         "CDC_SCD2_APPLY, ASSIGN_SPLIT)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -639,6 +639,29 @@ def _stratified_sample_transform(df: DataFrame, p: dict) -> DataFrame:
     return df.join(kept.select(id_col), id_col, "semi")
 
 
+def _assign_split_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative leakage-safe split assignment (operators/corpus.
+    grouped_split): append a deterministic train/valid/test split keyed
+    on ``groupColumn`` (required — e.g. a registered-domain column, so
+    same-site near-duplicates never straddle splits; pass the id column
+    to get the q60 doc-level behavior). Parameters: groupColumn,
+    splits ([[name, percent], ...] summing to 100; default 80/10/10),
+    outputColumn ('split'), salt ('gsplit'). Pure projection —
+    STREAM-SAFE, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.corpus import DEFAULT_SPLITS, grouped_split
+    if not p.get("groupColumn"):
+        raise ValueError("ASSIGN_SPLIT requires parameters.groupColumn "
+                         "(the leakage-grouping key)")
+    splits = (tuple((str(n), int(w)) for n, w in p["splits"])
+              if p.get("splits") else DEFAULT_SPLITS)
+    return df.withColumn(
+        p.get("outputColumn", "split"),
+        grouped_split(F.col(p["groupColumn"]), splits=splits,
+                      salt=p.get("salt", "gsplit")))
+
+
 def _markup_strip_transform(df: DataFrame, p: dict) -> DataFrame:
     """Declarative markup hygiene (operators/text.strip_markup): append
     the cleaned text as ``outputColumn`` ('clean_text'; set it to
@@ -694,6 +717,7 @@ _CORPUS_TRANSFORMS = {
     "STRATIFIED_SAMPLE": _stratified_sample_transform,
     "URL_CANONICALIZE": _url_canonicalize_transform,
     "MARKUP_STRIP": _markup_strip_transform,
+    "ASSIGN_SPLIT": _assign_split_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE

@@ -6113,6 +6113,63 @@ FROM a ORDER BY source
 _register_charset_stats_oracle()
 
 
+# --- q163: domain-grouped dataset split (leakage-safe) ------------------------
+
+@query("q163_grouped_split")  # oracle attached right below
+def q163_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split keyed on the registered
+    DOMAIN of each document's (injected) URL — all pages of one site
+    land in the same split, closing the same-site near-duplicate
+    contamination vector a doc-hash split (q60) leaves open. Output:
+    per-split doc and domain counts plus the global leakage certificate
+    n_leaky_domains (domains spanning >1 split — structurally zero).
+    Assignment is a pure map-side projection; the certificate is one
+    domain-level aggregate. See operators/corpus.py::grouped_split."""
+    from etl_load_spark.operators.corpus import grouped_split
+    from etl_load_spark.operators.text import registered_domain
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id").isNotNull())
+         .select(registered_domain(_synth_url_spark(), from_url=True)
+                 .alias("domain")))
+    s = d.withColumn("split", grouped_split(F.col("domain")))
+    per_split = (s.groupBy("split")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                      F.countDistinct("domain").cast("bigint")
+                      .alias("n_domains")))
+    leaky = (s.groupBy("domain")
+             .agg(F.countDistinct("split").alias("_ns"))
+             .agg(F.count(F.when(F.col("_ns") > 1, F.lit(1)))
+                  .cast("bigint").alias("n_leaky_domains")))
+    return (per_split.crossJoin(F.broadcast(leaky))
+            .orderBy("split"))
+
+
+def _register_grouped_split_oracle() -> None:
+    from etl_load_spark.operators.corpus import grouped_split_sql
+    from etl_load_spark.operators.text import registered_domain_sql
+    dom = registered_domain_sql(_synth_url_sql())
+    QUERIES["q163_grouped_split"].oracle = f"""
+WITH d AS (
+  SELECT {dom} AS domain
+  FROM documents WHERE doc_id IS NOT NULL),
+s AS (
+  SELECT domain, {grouped_split_sql("domain")} AS split FROM d),
+ps AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains
+  FROM s GROUP BY split),
+lk AS (
+  SELECT CAST(COUNT(*) FILTER (ns > 1) AS BIGINT) AS n_leaky_domains
+  FROM (SELECT domain, COUNT(DISTINCT split) AS ns FROM s
+        GROUP BY domain) t)
+SELECT ps.split, ps.n_docs, ps.n_domains, lk.n_leaky_domains
+FROM ps, lk ORDER BY ps.split
+"""
+
+
+_register_grouped_split_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
@@ -6163,13 +6220,14 @@ DRIVER_WINDOW: list[str] = [
     "q11_window_running", "q12_rollup", "q13_cube", "q15_intersect",
     "q16_except_all", "q20_distinct_agg", "q22_json_events",
     "q26_dedup_normalized", "q36_band_join", "q53_time_bucket",
-    "q55_range_frame", "q58_local_supplier_volume",
-    # --- round-5 operators (first driver rows — these 8 slots beat
-    #     re-greening round-2 rows that already exist) ---
+    "q55_range_frame",
+    # --- round-5 operators (first driver rows — these 9 slots beat
+    #     re-greening rows that already exist; q58's r1 row stands, its
+    #     TPC-H family has anchors + 20 green members) ---
     "q155_importance_weights", "q156_hard_negatives",
     "q157_markup_strip", "q158_eval_leakage", "q159_cdc_scd2_apply",
     "q160_tokenizer_fertility", "q161_embedding_drift",
-    "q162_charset_stats",
+    "q162_charset_stats", "q163_grouped_split",
 ]
 
 

@@ -520,3 +520,25 @@ def test_markup_strip_stage(spark, tmp_path):
                                    "outputColumn": "text"}))
     assert set(lean.columns) == {"doc_id", "text"}
     assert {r.text for r in lean.collect()} == {"Hello world nav", "plain"}
+
+
+def test_assign_split_stage(spark, tmp_path):
+    """Declarative ASSIGN_SPLIT: deterministic group-keyed split — all
+    rows of one group share a split across re-runs; custom splits must
+    sum to 100; missing groupColumn raises."""
+    spec = _corpus_spec(tmp_path, "ASSIGN_SPLIT",
+                        {"groupColumn": "source"})
+    a = {(r.doc_id, r.split) for r in build_plan(spark, spec).collect()}
+    b = {(r.doc_id, r.split) for r in build_plan(spark, spec).collect()}
+    assert a == b and len(a) == 4
+    by_src = {}
+    for r in build_plan(spark, spec).collect():
+        by_src.setdefault(r.source, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_src.values())  # no group straddles
+    with pytest.raises(ValueError, match="groupColumn"):
+        build_plan(spark, _corpus_spec(tmp_path, "ASSIGN_SPLIT", {}))
+    with pytest.raises(ValueError, match="sum to"):
+        build_plan(spark, _corpus_spec(
+            tmp_path, "ASSIGN_SPLIT",
+            {"groupColumn": "source", "splits": [["train", 60],
+                                                 ["test", 60]]}))
