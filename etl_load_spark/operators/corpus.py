@@ -1374,3 +1374,76 @@ def grouped_split_sql(group_expr: str, splits=DEFAULT_SPLITS,
         whens.append(f"WHEN {u} < {hi} THEN '{name}'")
     return (f"(CASE WHEN ({group_expr}) IS NULL THEN NULL "
             + " ".join(whens) + " END)")
+
+
+# ---------------------------------------------------------------------------
+# Dense surrogate-key assignment (distributed, deterministic)
+# ---------------------------------------------------------------------------
+
+def dense_ids(df: DataFrame, key_col: str, id_col: str = "surrogate_id",
+              start_at: int = 1, n_buckets: int = 4096,
+              salt: str = "sk") -> DataFrame:
+    """Assign DENSE, deterministic surrogate ids (start_at … start_at+n-1)
+    keyed on a unique natural key — the dimension-load primitive a
+    warehouse ETL needs that Spark does not ship:
+    ``monotonically_increasing_id`` is sparse and partitioning-dependent,
+    and a global ``row_number`` puts the whole table in one task. NULL
+    keys are excluded (no deterministic position); ``start_at`` continues
+    an existing dimension's id range (pass max(existing)+1).
+
+    Determinism: the global order is (bucket, md5(key), key) — re-runs,
+    engines and partitionings assign identical ids (ids are dense and
+    stable but deliberately NOT in natural-key order; surrogate keys
+    carry no meaning by definition).
+
+    Scale — the q148/q150 distributed prefix sum, counting rows instead
+    of tokens: keys hash into ``n_buckets`` ordered buckets, the
+    within-bucket row_number is a window over ~n/n_buckets rows, bucket
+    totals derive from that window's max (the shared-exchange rule —
+    never a sibling scan), offsets are a window over the BOUNDED totals
+    relation broadcast back, and the id is a pure projection
+    offset + row_number. No global sort, no single-task window."""
+    from etl_load_spark.operators.dedup import portable_hash64
+
+    bkt = F.pmod(portable_hash64(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        F.lit(n_buckets))
+    cumd = (df.filter(F.col(key_col).isNotNull())
+            .select("*", bkt.alias("_bkt"),
+                    F.md5(F.col(key_col).cast("string")).alias("_ok"))
+            .filter(F.col("_bkt").isNotNull())
+            .repartition("_bkt")
+            .withColumn("_rn", F.row_number().over(
+                W.partitionBy("_bkt").orderBy("_ok", key_col))
+                .cast("bigint")))
+    boff = (cumd.groupBy("_bkt")
+            .agg(F.max("_rn").alias("_bt"))
+            .withColumn(
+                "_off", F.coalesce(
+                    F.sum("_bt").over(
+                        W.orderBy("_bkt")
+                        .rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0).cast("bigint")))
+            .select("_bkt", "_off"))
+    return (cumd.join(F.broadcast(boff), "_bkt")
+            .withColumn(id_col,
+                        F.col("_off") + F.col("_rn")
+                        + F.lit(int(start_at) - 1))
+            .drop("_bkt", "_ok", "_rn", "_off"))
+
+
+def dense_ids_sql(table: str, key_col: str, id_col: str = "surrogate_id",
+                  start_at: int = 1, n_buckets: int = 4096,
+                  salt: str = "sk", dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``dense_ids``: one plain window replays the
+    bucketed prefix sum (global row_number over (bucket, md5, key))."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    hb = portable_hash64_sql(
+        f"CAST({key_col} AS VARCHAR) || ':{salt}'", dialect)
+    return f"""
+SELECT *, CAST(row_number() OVER (
+            ORDER BY (({hb}) % {n_buckets} + {n_buckets}) % {n_buckets},
+                     md5(CAST({key_col} AS VARCHAR)), {key_col})
+          + {int(start_at) - 1} AS BIGINT) AS {id_col}
+FROM {table} WHERE {key_col} IS NOT NULL
+"""

@@ -337,3 +337,21 @@ def test_incremental_and_cross_source_dedup_agree_on_content_identity(spark):
         "doc_id long, text string")
     admitted = {r.doc_id for r in incremental_dedup(newb, hist).collect()}
     assert admitted == {101}
+
+
+def test_dense_ids_density_determinism_and_start(spark):
+    """dense_ids contract: ids are DENSE (start_at..start_at+n-1),
+    unique, deterministic across re-runs and partitionings; NULL keys
+    excluded; original columns survive."""
+    from etl_load_spark.operators.corpus import dense_ids
+    rows = [(f"key{i}", i % 3) for i in range(500)] + [(None, 9)]
+    df = spark.createDataFrame(rows, "nk string, grp int")
+    out = dense_ids(df, "nk", start_at=100)
+    got = {r.nk: r.surrogate_id for r in out.collect()}
+    assert len(got) == 500 and None not in got
+    ids = sorted(got.values())
+    assert ids == list(range(100, 600))       # dense, exact range
+    again = {r.nk: r.surrogate_id
+             for r in dense_ids(df.repartition(17), "nk",
+                                start_at=100).collect()}
+    assert again == got                        # partitioning-independent

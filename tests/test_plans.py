@@ -729,3 +729,21 @@ def test_cdc_scd2_apply_windows_on_feed_not_dim(spark, sf_dir):
     assert "windowspecdefinition" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dense_ids_bucketed_prefix_sum(spark, sf_dir):
+    """q164: surrogate assignment via the bucketed prefix sum — the
+    data-relation window partitions on the bucket (never a global
+    single-partition window over the table; the only unpartitioned
+    window runs on the BOUNDED bucket-totals relation), offsets
+    broadcast back. No Python."""
+    df = QUERIES["q164_dense_ids"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    for ln in final.splitlines():
+        if "windowspecdefinition" in ln and "_ok" in ln:
+            assert "_bkt" in ln.split("windowspecdefinition")[1], ln
+    assert "BroadcastHashJoin" in final, final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
