@@ -377,6 +377,80 @@ FROM agg ORDER BY {id_col}
 """
 
 
+def bigram_model(df, id_col: str, text_col: str):
+    """Train the FROZEN bigram-LM artifact the production pipeline stores
+    between its train and score halves (the q146 docstring's promised
+    external-table mode): (bg, s, w1, unseen_s, v_bits) — per-bigram
+    quantized surprisal, per-context unseen charge fl2(c1 + V) (the
+    Laplace c12=1 mass), and the whole-vocabulary-unseen charge fl2(V)
+    replicated per row (a scalar a consumer reads with first()).
+
+    Scale: identical plan to the train half of ``bigram_surprisal`` —
+    one corpus pass, one token-level shuffle; the artifact is
+    vocab-sized, persistable as a plain table, and broadcastable to the
+    scoring side."""
+    from etl_load_spark.session import register_operator_cache
+    docbg = register_operator_cache(
+        bigram_relation(df, id_col, text_col)
+        .repartition("_bg")
+        .groupBy("_id", "_bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+        .persist())
+    c12 = docbg.groupBy("_bg").agg(F.sum("_k").cast("bigint").alias("_c12"))
+    w1 = F.split_part(F.col("_bg"), F.lit(" "), F.lit(1))
+    c1 = (c12.groupBy(w1.alias("_w1"))
+          .agg(F.sum("_c12").cast("bigint").alias("_c1")))
+    v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    return (c12.select("_bg", w1.alias("w1"), "_c12")
+            .join(c1, F.col("w1") == F.col("_w1"))
+            .crossJoin(F.broadcast(v))
+            .select(F.col("_bg").alias("bg"),
+                    (floor_log2(F.col("_c1") + F.col("_v"))
+                     - floor_log2(F.col("_c12"))).alias("s"),
+                    "w1",
+                    floor_log2(F.col("_c1") + F.col("_v"))
+                    .alias("unseen_s"),
+                    floor_log2(F.col("_v")).alias("v_bits")))
+
+
+def score_with_bigram_model(df, model, id_col: str, text_col: str):
+    """Score documents against a FROZEN bigram model (trained elsewhere,
+    possibly on a different corpus/epoch): seen bigrams charge the
+    model's s, unseen bigrams under a KNOWN context charge the
+    context's fl2(c1 + V), fully-unknown contexts charge fl2(V) — the
+    standard back-off for out-of-vocabulary events, matching
+    ``bigram_surprisal`` bit-for-bit when the model was trained on the
+    same corpus (self-scoring is total, so the fallbacks never fire —
+    pinned in tests). Returns (id, n_bigrams, total_bits,
+    bits_per_bigram).
+
+    Scale: the scoring side is ONE pass over the stream of documents —
+    explode, two LEFT joins against the vocab-sized artifact (broadcast
+    when it fits), one per-doc reduction. Deployment on a live stream:
+    run this operator inside foreachBatch (per-doc aggregation over an
+    unbounded keyless stream has no append-mode watermark), or land the
+    stream and score downstream — the LM_SURPRISAL streaming refusal
+    names this recipe."""
+    occ = bigram_relation(df, id_col, text_col)
+    w1 = F.split_part(F.col("_bg"), F.lit(" "), F.lit(1))
+    ctx = model.select(F.col("w1").alias("_w1"), "unseen_s").distinct()
+    vb = model.select(F.col("v_bits")).limit(1)
+    scored = (occ.withColumn("_w1", w1)
+              .join(F.broadcast(model.select("bg", "s")),
+                    occ["_bg"] == F.col("bg"), "left")
+              .join(F.broadcast(ctx), "_w1", "left")
+              .crossJoin(F.broadcast(vb))
+              .select("_id", F.coalesce("s", "unseen_s", "v_bits")
+                      .alias("_s")))
+    return (scored.groupBy(F.col("_id").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.sum("_s").cast("bigint").alias("total_bits"))
+            .select(id_col, "n_bigrams", "total_bits",
+                    (F.col("total_bits").cast("double")
+                     / F.col("n_bigrams").cast("double"))
+                    .alias("bits_per_bigram")))
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization (crawl-curation key hygiene)
 # ---------------------------------------------------------------------------

@@ -736,9 +736,10 @@ _BATCH_ONLY_TRANSFORMS = {
                         "anchor_assign (a map-side projection) in the "
                         "stream and balance in a downstream batch job"),
     "LM_SURPRISAL": ("the bigram count table needs a corpus snapshot; "
-                     "train the counts offline, then score the stream "
-                     "with a left join against the frozen table (a "
-                     "stream-safe stream-static join)"),
+                     "train offline with operators/text.bigram_model, "
+                     "then score with score_with_bigram_model inside "
+                     "foreachBatch (a stream-safe stream-static join "
+                     "feeding a per-micro-batch reduction)"),
     "CROSS_SOURCE_DEDUP": ("survivor choice needs the whole content "
                            "group; dedup each landed increment in a "
                            "downstream batch job, or use "

@@ -150,3 +150,36 @@ def test_canonicalize_url_idempotent_and_oracle_parity(spark):
         assert row.c1 == want, f"{url!r}: spark {row.c1!r} duck {want!r}"
 
     check()
+
+
+def test_frozen_bigram_model_scoring(spark):
+    """The frozen-model split (train offline, score elsewhere): scoring
+    the TRAINING corpus against its own frozen model matches
+    bigram_surprisal bit-for-bit (self-scoring is total — the fallbacks
+    never fire); scoring a DIFFERENT corpus charges unseen bigrams the
+    context's fl2(c1+V) and fully-unknown contexts fl2(V)."""
+    from etl_load_spark.operators.text import (bigram_model,
+                                               bigram_surprisal,
+                                               score_with_bigram_model)
+    from etl_load_spark.session import release_operator_caches
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string")
+    model = bigram_model(train, "doc_id", "text").cache()
+    model.count()
+    # self-scoring == bigram_surprisal
+    a = sorted(map(tuple, score_with_bigram_model(
+        train, model, "doc_id", "text").collect()))
+    b = sorted(map(tuple, bigram_surprisal(
+        train, "doc_id", "text").collect()))
+    assert a == b
+    # cross-scoring: "the cat" seen (s=1); "cat flew" unseen under known
+    # context 'cat' (c1=2, V=2 -> fl2(4)=2); "zz qq" fully unknown
+    # context (fl2(V)=fl2(2)=1)
+    new = spark.createDataFrame(
+        [(10, "the cat flew"), (11, "zz qq")], "doc_id long, text string")
+    got = {r.doc_id: r for r in score_with_bigram_model(
+        new, model, "doc_id", "text").collect()}
+    assert got[10].n_bigrams == 2 and got[10].total_bits == 1 + 2
+    assert got[11].n_bigrams == 1 and got[11].total_bits == 1
+    model.unpersist()
+    release_operator_caches()
