@@ -6195,6 +6195,73 @@ def _register_dense_ids_oracle() -> None:
 _register_dense_ids_oracle()
 
 
+# --- q165: containment pairs (excerpt / quote detection) ---------------------
+
+_EXCERPT_CORPUS_SQL = """(SELECT doc_id, text FROM documents
+   UNION ALL
+   SELECT doc_id + 3000000000,
+          array_to_string((string_split(trim(regexp_replace(regexp_replace(
+            lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+            ' '))[1:30], ' ')
+   FROM documents WHERE doc_id % 25 = 0) u"""
+
+
+@query("q165_containment_pairs")  # oracle attached right below
+def q165_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote detection: containment |A∩B| / min(|A|,|B|) over
+    8-gram shingle sets — a short document pasted inside a long one
+    scores ~1.0 where Jaccard (q29) stays near zero. Excerpts are
+    PLANTED (every 25th document contributes a re-idded copy of its
+    first 30 normalized tokens — the q138 injection rule); the operator
+    must recover exactly the planted subsumptions. See
+    operators/dedup.py::containment_pairs."""
+    from etl_load_spark.operators.dedup import containment_pairs, normalize_text
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpt = (d.filter(F.pmod("doc_id", F.lit(25)) == 0)
+               .select((F.col("doc_id") + F.lit(3_000_000_000))
+                       .alias("doc_id"),
+                       F.array_join(F.slice(
+                           F.split(normalize_text(F.col("text")), " "),
+                           1, 30), " ").alias("text")))
+    return (containment_pairs(d.unionByName(excerpt), "doc_id", "text",
+                              n=8, threshold=0.8)
+            .orderBy("id_small", "id_big"))
+
+
+def _register_containment_oracle() -> None:
+    QUERIES["q165_containment_pairs"].oracle = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM {_EXCERPT_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[s:s+7], ' ')
+         for s in generate_series(1, greatest(len(ws)-7, 1))])) AS s
+  FROM tk),
+shf AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+sized AS (SELECT id_a, id_b, c, sa.n AS na, sb.n AS nb
+          FROM common JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b)
+SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_a ELSE id_b END AS id_small,
+       CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_b ELSE id_a END AS id_big,
+       c AS n_common,
+       CAST(c AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS containment
+FROM sized
+WHERE CAST(c AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) >= 0.8
+ORDER BY id_small, id_big
+"""
+
+
+_register_containment_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

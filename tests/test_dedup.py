@@ -355,3 +355,24 @@ def test_dense_ids_density_determinism_and_start(spark):
              for r in dense_ids(df.repartition(17), "nk",
                                 start_at=100).collect()}
     assert again == got                        # partitioning-independent
+
+
+def test_containment_finds_excerpts_jaccard_does_not(spark):
+    """The metric contract: a short excerpt pasted from a long document
+    scores containment 1.0 but low Jaccard — subsumption is invisible
+    to symmetric similarity."""
+    from etl_load_spark.operators.dedup import (containment_pairs,
+                                                ngram_jaccard_pairs)
+    long_text = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(25))   # prefix of long
+    other = " ".join(f"z{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, other)],
+        "doc_id long, text string")
+    cont = {(r.id_small, r.id_big): r.containment
+            for r in containment_pairs(df, "doc_id", "text",
+                                       n=8, threshold=0.8).collect()}
+    assert cont == {(2, 1): 1.0}
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=8,
+                              threshold=0.5).collect()
+    assert jac == []                        # Jaccard(excerpt, long) ≈ 0.09
