@@ -6312,6 +6312,59 @@ def q166_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start", "growth_rank", "event_type"))
 
 
+# --- q167: last-touch attribution --------------------------------------------
+
+@query("q167_last_touch_attribution", oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) AS ts_us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+r AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'click' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_us
+  FROM e)
+SELECT user_id, event_id AS purchase_id,
+       CAST(ts_us - click_us AS BIGINT) AS us_since_click
+FROM r WHERE event_type = 'purchase' AND click_us IS NOT NULL
+  AND ts_us - click_us <= 3600000000
+ORDER BY user_id, purchase_id
+""")
+def q167_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the same
+    user's most recent STRICTLY-EARLIER click within one hour — the
+    conditional-running-max window pattern (max of a CASE over an
+    unbounded-to-1-preceding frame; a plain lag can't skip over
+    intervening non-click events). RANGE frames key on integer
+    epoch-micros and ties break on event_id (the round-3 rule: Spark's
+    unix_timestamp truncates sub-seconds where DuckDB's epoch() keeps
+    them).
+
+    Scale: ONE user-keyed shuffle; the frame state is a single running
+    maximum per user. The streaming twin is q51's as-of-join shape."""
+    from etl_load_spark.session import read_table
+    e = (read_table(spark, sf_dir, "events")
+         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+         .select("user_id", "event_id", "event_type",
+                 F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                 .alias("_us")))
+    w = (W.partitionBy("user_id").orderBy("_us", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    r = e.withColumn(
+        "_click_us",
+        F.max(F.when(F.col("event_type") == "click", F.col("_us"))).over(w))
+    return (r.filter((F.col("event_type") == "purchase")
+                     & F.col("_click_us").isNotNull()
+                     & (F.col("_us") - F.col("_click_us")
+                        <= 3_600_000_000))
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    (F.col("_us") - F.col("_click_us")).cast("bigint")
+                    .alias("us_since_click"))
+            .orderBy("user_id", "purchase_id"))
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
