@@ -1447,3 +1447,55 @@ SELECT *, CAST(row_number() OVER (
           + {int(start_at) - 1} AS BIGINT) AS {id_col}
 FROM {table} WHERE {key_col} IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-size weighted sampling without replacement (A-Res priority sampling)
+# ---------------------------------------------------------------------------
+
+def priority_sample(df: DataFrame, k: int, weight: Column,
+                    id_col: str = "doc_id",
+                    salt: str = "ares") -> DataFrame:
+    """Weight-proportional sample of EXACTLY ``k`` rows without
+    replacement — the Efraimidis–Spirakis A-Res scheme: each row draws
+    a deterministic hash-uniform u ∈ (0,1) and the k largest
+    ``u^(1/w)`` keys win (implemented as the rank-equivalent monotone
+    ``ln(u)/w``, one log + one divide). mixture_sample (q75) hits a
+    RATE per stratum; this hits a SIZE — the form a fixed token/example
+    budget needs. Deterministic: no RNG, identical sample on re-runs,
+    engines and partitionings; the priority is ROUNDED to 12 dp before
+    ranking with an id tie-break (the round-before-rank rule: ln is
+    libm, the last ulp is engine-specific). Rows with NULL or
+    non-positive weight are excluded (no valid priority).
+
+    Scale: the priority is a pure map-side projection; top-k is
+    TakeOrderedAndProject-shaped (no global sort materializes).
+    Returns the sampled rows plus ``_priority``."""
+    from etl_load_spark.operators.dedup import portable_hash64
+
+    u = (F.pmod(portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(1_000_000)).cast("double") + 0.5) / 1_000_000.0
+    pri = F.round(F.log(u) / weight.cast("double"), 12)
+    return (df.filter(weight.isNotNull() & (weight.cast("double") > 0))
+            .withColumn("_priority", pri)
+            .orderBy(F.col("_priority").desc(), F.col(id_col))
+            .limit(int(k)))
+
+
+def priority_sample_sql(table: str, k: int, weight_expr: str,
+                        id_col: str = "doc_id", salt: str = "ares",
+                        dialect: str = "duckdb") -> str:
+    """DuckDB twin of ``priority_sample`` (same u, same rounded
+    priority, same tie-break)."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    h = portable_hash64_sql(
+        f"CAST({id_col} AS VARCHAR) || ':{salt}'", dialect)
+    u = (f"((CAST((({h}) % 1000000 + 1000000) % 1000000 AS DOUBLE) + 0.5)"
+         f" / 1000000.0)")
+    return f"""
+SELECT *, ROUND(ln({u}) / CAST({weight_expr} AS DOUBLE), 12) AS _priority
+FROM {table}
+WHERE {weight_expr} IS NOT NULL AND CAST({weight_expr} AS DOUBLE) > 0
+ORDER BY _priority DESC, {id_col} LIMIT {int(k)}
+"""

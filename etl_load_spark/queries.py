@@ -6427,6 +6427,34 @@ def q168_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("part_a", "part_b"))
 
 
+# --- q169: exact-size weighted sample (A-Res priority sampling) --------------
+
+@query("q169_priority_sample")  # oracle attached right below
+def q169_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 200 documents sampled weight-proportionally (weight =
+    n_chars) WITHOUT replacement — Efraimidis–Spirakis A-Res priorities
+    (mixture_sample/q75 hits a RATE; a fixed token/example budget needs
+    a SIZE). Deterministic hash-uniform draws, priorities rounded to
+    12 dp before ranking (ln is libm — the round-before-rank rule). See
+    operators/corpus.py::priority_sample."""
+    from etl_load_spark.operators.corpus import priority_sample
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (priority_sample(d, 200, F.col("n_chars"))
+            .orderBy("doc_id"))
+
+
+def _register_priority_sample_oracle() -> None:
+    from etl_load_spark.operators.corpus import priority_sample_sql
+    QUERIES["q169_priority_sample"].oracle = (
+        "SELECT * FROM ("
+        + priority_sample_sql(
+            "(SELECT doc_id, n_chars FROM documents) d", 200, "n_chars")
+        + ") ORDER BY doc_id")
+
+
+_register_priority_sample_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -376,3 +376,26 @@ def test_containment_finds_excerpts_jaccard_does_not(spark):
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=8,
                               threshold=0.5).collect()
     assert jac == []                        # Jaccard(excerpt, long) ≈ 0.09
+
+
+def test_priority_sample_exact_size_and_weight_bias(spark):
+    """A-Res contract: exactly k rows, no replacement, deterministic
+    across partitionings, and weight-proportional in expectation (the
+    sampled mean weight must exceed the corpus mean on a corpus with a
+    10x weight spread); non-positive/NULL weights excluded."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.operators.corpus import priority_sample
+    rows = ([(i, 100) for i in range(900)]
+            + [(1000 + i, 1000) for i in range(100)]
+            + [(5000, 0), (5001, None)])
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = priority_sample(df, 100, F.col("w")).collect()
+    ids = [r.doc_id for r in got]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    assert not {5000, 5001} & set(ids)
+    again = [r.doc_id for r in priority_sample(
+        df.repartition(13), 100, F.col("w")).collect()]
+    assert sorted(again) == sorted(ids)
+    mean_w = sum(r.w for r in got) / 100
+    corpus_mean = (900 * 100 + 100 * 1000) / 1000
+    assert mean_w > corpus_mean * 1.5        # heavy rows overrepresented
