@@ -747,3 +747,13 @@ def test_dense_ids_bucketed_prefix_sum(spark, sf_dir):
     assert "BroadcastHashJoin" in final, final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_priority_sample_take_ordered_not_global_sort(spark, sf_dir):
+    """q169: the top-k must be TakeOrderedAndProject — never a global
+    sort materializing the whole corpus order. Priorities are pure
+    map-side projections; no join, no Python."""
+    plan = plan_of(spark, sf_dir, "q169_priority_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
