@@ -580,8 +580,10 @@ def cross_source_dedup(df: DataFrame, priority: list[str],
     cross-dump curation rule: prefer the curated source, fall back to the
     earliest id). ``priority`` lists preferred sources best-first; unlisted
     and NULL sources rank after every listed one. NULL-text documents are
-    excluded (no content to compare); empty and whitespace-only documents
-    normalize to '' and dedup together.
+    excluded (no content to compare); content identity is
+    dedup.content_key (md5 of normalized text, md5 of RAW text when the
+    normalization empties it — so non-latin/punctuation-only docs never
+    collapse onto the shared md5('') key).
 
     Returns one row per distinct content:
     (content_md5, id, source, n_copies, n_sources) — the surviving
@@ -606,7 +608,7 @@ def cross_source_dedup(df: DataFrame, priority: list[str],
     job config already RUNNING); this operator belongs to the
     training-data curation surface added on top of the reference's
     ETL scope."""
-    from etl_load_spark.operators.dedup import normalize_text
+    from etl_load_spark.operators.dedup import content_key
 
     idc = F.col(id_col)
     enc = F.when(
@@ -621,7 +623,7 @@ def cross_source_dedup(df: DataFrame, priority: list[str],
     # only and isnotnull(_key) into the aggregate branch only, making the
     # two subtrees under the shared repartition differ (no ReusedExchange)
     rel = (df.filter(F.col(text_col).isNotNull())
-           .select(F.md5(normalize_text(F.col(text_col))).alias("_key"),
+           .select(content_key(F.col(text_col)).alias("_key"),
                    F.col(source_col).alias("_src"),
                    enc.alias("_enc"))
            .filter(F.col("_key").isNotNull() & F.col("_enc").isNotNull())
@@ -652,13 +654,13 @@ def cross_source_dedup_sql(table: str, priority: list[str],
                            dialect: str = "duckdb") -> str:
     """Exact SQL twin of ``cross_source_dedup``. ``table`` may be an
     aliased inline subquery (e.g. a planted-corpus UNION ALL)."""
-    from etl_load_spark.operators.dedup import normalize_text_sql
-    norm = normalize_text_sql(text_col, dialect)
+    from etl_load_spark.operators.dedup import content_key_sql
+    key = content_key_sql(text_col, dialect)
     cases = " ".join(f"WHEN '{s}' THEN {i}" for i, s in enumerate(priority))
     return f"""
 WITH rel AS (
   SELECT {id_col} AS _id, {source_col} AS _src,
-         md5({norm}) AS _key,
+         {key} AS _key,
          CAST(CASE {source_col} {cases} ELSE {len(priority)} END AS BIGINT)
            * {_SURVIVOR_ID_LIMIT} + {id_col} AS _enc
   FROM {table} WHERE {text_col} IS NOT NULL),

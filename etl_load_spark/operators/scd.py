@@ -30,6 +30,27 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 META_COLS = ("valid_from", "valid_to", "is_current")
 
 
+def _check_dim_columns(dim: DataFrame, key_cols: list[str],
+                       attr_cols: list[str], op_name: str) -> None:
+    """SCD2 column contract (ADVICE r5): both merge operators rebuild new
+    versions as key_cols + attr_cols + META_COLS and align them with the
+    dimension via ``select(*dim.columns)``, so the dimension must contain
+    EXACTLY that column set — an extra (audit/load-metadata) column would
+    otherwise fail at analysis with an opaque unresolved-column error.
+    Validate up front and raise a descriptive ValueError instead."""
+    expected = [*key_cols, *attr_cols, *META_COLS]
+    missing = [c for c in expected if c not in dim.columns]
+    extra = [c for c in dim.columns if c not in expected]
+    if missing or extra:
+        raise ValueError(
+            f"{op_name}: the dimension must contain exactly "
+            f"key_cols + attr_cols + {META_COLS} = {sorted(expected)}; "
+            f"missing={missing} unexpected={extra}. Drop extra "
+            "audit/metadata columns before the merge (and re-join them "
+            "afterwards), or declare them in attr_cols if they are "
+            "version-tracked.")
+
+
 def _any_attr_differs(attr_cols: list[str], old_prefix: str) -> Column:
     return reduce(lambda a, b: a | b,
                   [~F.col(a).eqNullSafe(F.col(f"{old_prefix}{a}"))
@@ -43,6 +64,7 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
     ``effective_date`` is a Column (or literal-castable value) stamped on
     closed-out rows' valid_to and new versions' valid_from.
     """
+    _check_dim_columns(dim, key_cols, attr_cols, "scd2_merge")
     eff = effective_date if isinstance(effective_date, Column) \
         else F.lit(effective_date).cast("date")
     cur = dim.filter(F.col("is_current"))
@@ -114,7 +136,14 @@ def cdc_scd2_apply(dim: DataFrame, changes: DataFrame, key_cols: list[str],
     key join. The no-op suppression composes transitively: a dropped
     row null-safe-equals its raw predecessor, so comparing each row to
     its immediate predecessor equals comparing to the last EFFECTIVE
-    state."""
+    state.
+
+    Column contract: the dimension must contain EXACTLY
+    key_cols + attr_cols + (valid_from, valid_to, is_current) — extra
+    audit/metadata columns raise a descriptive ValueError up front
+    (drop and re-join them around the merge, or declare them in
+    attr_cols if version-tracked)."""
+    _check_dim_columns(dim, key_cols, attr_cols, "cdc_scd2_apply")
     seq_t = changes.schema[seq_col].dataType
     op = F.col(op_col)
     checked_op = F.when(op.isin("I", "U", "D"), op).otherwise(

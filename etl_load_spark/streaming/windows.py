@@ -286,7 +286,10 @@ def stream_content_dedup(docs: DataFrame, history_df: DataFrame | None = None,
                          text_col: str = "text") -> DataFrame:
     """Streaming content-level admission — the streaming face of
     operators/dedup.incremental_dedup: documents arriving on a stream are
-    keyed on md5(normalize_text(text)) (the chained dedup convention);
+    keyed on dedup.content_key (md5 of normalized text, md5 of RAW text
+    when the normalization empties it — the chained dedup convention,
+    non-latin-safe: without the fallback one checkpointed CJK doc would
+    silently drop every future CJK doc forever);
     content already in the STATIC admitted index (``history_df``, the
     maintained table a batch pipeline appends each round) is dropped via
     a stream-static LEFT ANTI join, and within the stream each content
@@ -309,16 +312,14 @@ def stream_content_dedup(docs: DataFrame, history_df: DataFrame | None = None,
     is global by definition; at 100 TB use the RocksDB state store
     provider, or dropDuplicatesWithinWatermark if the product defines
     an eviction horizon."""
-    from etl_load_spark.operators.dedup import normalize_text
+    from etl_load_spark.operators.dedup import content_key
 
     keyed = (docs.filter(F.col(text_col).isNotNull())
-             .select(F.md5(normalize_text(F.col(text_col)))
-                     .alias("content_md5"),
+             .select(content_key(F.col(text_col)).alias("content_md5"),
                      F.col(id_col).alias(id_col)))
     if history_df is not None:
         hist = (history_df.filter(F.col(text_col).isNotNull())
-                .select(F.md5(normalize_text(F.col(text_col)))
-                        .alias("content_md5"))
+                .select(content_key(F.col(text_col)).alias("content_md5"))
                 .distinct())
         keyed = keyed.join(hist, "content_md5", "left_anti")
     return keyed.dropDuplicates(["content_md5"])

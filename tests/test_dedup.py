@@ -339,6 +339,76 @@ def test_incremental_and_cross_source_dedup_agree_on_content_identity(spark):
     assert admitted == {101}
 
 
+def test_content_key_non_latin_docs_survive_independently(spark):
+    """ADVICE r5 (medium) regression: text that normalizes to EMPTY (CJK
+    or any non-[a-z0-9] script, punctuation/emoji-only) must NOT collapse
+    onto the shared md5('') key — content_key falls back to md5(raw), so
+    distinct non-latin docs survive every content-identity stage
+    independently while byte-identical copies still dedup. Pinned on all
+    three consumers of the convention (incremental_dedup,
+    cross_source_dedup, stream_content_dedup-via-batch-equivalence is
+    covered in test_streaming) plus SQL-twin parity."""
+    import duckdb
+
+    from etl_load_spark.operators.corpus import (cross_source_dedup,
+                                                 cross_source_dedup_sql)
+    from etl_load_spark.operators.dedup import (content_key,
+                                                incremental_dedup,
+                                                incremental_dedup_sql)
+
+    rows = [(1, "你好世界", "web"),            # CJK doc A
+            (2, "完全不同的文档", "web"),       # CJK doc B (distinct!)
+            (3, "你好世界", "books"),           # byte-identical copy of A
+            (4, "!!! ???", "web"),              # punctuation-only A
+            (5, "...", "web"),                  # punctuation-only B
+            (6, "a latin doc", "web")]
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                               " source string")
+    # keys: distinct degenerate texts get DISTINCT keys; copies share one
+    keys = {r.doc_id: r.k for r in
+            df.select("doc_id", content_key(F.col("text"))
+                      .alias("k")).collect()}
+    assert keys[1] == keys[3]
+    assert len({keys[1], keys[2], keys[4], keys[5], keys[6]}) == 5
+
+    # cross_source_dedup: 5 survivors (A collapses to the books copy)
+    surv = cross_source_dedup(df, priority=["books", "web"])
+    got = {r.doc_id for r in surv.collect()}
+    assert got == {2, 3, 4, 5, 6}
+
+    # incremental_dedup: history holds CJK doc A; a new batch with a copy
+    # of A, doc B, and a fresh punctuation doc admits B + the fresh one
+    hist = df.filter("doc_id = 1").select("doc_id", "text")
+    newb = spark.createDataFrame(
+        [(100, "你好世界"), (101, "完全不同的文档"), (102, "!?!?")],
+        "doc_id long, text string")
+    admitted = {r.doc_id for r in incremental_dedup(newb, hist).collect()}
+    assert admitted == {101, 102}
+
+    # SQL-twin parity on the same degenerate corpus
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR,"
+                " source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    con.execute("CREATE TABLE hist_t AS SELECT doc_id, text"
+                " FROM docs WHERE doc_id = 1")
+    con.execute("CREATE TABLE newb (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO newb VALUES (?, ?)",
+                    [(100, "你好世界"), (101, "完全不同的文档"),
+                     (102, "!?!?")])
+    oracle_surv = sorted(
+        tuple(map(str, r)) for r in
+        con.sql(cross_source_dedup_sql("docs", ["books", "web"])).fetchall())
+    spark_surv = sorted(tuple(map(str, r)) for r in surv.collect())
+    assert oracle_surv == spark_surv
+    oracle_adm = sorted(
+        tuple(map(str, r)) for r in
+        con.sql(incremental_dedup_sql("newb", "hist_t")).fetchall())
+    spark_adm = sorted(tuple(map(str, r))
+                       for r in incremental_dedup(newb, hist).collect())
+    assert oracle_adm == spark_adm
+
+
 def test_dense_ids_density_determinism_and_start(spark):
     """dense_ids contract: ids are DENSE (start_at..start_at+n-1),
     unique, deterministic across re-runs and partitionings; NULL keys

@@ -128,3 +128,35 @@ def test_cdc_scd2_apply_rejects_unknown_op(spark):
                                  "k long, attr string, seq long, op string")
     with pytest.raises(Exception, match="op must be I/U/D"):
         cdc_scd2_apply(dim, feed, ["k"], ["attr"], "seq").collect()
+
+
+def test_dim_column_contract_validated_up_front(spark):
+    """ADVICE r5 regression: a dimension with an extra audit column (or a
+    missing meta column) must fail FAST with a descriptive ValueError on
+    both merge operators, not an unresolved-column analysis error at the
+    final select(*dim.columns)."""
+    import pytest
+    from etl_load_spark.operators.scd import cdc_scd2_apply, scd2_merge
+    dim_extra = spark.createDataFrame(
+        [(1, "A", 0, None, True, "loader-7")],
+        "k long, attr string, valid_from long, valid_to long,"
+        " is_current boolean, load_src string")
+    feed = spark.createDataFrame([(1, "B", 10, "U")],
+                                 "k long, attr string, seq long, op string")
+    with pytest.raises(ValueError, match="unexpected=\\['load_src'\\]"):
+        cdc_scd2_apply(dim_extra, feed, ["k"], ["attr"], "seq")
+    with pytest.raises(ValueError, match="unexpected=\\['load_src'\\]"):
+        scd2_merge(dim_extra, feed.select("k", "attr"), ["k"], ["attr"],
+                   "2021-06-01")
+    dim_missing = spark.createDataFrame(
+        [(1, "A", 0, True)],
+        "k long, attr string, valid_from long, is_current boolean")
+    with pytest.raises(ValueError, match="missing=\\['valid_to'\\]"):
+        cdc_scd2_apply(dim_missing, feed, ["k"], ["attr"], "seq")
+    # declaring the extra column as version-tracked is the sanctioned path
+    feed2 = spark.createDataFrame(
+        [(1, "B", "loader-8", 10, "U")],
+        "k long, attr string, load_src string, seq long, op string")
+    out = cdc_scd2_apply(dim_extra, feed2, ["k"], ["attr", "load_src"],
+                         "seq")
+    assert {r.load_src for r in out.collect()} == {"loader-7", "loader-8"}

@@ -364,8 +364,9 @@ def test_stream_content_dedup_against_history_and_state(spark, tmp_path):
     """Streaming content-level admission (stream_content_dedup): content
     in the static admitted index never emits; within the stream each
     content emits exactly once ACROSS micro-batches (checkpointed
-    state); whitespace/case variants collapse (the chained
-    md5(normalize_text) convention); and the admitted content SET equals
+    state); whitespace/case variants collapse (the chained content_key
+    convention, with the md5(raw) non-latin fallback); and the admitted
+    content SET equals
     the batch operator's (incremental_dedup) — survivor attribution
     differs by design (arrival order vs min id)."""
     from etl_load_spark.operators.dedup import incremental_dedup
@@ -390,19 +391,23 @@ def test_stream_content_dedup_against_history_and_state(spark, tmp_path):
 
     batch1 = [(1, "An  Admitted DOCUMENT"),   # history variant → dropped
               (2, "a fresh document"),
-              (3, "A FRESH document")]        # in-stream variant of 2
+              (3, "A FRESH document"),        # in-stream variant of 2
+              (10, "你好世界"),                # CJK doc A (normalizes empty)
+              (11, "完全不同的文档")]          # CJK doc B — must NOT collapse
     spark.createDataFrame(batch1, schema).coalesce(1) \
          .write.mode("append").parquet(in_dir)
     out1 = run_increment()
-    assert len(out1) == 1                     # only the fresh content
+    assert len(out1) == 3                     # fresh + BOTH CJK docs
 
     # increment 2: a repeat of already-admitted content + one new —
-    # the resumed checkpoint's state filters the repeat
-    batch2 = [(4, "a fresh document"), (5, "another new one")]
+    # the resumed checkpoint's state filters the repeat (incl. the CJK
+    # repeat, via the md5(raw) fallback key in checkpointed state)
+    batch2 = [(4, "a fresh document"), (5, "another new one"),
+              (12, "你好世界")]
     spark.createDataFrame(batch2, schema).coalesce(1) \
          .write.mode("append").parquet(in_dir)
     out2 = run_increment()
-    assert len(out2) == 2 and out1 < out2
+    assert len(out2) == 4 and out1 < out2
 
     # content-set equivalence with the batch operator over the full feed
     full = spark.createDataFrame(batch1 + batch2, schema)
