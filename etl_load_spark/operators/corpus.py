@@ -1104,6 +1104,140 @@ FROM c, m WHERE _rn <= _m ORDER BY {id_col}
 """
 
 
+def quota_stratified_sample(df: DataFrame, quotas: dict[str, int],
+                            stratum_col: str = "lang",
+                            id_col: str = "doc_id",
+                            weight: Column | None = None,
+                            n_buckets: int = 4096,
+                            salt: str = "quota") -> DataFrame:
+    """Exact per-stratum SIZES — the "balanced fine-tune set" ask:
+    ``quotas`` maps stratum value → requested document count, and each
+    listed stratum yields EXACTLY min(quota, stratum size) documents;
+    unlisted (and NULL) strata are excluded — the output is precisely
+    the requested mixture, nothing else. stratified_sample (q153)
+    balances every stratum to the data-dependent minority size;
+    mixture_sample (q75) hits a RATE; priority_sample (q169) hits one
+    GLOBAL size — this is the remaining cell of the matrix: explicit
+    per-stratum sizes.
+
+    Within a stratum, selection is weight-proportional WITHOUT
+    replacement when ``weight`` is given (Efraimidis–Spirakis A-Res:
+    the quota largest rounded ``ln(u)/w`` priorities win, u a
+    deterministic hash-uniform draw — the q169 scheme applied per
+    stratum) and uniform-deterministic otherwise (ascending md5(id),
+    the q153 order, expressed as priority via the SAME descending rank:
+    negative md5-prefix fraction). Rows with NULL id — and, under a
+    weight, NULL/non-positive weights — are excluded (no valid
+    priority). Deterministic: no RNG; identical selection across
+    re-runs, engines and partitionings (priorities rounded to 12 dp
+    before ranking, id tie-break — the round-before-rank rule).
+
+    Returns (id, stratum, _priority) rows.
+
+    Scale — per-stratum top-k WITHOUT sorting a whole stratum in one
+    task, in two bounded phases: (1) docs hash into ``n_buckets``
+    ordered buckets; a within-(stratum, bucket) row_number (bounded
+    ~stratum/n_buckets rows per task) keeps only each bucket's local
+    top-quota — a global winner is necessarily a local winner, so this
+    is lossless; (2) the surviving candidate relation — ≤ n_buckets ×
+    quota tiny (id, priority) rows per stratum, never the corpus, never
+    payloads — is ranked per stratum and cut at the quota. The quotas
+    map itself is a broadcast literal relation (pipelines size it by
+    hand; it is product config, not data). For quotas in the multi-
+    million range, shrink ``n_buckets`` so phase 2 stays bounded; the
+    candidate bound is explicit, not probabilistic."""
+    from etl_load_spark.operators.dedup import portable_hash64
+
+    if not quotas:
+        raise ValueError("quota_stratified_sample: quotas must be a "
+                         "non-empty {stratum: size} mapping")
+    bad = {s: q for s, q in quotas.items() if q < 0}
+    if bad:
+        raise ValueError(f"quota_stratified_sample: negative quotas {bad}")
+    spark = df.sparkSession
+    qdf = F.broadcast(spark.createDataFrame(
+        [(str(s), int(q)) for s, q in quotas.items()],
+        f"{stratum_col} string, _quota bigint"))
+
+    if weight is not None:
+        u = (F.pmod(portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            F.lit(1_000_000)).cast("double") + 0.5) / 1_000_000.0
+        pri = F.round(F.log(u) / weight.cast("double"), 12)
+        valid = weight.isNotNull() & (weight.cast("double") > 0)
+    else:
+        # q153's ascending-md5 order as a DESCENDING priority: the
+        # first 12 hex chars as a negative fraction (exact in float64 —
+        # 48 bits < 53-bit mantissa; no libm, replays bit-identically)
+        pri = -F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                  1, 12), 16, 10).cast("double")
+        valid = F.lit(True)
+    bkt = F.pmod(portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(":b" + salt))),
+        F.lit(n_buckets))
+    cand = (df.filter(F.col(id_col).isNotNull()
+                      & F.col(stratum_col).isNotNull() & valid)
+            .select(F.col(id_col).alias("_id"),
+                    F.col(stratum_col).cast("string").alias("_st"),
+                    pri.alias("_priority"), bkt.alias("_bkt"))
+            .join(qdf.withColumnRenamed(stratum_col, "_st"), "_st")
+            .withColumn("_rn", F.row_number().over(
+                W.partitionBy("_st", "_bkt")
+                .orderBy(F.col("_priority").desc(), "_id")))
+            .filter(F.col("_rn") <= F.col("_quota"))
+            .drop("_bkt", "_rn"))
+    return (cand
+            .withColumn("_rk", F.row_number().over(
+                W.partitionBy("_st")
+                .orderBy(F.col("_priority").desc(), "_id")))
+            .filter(F.col("_rk") <= F.col("_quota"))
+            .select(F.col("_id").alias(id_col),
+                    F.col("_st").alias(stratum_col), "_priority")
+            .orderBy(id_col))
+
+
+def quota_stratified_sample_sql(table: str, quotas: dict[str, int],
+                                stratum_col: str = "lang",
+                                id_col: str = "doc_id",
+                                weight_expr: str | None = None,
+                                salt: str = "quota",
+                                dialect: str = "duckdb") -> str:
+    """Exact SQL twin of ``quota_stratified_sample``: one per-stratum
+    ROW_NUMBER over the same rounded priority replays the two-phase
+    bucketed cut (phase 1 is lossless, so the flat rank is identical)."""
+    from etl_load_spark.operators.dedup import portable_hash64_sql
+    if weight_expr is not None:
+        h = portable_hash64_sql(
+            f"CAST({id_col} AS VARCHAR) || ':{salt}'", dialect)
+        u = (f"((CAST((({h}) % 1000000 + 1000000) % 1000000 AS DOUBLE)"
+             f" + 0.5) / 1000000.0)")
+        pri = f"ROUND(ln({u}) / CAST({weight_expr} AS DOUBLE), 12)"
+        valid = (f"AND {weight_expr} IS NOT NULL "
+                 f"AND CAST({weight_expr} AS DOUBLE) > 0")
+    else:
+        pri = (f"-CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR))"
+               f", 1, 12) AS BIGINT) AS DOUBLE)")
+        valid = ""
+    qrows = " UNION ALL ".join(
+        f"SELECT '{s}' AS _st, CAST({int(q)} AS BIGINT) AS _quota"
+        for s, q in quotas.items())
+    return f"""
+WITH q AS ({qrows}),
+d AS (
+  SELECT {id_col} AS _id, CAST({stratum_col} AS VARCHAR) AS _st,
+         {pri} AS _priority
+  FROM {table}
+  WHERE {id_col} IS NOT NULL AND {stratum_col} IS NOT NULL {valid}),
+r AS (
+  SELECT d.*, q._quota,
+         ROW_NUMBER() OVER (PARTITION BY d._st
+                            ORDER BY _priority DESC, _id) AS _rk
+  FROM d JOIN q ON d._st = q._st)
+SELECT _id AS {id_col}, _st AS {stratum_col}, _priority
+FROM r WHERE _rk <= _quota ORDER BY {id_col}
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance weighting (targeted data selection)
 # ---------------------------------------------------------------------------

@@ -129,6 +129,14 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                 "train the histograms offline, then score the stream with "
                 "a broadcast join against the frozen bucket-score table")
         return _importance_resample_transform(df, spark, spec)
+    if tr.type.upper() == "HARD_NEGATIVES":
+        if df.isStreaming:
+            raise ValueError(
+                "transformation.type=HARD_NEGATIVES is batch-only (the "
+                "per-anchor top-k and best-positive max need the whole "
+                "corpus snapshot); land the stream, then mine each landed "
+                "snapshot downstream")
+        return _hard_negatives_transform(df, spark, spec)
     if tr.type.upper() in _CORPUS_TRANSFORMS:
         if df.isStreaming and tr.type.upper() in _BATCH_ONLY_TRANSFORMS:
             # multi-stage stateful plans are not expressible as ONE
@@ -149,7 +157,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "SEQUENCE_PACK, INCREMENTAL_DEDUP, "
                          "QUANTIZE_EMBEDDINGS, STRATIFIED_SAMPLE, "
                          "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP, "
-                         "CDC_SCD2_APPLY, ASSIGN_SPLIT)")
+                         "CDC_SCD2_APPLY, ASSIGN_SPLIT, PRIORITY_SAMPLE, "
+                         "QUOTA_SAMPLE, HARD_NEGATIVES)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -700,6 +709,88 @@ def _url_canonicalize_transform(df: DataFrame, p: dict) -> DataFrame:
     return out
 
 
+def _priority_sample_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative exact-SIZE weighted sampling (operators/corpus.
+    priority_sample — the q169 A-Res scheme): keep exactly ``size``
+    rows, weight-proportionally without replacement, deterministic
+    (hash-uniform draws, no RNG). The SIZE-budget complement of
+    MIXTURE_SAMPLE's rate and IMPORTANCE_RESAMPLE's quantile modes —
+    the form a fixed token/example budget needs. Rows with NULL or
+    non-positive weight are excluded. Row shape is preserved.
+    Parameters: size (required), weightColumn (required),
+    idColumn ('doc_id'), salt ('ares')."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.corpus import priority_sample
+    missing = [k for k in ("size", "weightColumn") if not p.get(k)]
+    if missing:
+        raise ValueError(f"PRIORITY_SAMPLE parameters missing: {missing}")
+    return priority_sample(df, int(p["size"]),
+                           F.col(p["weightColumn"]),
+                           id_col=p.get("idColumn", "doc_id"),
+                           salt=p.get("salt", "ares")).drop("_priority")
+
+
+def _quota_sample_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative balanced fine-tune set (operators/corpus.
+    quota_stratified_sample — q170): EXACTLY min(quota, stratum size)
+    rows per listed stratum, unlisted strata excluded; per-stratum
+    A-Res weight-proportional selection when ``weightColumn`` is given,
+    uniform-deterministic otherwise. Row shape is preserved.
+    Parameters: quotas (required — {stratum: size} object),
+    stratumColumn ('lang'), idColumn ('doc_id'),
+    weightColumn (optional), nBuckets (4096), salt ('quota')."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.corpus import quota_stratified_sample
+    if not p.get("quotas"):
+        raise ValueError("QUOTA_SAMPLE requires parameters.quotas "
+                         "({stratum: size})")
+    id_col = p.get("idColumn", "doc_id")
+    kept = quota_stratified_sample(
+        df, {str(s): int(q) for s, q in p["quotas"].items()},
+        stratum_col=p.get("stratumColumn", "lang"), id_col=id_col,
+        weight=(F.col(p["weightColumn"]) if p.get("weightColumn")
+                else None),
+        n_buckets=int(p.get("nBuckets", 4096)),
+        salt=p.get("salt", "quota"))
+    return df.join(kept.select(id_col), id_col, "semi")
+
+
+def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
+                              spec: JobSpec) -> DataFrame:
+    """Declarative hard-negative mining (operators/similarity.
+    hard_negatives — q156): for each anchor, the k most-similar
+    corpus vectors with a DIFFERENT label, plus the best same-label
+    similarity and margin. The incoming (mapped) rows are the corpus;
+    anchors come from ``extraSources.anchors`` or, if absent, from
+    ``parameters.anchorPredicate`` applied to the corpus itself (one of
+    the two is required). Output shape is the mining result
+    (q_id, n_id, cosine_sim, pos_sim, margin, rank). Parameters:
+    k (5), idColumn ('vec_id'), vectorColumn ('embedding'),
+    labelColumn ('label'), anchorPredicate, dupCeiling (0.999)."""
+    from etl_load_spark.operators.similarity import hard_negatives
+    from etl_load_spark.sources.registry import read_source
+
+    p = spec.transformation.parameters or {}
+    if "anchors" in spec.extra_sources:
+        anchors = read_source(spark, spec.extra_sources["anchors"])
+        if p.get("anchorPredicate"):
+            anchors = anchors.filter(p["anchorPredicate"])
+    elif p.get("anchorPredicate"):
+        anchors = df.filter(p["anchorPredicate"])
+    else:
+        raise ValueError(
+            "HARD_NEGATIVES requires extraSources.anchors (the training-"
+            "batch slice to mine for) or parameters.anchorPredicate "
+            "(a predicate selecting anchors from the corpus)")
+    return hard_negatives(df, anchors, k=int(p.get("k", 5)),
+                          id_col=p.get("idColumn", "vec_id"),
+                          vec_col=p.get("vectorColumn", "embedding"),
+                          label_col=p.get("labelColumn", "label"),
+                          dup_ceiling=float(p.get("dupCeiling", 0.999)))
+
+
 _CORPUS_TRANSFORMS = {
     "PASSAGE_DEDUP": _passage_dedup_transform,
     "QUALITY_FILTER": _quality_filter_transform,
@@ -718,6 +809,8 @@ _CORPUS_TRANSFORMS = {
     "URL_CANONICALIZE": _url_canonicalize_transform,
     "MARKUP_STRIP": _markup_strip_transform,
     "ASSIGN_SPLIT": _assign_split_transform,
+    "PRIORITY_SAMPLE": _priority_sample_transform,
+    "QUOTA_SAMPLE": _quota_sample_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -758,4 +851,12 @@ _BATCH_ONLY_TRANSFORMS = {
                           "land the stream, then balance in a downstream "
                           "batch job (MIXTURE_SAMPLE is the stream-safe "
                           "fixed-rate alternative)"),
+    "PRIORITY_SAMPLE": ("the exact-size cut is a corpus-global top-k; "
+                        "land the stream, then sample the landed batch "
+                        "downstream (MIXTURE_SAMPLE is the stream-safe "
+                        "fixed-rate alternative)"),
+    "QUOTA_SAMPLE": ("per-stratum exact sizes are corpus-global top-k "
+                     "cuts; land the stream, then sample the landed "
+                     "batch downstream (MIXTURE_SAMPLE is the "
+                     "stream-safe fixed-rate alternative)"),
 }

@@ -469,3 +469,63 @@ def test_priority_sample_exact_size_and_weight_bias(spark):
     mean_w = sum(r.w for r in got) / 100
     corpus_mean = (900 * 100 + 100 * 1000) / 1000
     assert mean_w > corpus_mean * 1.5        # heavy rows overrepresented
+
+
+def test_quota_stratified_sample_exact_sizes_and_modes(spark):
+    """q170 contract: EXACTLY min(quota, stratum size) per listed
+    stratum; unlisted and NULL strata excluded; weighted mode biases
+    to heavy weights and excludes NULL/non-positive weights; uniform
+    mode is deterministic across partitionings and replays the SQL
+    twin; bad quotas raise."""
+    import duckdb
+    import pytest
+
+    from etl_load_spark.operators.corpus import (
+        quota_stratified_sample, quota_stratified_sample_sql)
+    rows = ([(i, "en", 100) for i in range(400)]
+            + [(1000 + i, "en", 1000) for i in range(100)]
+            + [(2000 + i, "de", 50) for i in range(30)]
+            + [(3000 + i, "xx", 10) for i in range(20)]     # unlisted
+            + [(4000, None, 10), (4001, "en", None), (4002, "en", 0)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+    quotas = {"en": 80, "de": 50}
+
+    got = quota_stratified_sample(df, quotas, "lang", "doc_id",
+                                  F.col("w")).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 80                  # exact quota
+    assert len(by_lang["de"]) == 30                  # clamped to size
+    assert set(by_lang) == {"en", "de"}              # xx/NULL excluded
+    assert not {4001, 4002} & set(by_lang["en"])     # bad weights out
+    heavy = sum(1 for i in by_lang["en"] if i >= 1000)
+    assert heavy > 30        # 20% of docs hold >2/3 of the weight mass
+
+    # determinism across partitionings
+    again = sorted(r.doc_id for r in quota_stratified_sample(
+        df.repartition(13), quotas, "lang", "doc_id",
+        F.col("w")).collect())
+    assert again == sorted(r.doc_id for r in got)
+
+    # uniform mode + SQL-twin parity (weighted parity is pinned by the
+    # q170 oracle sweep; this covers the weight=None branch)
+    uni = quota_stratified_sample(df, quotas, "lang", "doc_id")
+    srows = sorted(tuple(map(str, r)) for r in uni.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR, w INT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    drows = sorted(tuple(map(str, r)) for r in con.sql(
+        quota_stratified_sample_sql("docs", quotas, "lang",
+                                    "doc_id")).fetchall())
+    assert srows == drows
+    # uniform mode keeps bad-weight rows ELIGIBLE (weight not consulted):
+    # with the quota above the stratum size they must all be selected
+    all_en = {r.doc_id for r in quota_stratified_sample(
+        df, {"en": 10_000}, "lang", "doc_id").collect()}
+    assert {4001, 4002} <= all_en and len(all_en) == 502
+
+    with pytest.raises(ValueError, match="non-empty"):
+        quota_stratified_sample(df, {}, "lang")
+    with pytest.raises(ValueError, match="negative"):
+        quota_stratified_sample(df, {"en": -1}, "lang")

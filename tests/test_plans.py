@@ -757,3 +757,28 @@ def test_priority_sample_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quota_sample_bounded_two_phase(spark, sf_dir):
+    """q170: per-stratum top-k must run in the bounded two-phase shape —
+    ONE corpus scan (pushed filters), the quota map BROADCAST onto it,
+    phase-1 window partitioned on (stratum, bucket) — never stratum
+    alone over the raw corpus — and only the _rn-filtered candidate
+    relation reaches the per-stratum phase-2 window. No cartesian, no
+    Python, priorities map-side."""
+    df = QUERIES["q170_quota_sample"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("FileScan parquet") == 1, final
+    assert "BroadcastHashJoin" in final, final
+    win_lines = [ln for ln in final.splitlines()
+                 if "windowspecdefinition" in ln]
+    assert len(win_lines) == 2, final
+    # plan prints bottom-up intent top-down: first printed window is
+    # phase 2 (_st only), second is phase 1 (_st, _bkt)
+    p2, p1 = win_lines
+    assert "_bkt" in p1.split("windowspecdefinition")[1], p1
+    assert "_bkt" not in p2.split("windowspecdefinition")[1], p2
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final

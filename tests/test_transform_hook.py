@@ -542,3 +542,82 @@ def test_assign_split_stage(spark, tmp_path):
             tmp_path, "ASSIGN_SPLIT",
             {"groupColumn": "source", "splits": [["train", 60],
                                                  ["test", 60]]}))
+
+
+def test_priority_sample_stage(spark, tmp_path):
+    """Declarative PRIORITY_SAMPLE: exactly `size` rows, row shape
+    preserved, deterministic across runs; missing params raise."""
+    import json as _json
+    rows = [{"doc_id": i, "source": "web", "w": 10 + i} for i in range(40)]
+    src = tmp_path / "wdocs.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(params):
+        return JobSpec.from_dict({
+            "jobId": "psample-stage",
+            "source": {"type": "FILE_JSON", "details": {"path": str(src)}},
+            "transformation": {"type": "PRIORITY_SAMPLE",
+                               "parameters": params},
+        })
+
+    out = build_plan(spark, spec({"size": 12, "weightColumn": "w"}))
+    got = out.collect()
+    assert len(got) == 12 and len({r.doc_id for r in got}) == 12
+    assert set(out.columns) == {"doc_id", "source", "w"}  # shape preserved
+    again = build_plan(spark, spec({"size": 12, "weightColumn": "w"}))
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in got}
+    with pytest.raises(ValueError, match="PRIORITY_SAMPLE parameters"):
+        build_plan(spark, spec({"size": 12}))
+    with pytest.raises(ValueError, match="PRIORITY_SAMPLE parameters"):
+        build_plan(spark, spec({"weightColumn": "w"}))
+
+
+def test_quota_sample_stage(spark, tmp_path):
+    """Declarative QUOTA_SAMPLE: exact per-stratum sizes (clamped to the
+    stratum), unlisted strata excluded, row shape preserved; missing
+    quotas raises."""
+    spec = _corpus_spec(tmp_path, "QUOTA_SAMPLE",
+                        {"quotas": {"web": 2, "books": 5},
+                         "stratumColumn": "source"})
+    out = build_plan(spark, spec)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert {k: len(v) for k, v in by_src.items()} == {"web": 2, "books": 1}
+    assert set(out.columns) == {"doc_id", "source", "text"}
+    with pytest.raises(ValueError, match="quotas"):
+        build_plan(spark, _corpus_spec(tmp_path, "QUOTA_SAMPLE",
+                                       {"stratumColumn": "source"}))
+
+
+def test_hard_negatives_stage(spark, tmp_path):
+    """Declarative HARD_NEGATIVES: anchors from anchorPredicate over the
+    corpus; per-anchor top-k cross-label rows, positives never mined;
+    neither anchors source nor predicate raises."""
+    import json as _json
+    rows = [{"vec_id": i, "label": i % 2,
+             "embedding": [1.0, float(i) / 10, 0.25 * (i % 4)]}
+            for i in range(12)]
+    src = tmp_path / "vecs.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(params):
+        return JobSpec.from_dict({
+            "jobId": "hardneg-stage",
+            "source": {"type": "FILE_JSON", "details": {"path": str(src)}},
+            "transformation": {"type": "HARD_NEGATIVES",
+                               "parameters": params},
+        })
+
+    out = build_plan(spark, spec({"anchorPredicate": "vec_id < 2",
+                                  "k": 3})).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, lst in by_q.items():
+        assert len(lst) == 3
+        assert all(r.n_id % 2 != q % 2 for r in lst)   # cross-label only
+        assert [r.rank for r in sorted(lst, key=lambda r: r.rank)] == [1, 2, 3]
+    with pytest.raises(ValueError, match="anchors"):
+        build_plan(spark, spec({}))
