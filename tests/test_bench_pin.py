@@ -1,0 +1,30 @@
+"""The bench regression pin must stay consistent with the query surface:
+every pinned query still exists (a rename would silently drop its gate)
+and the gate tool runs. The actual time comparison happens after each
+bench.py run (tools/bench_regress.py and bench.py's regressed_vs_pin
+output) — pytest never runs the bench."""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pin_matches_query_surface():
+    from etl_load_spark.queries import QUERIES
+    pin = json.load(open(os.path.join(ROOT, "BENCH_PINNED.json")))
+    assert pin["threshold"] >= 1.0 and pin["abs_floor_sec"] >= 0
+    unknown = sorted(set(pin["steady"]) - set(QUERIES))
+    assert not unknown, f"pinned queries no longer registered: {unknown}"
+    # every pinned value is a sane positive time
+    assert all(0 < v < 600 for v in pin["steady"].values())
+
+
+def test_bench_regress_tool_runs():
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "bench_regress.py")],
+        capture_output=True, text=True)
+    assert r.returncode in (0, 1, 2), r.stderr
+    assert "bench_regress:" in r.stdout or "nothing compared" in r.stdout
