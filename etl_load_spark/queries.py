@@ -6487,6 +6487,34 @@ def _register_quota_sample_oracle() -> None:
 _register_quota_sample_oracle()
 
 
+# --- q171: sliding-window MinHash (paragraph-granularity near-dup) ----------
+
+@query("q171_window_minhash")  # oracle attached right below
+def q171_window_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing a NEAR-duplicate paragraph: MinHash-LSH over
+    sliding 32-token windows (stride 16), exact per-window-pair Jaccard
+    verify at ≥ 0.5, aggregated to (id_a, id_b, n_window_pairs,
+    best_jaccard). Catches the pair whose whole-document similarity is
+    negligible but which shares one lightly-edited paragraph — invisible
+    to q27 (whole-doc MinHash), q128 (hash-identical blocks) and q165
+    (verbatim containment). The oracle is the all-window-pairs EXACT
+    answer over the same decomposition, so the driver's hash compare
+    certifies 100% LSH recall on this corpus (the q27 pattern). See
+    operators/dedup.py::window_minhash_pairs."""
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return window_minhash_pairs(d, "doc_id", "text")
+
+
+def _register_window_minhash_oracle() -> None:
+    from etl_load_spark.operators.dedup import window_minhash_pairs_sql
+    QUERIES["q171_window_minhash"].oracle = window_minhash_pairs_sql(
+        "documents")
+
+
+_register_window_minhash_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -529,3 +529,64 @@ def test_quota_stratified_sample_exact_sizes_and_modes(spark):
         quota_stratified_sample(df, {}, "lang")
     with pytest.raises(ValueError, match="negative"):
         quota_stratified_sample(df, {"en": -1}, "lang")
+
+
+def test_window_minhash_finds_shared_paragraph_whole_doc_ops_miss(spark):
+    """q171 raison d'être: two long documents sharing ONE lightly-edited
+    paragraph pair up at window granularity while whole-doc MinHash at
+    the same threshold sees nothing (their doc-level Jaccard is tiny);
+    unrelated docs never pair; same-doc overlapping windows are never
+    emitted as pairs."""
+    from etl_load_spark.operators.dedup import (minhash_near_dup_pairs,
+                                                window_minhash_pairs)
+    # ≥ window+stride (48) tokens, so a full 32-token window lies inside
+    # the paragraph on both sides whatever the boundary alignment
+    para = ("the quarterly revenue figures exceeded expectations across "
+            "all regions with particularly strong growth in the cloud "
+            "segment driven by enterprise adoption of the new platform "
+            "while operating margins improved for the sixth consecutive "
+            "quarter and the services division closed its largest "
+            "contract to date with a multi year renewal commitment")
+    para_edited = para.replace("largest contract", "biggest deal")
+    filler_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    filler_b = " ".join(f"delta{i} epsi{i} zeta{i}" for i in range(40))
+    filler_c = " ".join(f"eta{i} theta{i} iota{i}" for i in range(40))
+    rows = [(1, f"{filler_a} {para} {filler_a}"),
+            (2, f"{filler_b} {para_edited} {filler_b}"),
+            (3, filler_c)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in
+           window_minhash_pairs(df, "doc_id", "text").collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].best_jaccard >= 0.5
+    assert got[(1, 2)].n_window_pairs >= 1
+    # whole-doc MinHash at the same threshold misses it
+    whole = minhash_near_dup_pairs(df, "doc_id", "text",
+                                   threshold=0.5).collect()
+    assert whole == []
+
+
+def test_window_minhash_matches_exact_sql_twin_on_planted_corpus(spark):
+    """Recall certification on a corpus with pairs AT the threshold
+    boundary: the operator's output must equal the exact all-window-pairs
+    SQL answer (DuckDB twin) — the q27 oracle pattern — including on
+    degenerate docs (empty/punctuation-only/NULL text yield no windows)."""
+    import duckdb
+
+    from etl_load_spark.operators.dedup import (window_minhash_pairs,
+                                                window_minhash_pairs_sql)
+    base = " ".join(f"w{i} common{i % 9} tok{i}" for i in range(30))
+    rows = [(1, base), (2, base.replace("tok3", "TOKX")),
+            (3, base[: len(base) // 2] + " completely different tail "
+             + " ".join(f"q{i}" for i in range(30))),
+            (4, " ".join(f"other{i}" for i in range(60))),
+            (5, ""), (6, "!!! ???"), (7, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    srows = sorted(tuple(map(str, r)) for r in
+                   window_minhash_pairs(df, "doc_id", "text").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    drows = sorted(tuple(map(str, r)) for r in
+                   con.sql(window_minhash_pairs_sql("docs")).fetchall())
+    assert srows == drows and len(srows) >= 1

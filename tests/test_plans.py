@@ -782,3 +782,20 @@ def test_quota_sample_bounded_two_phase(spark, sf_dir):
     assert "_bkt" not in p2.split("windowspecdefinition")[1], p2
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_window_minhash_q27_shape_one_scan_shared_exchanges(spark, sf_dir):
+    """q171: the q27 contract one granularity down — ONE corpus scan,
+    shared exchanges (shingle relation feeds signatures AND verify sets;
+    buckets feed both candidate sides) visible as ReusedExchange in the
+    final AQE plan, candidates carry keys only, no cartesian, no
+    Python."""
+    df = QUERIES["q171_window_minhash"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 3, final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
