@@ -18,6 +18,13 @@ Usage:
 
 New queries (registered after the pin) are listed informationally and
 added to the pin on --repin; they never fail the gate by absence.
+
+Adjudicating a flag: the steady pass runs after ~340 query executions
+in one JVM on a shared box — transient contention/GC spikes DO flag
+innocent queries (round 6 saw 3-10x spikes that an isolated 3-run
+re-measurement disproved). A flag is confirmed only by re-timing the
+query alone in a fresh session; repin over a disproved spike with the
+OLD value, never the spiked one.
 """
 
 from __future__ import annotations
