@@ -590,3 +590,30 @@ def test_window_minhash_matches_exact_sql_twin_on_planted_corpus(spark):
     drows = sorted(tuple(map(str, r)) for r in
                    con.sql(window_minhash_pairs_sql("docs")).fetchall())
     assert srows == drows and len(srows) >= 1
+
+
+def test_window_minhash_bucket_cap_semantics(spark):
+    """max_bucket_windows contract: a generous cap changes NOTHING
+    (exactness preserved); a cap of zero kills every candidate bucket
+    (empty output); a surgical cap drops only pairs connected SOLELY
+    through hot buckets — the boilerplate window shared by many docs —
+    while a pair that also matches on rarer content survives."""
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+    boiler = " ".join(f"cookie notice term{i} applies" for i in range(13))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(52))  # noqa: E731
+    rows = ([(i, f"{boiler} {uniq(f'u{i}x')}") for i in range(10)]
+            + [(100, uniq("shared")), (101, uniq("shared"))])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.id_a, r.id_b) for r in
+             window_minhash_pairs(df, "doc_id", "text").collect()}
+    assert (100, 101) in exact
+    assert any(a < 10 and b < 10 for a, b in exact)   # boilerplate pairs
+    same = {(r.id_a, r.id_b) for r in window_minhash_pairs(
+        df, "doc_id", "text", max_bucket_windows=1000).collect()}
+    assert same == exact
+    capped = {(r.id_a, r.id_b) for r in window_minhash_pairs(
+        df, "doc_id", "text", max_bucket_windows=5).collect()}
+    assert (100, 101) in capped                        # 2-doc bucket survives
+    assert not any(a < 10 and b < 10 for a, b in capped)  # 10-doc clique cut
+    assert window_minhash_pairs(
+        df, "doc_id", "text", max_bucket_windows=0).collect() == []
