@@ -799,3 +799,63 @@ def test_window_minhash_q27_shape_one_scan_shared_exchanges(spark, sf_dir):
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_containment_inverted_index_no_allpairs(spark, sf_dir):
+    """q165: containment candidates come from the inverted shingle index
+    (equi-joins only) — never all-pairs, never Python; small sides
+    broadcast."""
+    df = QUERIES["q165_containment_pairs"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    assert final.count("ReusedExchange") >= 1, final
+
+
+def test_trending_windows_on_bounded_count_relation(spark, sf_dir):
+    """q166: the trend windows run on the aggregated (type, hour) count
+    relation, never the raw event stream — one corpus scan, window
+    partitions keyed by event_type, no join, no Python."""
+    df = QUERIES["q166_trending_windows"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("FileScan parquet") == 1, final
+    assert "Join" not in final, final
+    assert "partial_count" in final or "partial_sum" in final, final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_last_touch_attribution_single_user_shuffle(spark, sf_dir):
+    """q167: attribution is ONE user-keyed window over the event relation
+    — a single window, no self-join back to events, no Python."""
+    df = QUERIES["q167_last_touch_attribution"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("FileScan parquet") == 1, final
+    win_lines = [ln for ln in final.splitlines()
+                 if "windowspecdefinition" in ln]
+    assert len(win_lines) == 1, final
+    assert "user_id" in win_lines[0], win_lines[0]
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_basket_lift_shared_exchange_broadcast_counts(spark, sf_dir):
+    """q168: the pair self-join reuses one order-keyed exchange
+    (ReusedExchange), per-part counts broadcast onto the filtered pair
+    table, and the only nested-loop is the documented 1-row total-count
+    scalar broadcast (the q141 shape)."""
+    df = QUERIES["q168_basket_lift"].fn(spark, sf_dir)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert final.count("ReusedExchange") >= 1, final
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
