@@ -37,10 +37,17 @@ def _check_dim_columns(dim: DataFrame, key_cols: list[str],
     dimension via ``select(*dim.columns)``, so the dimension must contain
     EXACTLY that column set — an extra (audit/load-metadata) column would
     otherwise fail at analysis with an opaque unresolved-column error.
-    Validate up front and raise a descriptive ValueError instead."""
+    Validate up front and raise a descriptive ValueError instead.
+
+    Comparison is case-INSENSITIVE (ADVICE r6): Spark's default resolver
+    (spark.sql.caseSensitive=false) resolves ``Valid_From`` against
+    ``valid_from``, so a dimension that merges fine must not be rejected
+    here on casing alone."""
     expected = [*key_cols, *attr_cols, *META_COLS]
-    missing = [c for c in expected if c not in dim.columns]
-    extra = [c for c in dim.columns if c not in expected]
+    exp_fold = {c.casefold() for c in expected}
+    dim_fold = {c.casefold() for c in dim.columns}
+    missing = [c for c in expected if c.casefold() not in dim_fold]
+    extra = [c for c in dim.columns if c.casefold() not in exp_fold]
     if missing or extra:
         raise ValueError(
             f"{op_name}: the dimension must contain exactly "
@@ -49,6 +56,15 @@ def _check_dim_columns(dim: DataFrame, key_cols: list[str],
             "audit/metadata columns before the merge (and re-join them "
             "afterwards), or declare them in attr_cols if they are "
             "version-tracked.")
+
+
+def _field_type(df: DataFrame, name: str):
+    """Schema field lookup under Spark's default case-INSENSITIVE
+    resolution (StructType.__getitem__ is exact-match only)."""
+    for f in df.schema.fields:
+        if f.name.casefold() == name.casefold():
+            return f.dataType
+    raise KeyError(name)
 
 
 def _any_attr_differs(attr_cols: list[str], old_prefix: str) -> Column:
@@ -86,7 +102,7 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
               .withColumn("is_current", F.lit(False)))
     fresh = (changed.select(*key_cols, *attr_cols)
              .withColumn("valid_from", eff)
-             .withColumn("valid_to", F.lit(None).cast(dim.schema["valid_to"].dataType))
+             .withColumn("valid_to", F.lit(None).cast(_field_type(dim, "valid_to")))
              .withColumn("is_current", F.lit(True)))
     return history.unionByName(untouched).unionByName(closed) \
                   .unionByName(fresh.select(*dim.columns))

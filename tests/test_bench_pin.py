@@ -28,3 +28,21 @@ def test_bench_regress_tool_runs():
         capture_output=True, text=True)
     assert r.returncode in (0, 1, 2), r.stderr
     assert "bench_regress:" in r.stdout or "nothing compared" in r.stdout
+
+
+def test_bench_regress_fresh_clone(tmp_path):
+    """ADVICE r6: BENCH_DETAIL.json is a gitignored bench artifact, so a
+    fresh clone has the pin but no detail — the tool must report a clean
+    'nothing compared' (exit 2), not crash with FileNotFoundError."""
+    import shutil
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    shutil.copy(os.path.join(ROOT, "tools", "bench_regress.py"),
+                tools / "bench_regress.py")
+    shutil.copy(os.path.join(ROOT, "BENCH_PINNED.json"),
+                tmp_path / "BENCH_PINNED.json")
+    r = subprocess.run([sys.executable, str(tools / "bench_regress.py")],
+                       capture_output=True, text=True)
+    assert r.returncode == 2, (r.stdout, r.stderr)
+    assert "nothing compared" in r.stdout
+    assert "BENCH_DETAIL.json" in r.stdout

@@ -160,3 +160,21 @@ def test_dim_column_contract_validated_up_front(spark):
     out = cdc_scd2_apply(dim_extra, feed2, ["k"], ["attr", "load_src"],
                          "seq")
     assert {r.load_src for r in out.collect()} == {"loader-7", "loader-8"}
+
+
+def test_dim_column_contract_case_insensitive(spark):
+    """ADVICE r6 regression: Spark's default resolver is case-insensitive
+    (spark.sql.caseSensitive=false), so a dimension whose meta columns
+    differ only in casing ('Valid_From') merges fine and must pass the
+    up-front contract check instead of being reported as both missing
+    and unexpected."""
+    from etl_load_spark.operators.scd import scd2_merge
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None, True)],
+        "k long, attr string, Valid_From string, VALID_TO string,"
+        " Is_Current boolean").selectExpr(
+        "k", "attr", "CAST(Valid_From AS DATE) AS Valid_From",
+        "CAST(VALID_TO AS DATE) AS VALID_TO", "Is_Current")
+    updates = spark.createDataFrame([(1, "B")], "k long, attr string")
+    out = scd2_merge(dim, updates, ["k"], ["attr"], "2021-06-01").collect()
+    assert len(out) == 2 and {r.attr for r in out} == {"A", "B"}

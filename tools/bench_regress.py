@@ -39,6 +39,15 @@ PIN = os.path.join(ROOT, "BENCH_PINNED.json")
 
 
 def main() -> int:
+    # BENCH_DETAIL.json is a bench.py artifact, gitignored by design — a
+    # fresh clone has the pin but no detail. "Nothing to compare" is a
+    # clean state (exit 2, the same code as an SF mismatch), not a crash.
+    missing = [p for p in (DETAIL, PIN) if not os.path.exists(p)]
+    if missing:
+        print("bench_regress: missing "
+              + ", ".join(os.path.basename(p) for p in missing)
+              + " — run bench.py at the pin's SF first; nothing compared.")
+        return 2
     detail = json.load(open(DETAIL))
     pin = json.load(open(PIN))
     if str(detail.get("sf")) != str(pin.get("sf")):
