@@ -617,3 +617,41 @@ def test_window_minhash_bucket_cap_semantics(spark):
     assert not any(a < 10 and b < 10 for a, b in capped)  # 10-doc clique cut
     assert window_minhash_pairs(
         df, "doc_id", "text", max_bucket_windows=0).collect() == []
+
+
+def test_content_key_sql_spark_dialect(spark):
+    """ADVICE r6 regression: content_key_sql(dialect='spark') previously
+    emitted DuckDB's regexp_matches inside the CASE predicate — invalid
+    Spark SQL. Pin that the spark-dialect string parses AND agrees with
+    the Column form on latin, CJK, and punctuation-only inputs."""
+    from etl_load_spark.operators.dedup import content_key, content_key_sql
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World"), (2, "你好世界"), (3, "!!! ???"),
+         (4, "hello world")],
+        "doc_id long, text string")
+    got = (df.selectExpr("doc_id",
+                         content_key_sql("text", dialect="spark") + " AS k")
+           .collect())
+    want = {r.doc_id: r.k for r in
+            df.select("doc_id",
+                      content_key(F.col("text")).alias("k")).collect()}
+    assert {r.doc_id: r.k for r in got} == want
+    assert want[1] == want[4]          # normalization variants collapse
+
+
+def test_window_minhash_rejects_non_integral_ids(spark):
+    """ADVICE r6 (medium) regression: a string doc id used to cast to
+    NULL inside the composite window key and silently EMPTY the result;
+    now it raises a descriptive ValueError up front. Integral widths all
+    pass; casing of the id column does not matter (Spark resolution is
+    case-insensitive)."""
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+    sdf = spark.createDataFrame([("a:1", "x y z")],
+                                "doc_id string, text string")
+    with pytest.raises(ValueError, match="must be an integral type"):
+        window_minhash_pairs(sdf, "doc_id", "text")
+    idf = spark.createDataFrame([(1, "x y z w v u t s")],
+                                "DOC_ID int, text string")
+    assert window_minhash_pairs(idf, "doc_id", "text",
+                                window_tokens=4, stride=2).collect() == []
