@@ -158,7 +158,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "QUANTIZE_EMBEDDINGS, STRATIFIED_SAMPLE, "
                          "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP, "
                          "CDC_SCD2_APPLY, ASSIGN_SPLIT, PRIORITY_SAMPLE, "
-                         "QUOTA_SAMPLE, HARD_NEGATIVES)")
+                         "QUOTA_SAMPLE, HARD_NEGATIVES, "
+                         "WINDOW_MINHASH_DEDUP)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -757,6 +758,39 @@ def _quota_sample_transform(df: DataFrame, p: dict) -> DataFrame:
     return df.join(kept.select(id_col), id_col, "semi")
 
 
+def _window_minhash_dedup_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative paragraph-granularity near-dedup stage
+    (operators/dedup.window_minhash_pairs — q171): finds document pairs
+    sharing at least one NEAR-duplicate sliding token window (edited
+    boilerplate, lightly-reworded quoted passages — invisible to
+    whole-document MinHash and to exact passage dedup) and drops the
+    HIGHER id of every pair, the SEMANTIC_DEDUP survivorship rule. Row
+    shape is preserved. ``minWindowPairs`` optionally requires that
+    many matching window pairs before a pair counts (1 = any shared
+    near-dup paragraph); ``maxBucketWindows`` is the documented
+    hot-bucket approximation knob for corpus scale. The id column must
+    be integral (the operator refuses strings up front). Parameters:
+    idColumn ('doc_id'), textColumn ('text'), windowTokens (32),
+    stride (16), n (3), threshold (0.5), minWindowPairs (1),
+    maxBucketWindows (None)."""
+    from pyspark.sql import functions as F
+
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+    id_col = p.get("idColumn", "doc_id")
+    mbw = p.get("maxBucketWindows")
+    pairs = window_minhash_pairs(
+        df, id_col, p.get("textColumn", "text"),
+        window_tokens=int(p.get("windowTokens", 32)),
+        stride=int(p.get("stride", 16)), n=int(p.get("n", 3)),
+        threshold=float(p.get("threshold", 0.5)),
+        max_bucket_windows=(int(mbw) if mbw is not None else None))
+    if int(p.get("minWindowPairs", 1)) > 1:
+        pairs = pairs.filter(
+            F.col("n_window_pairs") >= int(p["minWindowPairs"]))
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
                               spec: JobSpec) -> DataFrame:
     """Declarative hard-negative mining (operators/similarity.
@@ -811,6 +845,7 @@ _CORPUS_TRANSFORMS = {
     "ASSIGN_SPLIT": _assign_split_transform,
     "PRIORITY_SAMPLE": _priority_sample_transform,
     "QUOTA_SAMPLE": _quota_sample_transform,
+    "WINDOW_MINHASH_DEDUP": _window_minhash_dedup_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -859,4 +894,9 @@ _BATCH_ONLY_TRANSFORMS = {
                      "cuts; land the stream, then sample the landed "
                      "batch downstream (MIXTURE_SAMPLE is the "
                      "stream-safe fixed-rate alternative)"),
+    "WINDOW_MINHASH_DEDUP": ("the banded LSH self-join and exact verify "
+                             "need a corpus snapshot; land the stream, "
+                             "then dedup each landed batch downstream "
+                             "(streaming.windows.stream_content_dedup is "
+                             "the stream-safe exact-content alternative)"),
 }

@@ -146,6 +146,10 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "stream_block_dedup" in (r.error or "")
 
+    r = run_job(spark, spec("WINDOW_MINHASH_DEDUP", {}, "wm"))
+    assert r.status == "FAILED"
+    assert "stream_content_dedup" in (r.error or "")
+
     # the snapshot-needing curation stages refuse with their batch pointer
     r = run_job(spark, spec("DECONTAMINATE", {}, "d"))
     assert r.status == "FAILED" and "batch" in (r.error or "")

@@ -621,3 +621,68 @@ def test_hard_negatives_stage(spark, tmp_path):
         assert [r.rank for r in sorted(lst, key=lambda r: r.rank)] == [1, 2, 3]
     with pytest.raises(ValueError, match="anchors"):
         build_plan(spark, spec({}))
+
+
+def test_window_minhash_dedup_stage(spark, tmp_path):
+    """Declarative WINDOW_MINHASH_DEDUP (VERDICT r6 #4 — q171 as product
+    surface): docs sharing a near-dup PARAGRAPH pair up even when their
+    whole-doc similarity is tiny; the higher id of each pair drops
+    (SEMANTIC_DEDUP survivorship), row shape is preserved, and the
+    operator's integral-id contract surfaces through the stage."""
+    import json as _json
+    para = " ".join(f"shared{i}" for i in range(16))     # >= window+stride
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(24))  # noqa: E731
+    rows = [
+        {"doc_id": 1, "source": "web", "text": f"{uniq('a')} {para}"},
+        {"doc_id": 2, "source": "books", "text": f"{para} {uniq('b')}"},
+        {"doc_id": 3, "source": "web", "text": uniq("c")},
+    ]
+    src = tmp_path / "wmdocs.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(params, schema=None):
+        d = {"path": str(src)}
+        if schema:
+            d["schema"] = schema
+        return JobSpec.from_dict({
+            "jobId": "wmdedup-stage",
+            "source": {"type": "FILE_JSON", "details": d},
+            "transformation": {"type": "WINDOW_MINHASH_DEDUP",
+                               "parameters": params},
+        })
+
+    out = build_plan(spark, spec({"windowTokens": 8, "stride": 4}))
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 3}                 # doc 2 = higher id of the pair
+    assert got[1].source == "web"             # non-text columns preserved
+    assert set(out.columns) == {"doc_id", "source", "text"}
+    # an impossible window-pair floor keeps everything
+    all_kept = build_plan(spark, spec({"windowTokens": 8, "stride": 4,
+                                       "minWindowPairs": 99}))
+    assert {r.doc_id for r in all_kept.collect()} == {1, 2, 3}
+    # the operator's integral-id contract surfaces through the stage
+    with pytest.raises(ValueError, match="integral"):
+        build_plan(spark, spec(
+            {"windowTokens": 8, "stride": 4},
+            schema="doc_id string, source string, text string"))
+
+
+def test_stage_registry_readme_and_error_in_sync():
+    """ADVICE r5 hit README drift once (a shipped stage missing from the
+    docs); pin the three surfaces together: every _CORPUS_TRANSFORMS key
+    plus the spec-dispatched stages appears in README.md AND in the
+    unknown-transformation error text users actually see."""
+    import inspect
+    import os
+
+    from etl_load_spark.plans import builder
+    stages = set(builder._CORPUS_TRANSFORMS) | {
+        "SCD2_MERGE", "CDC_SCD2_APPLY", "DECONTAMINATE",
+        "INCREMENTAL_DEDUP", "IMPORTANCE_RESAMPLE", "HARD_NEGATIVES"}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    err_src = inspect.getsource(builder.apply_transformation)
+    missing_readme = sorted(s for s in stages if s not in readme)
+    missing_err = sorted(s for s in stages if s not in err_src)
+    assert not missing_readme, missing_readme
+    assert not missing_err, missing_err
