@@ -46,3 +46,20 @@ def test_bench_regress_fresh_clone(tmp_path):
     assert r.returncode == 2, (r.stdout, r.stderr)
     assert "nothing compared" in r.stdout
     assert "BENCH_DETAIL.json" in r.stdout
+
+
+def test_bench_regress_verify_flag_argument_errors():
+    """--verify (VERDICT r6 #5): bad arguments exit 2 with a clear
+    message and never start a Spark session. The happy path (isolated
+    re-timing) is exercised manually per adjudication; argument handling
+    is what must not rot."""
+    tool = os.path.join(ROOT, "tools", "bench_regress.py")
+    r = subprocess.run([sys.executable, tool, "--verify"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2 and "nothing compared" in r.stdout
+    r = subprocess.run([sys.executable, tool, "--verify", "zz_nope"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2 and "matches 0 pinned" in r.stdout
+    r = subprocess.run([sys.executable, tool, "--verify", "q"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2 and "unambiguously" in r.stdout

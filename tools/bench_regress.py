@@ -15,6 +15,12 @@ Usage:
         floor), so the next round is measured against the new reality.
         Repin deliberately: a regression you repin over is a regression
         you shipped.
+    python3 tools/bench_regress.py --verify q28,q50   # adjudicate flags:
+        re-time the named queries (comma-separated; unambiguous prefixes
+        ok) ALONE in a fresh session — 1 cold + 3 steady runs each at
+        $SPARK_GRAFT_SF_DIR — and print pin vs isolated. A flag is real
+        only if the isolated steady median still exceeds the gate;
+        exit 1 then, 0 when all flags are disproved contention spikes.
 
 New queries (registered after the pin) are listed informationally and
 added to the pin on --repin; they never fail the gate by absence.
@@ -38,7 +44,79 @@ DETAIL = os.path.join(ROOT, "BENCH_DETAIL.json")
 PIN = os.path.join(ROOT, "BENCH_PINNED.json")
 
 
+def verify(names_arg: str) -> int:
+    """Isolated re-measurement of flagged queries (the round-6 written
+    adjudication procedure as a command — VERDICT r6 #5)."""
+    import statistics
+    import time
+
+    sys.path.insert(0, ROOT)
+    pin = json.load(open(PIN)) if os.path.exists(PIN) else {"steady": {}}
+    thr = pin.get("threshold", 1.5)
+    floor = pin.get("abs_floor_sec", 0.5)
+    pinned = sorted(pin["steady"])
+    targets = []
+    for raw in names_arg.split(","):
+        raw = raw.strip()
+        if not raw:
+            continue
+        hits = [n for n in pinned if n == raw] or \
+               [n for n in pinned if n.startswith(raw)]
+        if len(hits) != 1:
+            print(f"--verify: {raw!r} matches {len(hits)} pinned queries "
+                  f"({hits[:5]}); name it unambiguously.")
+            return 2
+        targets.append(hits[0])
+    if not targets:
+        print("--verify: no queries named; nothing compared.")
+        return 2
+
+    from etl_load_spark.queries import QUERIES
+    from etl_load_spark.session import get_spark, release_operator_caches
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if "sf" in pin and str(pin["sf"]) != sf:
+        print(f"--verify: measuring at sf={sf} but the pin is "
+              f"sf={pin['sf']} — verdicts below are NOT comparable; "
+              f"set SPARK_GRAFT_SF_DIR to the pin's SF for adjudication.")
+    spark = get_spark("bench_regress_verify")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_once(name: str) -> float:
+        t0 = time.monotonic()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        dt = time.monotonic() - t0
+        release_operator_caches()
+        spark.catalog.clearCache()
+        return dt
+
+    confirmed = []
+    for name in targets:
+        cold = run_once(name)
+        steadies = [run_once(name) for _ in range(3)]
+        med = statistics.median(steadies)
+        base = pin["steady"][name]
+        still = med > base * thr and med > base + floor
+        print(f"{name}: pinned {base:.2f}s | isolated cold {cold:.2f}s "
+              f"steady {' '.join(f'{s:.2f}' for s in steadies)} "
+              f"(median {med:.2f}s) -> "
+              f"{'REGRESSION CONFIRMED' if still else 'spike disproved'}")
+        if still:
+            confirmed.append(name)
+    print(f"bench_regress: --verify {len(confirmed)} confirmed / "
+          f"{len(targets)} re-measured (threshold {thr}x + {floor}s floor)")
+    return 1 if confirmed else 0
+
+
 def main() -> int:
+    if "--verify" in sys.argv:
+        i = sys.argv.index("--verify")
+        if i + 1 >= len(sys.argv):
+            print("--verify: requires a comma-separated query list; "
+                  "nothing compared.")
+            return 2
+        return verify(sys.argv[i + 1])
     # BENCH_DETAIL.json is a bench.py artifact, gitignored by design — a
     # fresh clone has the pin but no detail. "Nothing to compare" is a
     # clean state (exit 2, the same code as an SF mismatch), not a crash.
