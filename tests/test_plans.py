@@ -868,3 +868,50 @@ def test_basket_lift_shared_exchange_broadcast_counts(spark, sf_dir):
     assert final.count("BroadcastNestedLoopJoin") <= 1, final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_global_plan_sweep_all_queries(spark, sf_dir):
+    """Global 100TB-posture sweep over EVERY declared query's static plan
+    (the per-family pins above check the interesting shapes; this pins
+    the floor for the whole surface, so a new query cannot quietly ship
+    a cartesian product or row-at-a-time Python): no CartesianProduct
+    anywhere, no BatchEvalPython anywhere, BroadcastNestedLoopJoin only
+    on the documented bounded-side paths (scalar/threshold broadcasts,
+    broadcast anchor sets, the one theta join), and Arrow/Pandas kernels
+    only in the families built on them. Extending an allowlist is a
+    conscious act with this test in the diff."""
+    # BNLJ = the join's build side is BOUNDED by construction:
+    #   scalar/threshold one-row aggregates: q73 q82 q141 q146 q153 q155 q163
+    #   broadcast anchor/query sets: q30 q114 q140 q156 q168
+    #   non-equi theta join (banded by design): q09
+    bnlj_ok = {
+        "q09_join_range_theta", "q30_sim_topk", "q73_funnel",
+        "q82_dormant_rich", "q114_tfidf_topk", "q140_cluster_balance",
+        "q141_source_divergence", "q146_lm_surprisal",
+        "q153_stratified_sample", "q155_importance_weights",
+        "q156_hard_negatives", "q163_grouped_split", "q168_basket_lift",
+    }
+    # Arrow-batched Python kernels (documented vectorized paths):
+    #   similarity/ANN numpy kernels + SQ8 + bloom bits + multimodal codecs
+    pandas_ok = {
+        "q31_sim_topk_lsh", "q32_embedding_near_dup", "q37_multimodal_features",
+        "q47_sim_topk_ivf", "q64_media_resize", "q100_audio_chunks",
+        "q127_sim_topk_pq", "q131_sim_lsh_planted", "q133_semantic_dedup",
+        "q136_sim_ivf_planted", "q137_sim_pq_planted",
+        "q139_bloom_decontaminate", "q152_embedding_quantize",
+    }
+    bad = []
+    for name, q in QUERIES.items():
+        df = q.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "row-at-a-time BatchEvalPython"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append((name, "undeclared BroadcastNestedLoopJoin"))
+        if name not in pandas_ok and any(
+                m in plan for m in ("ArrowEvalPython", "MapInPandas",
+                                    "FlatMapGroupsInPandas")):
+            bad.append((name, "undeclared Python kernel"))
+    assert not bad, bad
