@@ -655,3 +655,40 @@ def test_window_minhash_rejects_non_integral_ids(spark):
                                 "DOC_ID int, text string")
     assert window_minhash_pairs(idf, "doc_id", "text",
                                 window_tokens=4, stride=2).collect() == []
+
+
+def test_window_minhash_guaranteed_recall_property(spark):
+    """Property (the round-6 planting rule, driven by hypothesis): a
+    shared paragraph of >= window+stride tokens is caught REGARDLESS of
+    its alignment in either document — the sliding-window membership
+    math (lo/hi bounds) must put one fully-shared window on both sides
+    for every offset combination. Examples are collected first and
+    checked in ONE Spark job (the test_passage_dedup batching pattern);
+    per-example unique vocabularies make the planted pairs the ONLY
+    qualifying pairs, so the assertion is exact set equality."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 41), st.integers(0, 41), st.integers(12, 20))
+    def collect(pre_a, pre_b, para_len):
+        cases.append((pre_a, pre_b, para_len))
+
+    collect()
+
+    rows, want = [], set()
+    for i, (pre_a, pre_b, para_len) in enumerate(cases):
+        para = " ".join(f"p{i}x{j}" for j in range(para_len))
+        fill = lambda tag, m: " ".join(  # noqa: E731
+            f"{tag}{i}y{j}" for j in range(m))
+        a = " ".join(x for x in (fill("a", pre_a), para, fill("c", 5)) if x)
+        b = " ".join(x for x in (fill("b", pre_b), para, fill("d", 5)) if x)
+        rows += [(2 * i, a), (2 * i + 1, b)]
+        want.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in window_minhash_pairs(
+        df, "doc_id", "text", window_tokens=8, stride=4).collect()}
+    assert got == want
