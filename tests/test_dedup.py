@@ -692,3 +692,12 @@ def test_window_minhash_guaranteed_recall_property(spark):
     got = {(r.id_a, r.id_b) for r in window_minhash_pairs(
         df, "doc_id", "text", window_tokens=8, stride=4).collect()}
     assert got == want
+
+
+def test_window_minhash_missing_id_column_message(spark):
+    """A typo'd id column must raise the descriptive ValueError, not a
+    bare StopIteration from the schema scan."""
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not in the input columns"):
+        window_minhash_pairs(df, "document_id", "text")
