@@ -48,6 +48,21 @@ def _check_dim_columns(dim: DataFrame, key_cols: list[str],
     dim_fold = {c.casefold() for c in dim.columns}
     missing = [c for c in expected if c.casefold() not in dim_fold]
     extra = [c for c in dim.columns if c.casefold() not in exp_fold]
+    # A set-based compare admits case-DUPLICATE columns (both valid_to and
+    # VALID_TO): missing/extra are empty but the merge then dies with the
+    # ambiguous-column analysis error this validator exists to pre-empt
+    # (ADVICE r7). Count-check catches the collision and names it.
+    if not missing and not extra and len(dim.columns) != len(expected):
+        from collections import Counter
+        dup = sorted(c for c, k in
+                     Counter(c.casefold() for c in dim.columns).items()
+                     if k > 1)
+        raise ValueError(
+            f"{op_name}: the dimension carries case-duplicate columns "
+            f"{dup} ({len(dim.columns)} columns for {len(expected)} "
+            "expected names) — Spark's default case-insensitive resolver "
+            "would report them ambiguous mid-merge. Rename or drop the "
+            "duplicates first.")
     if missing or extra:
         raise ValueError(
             f"{op_name}: the dimension must contain exactly "

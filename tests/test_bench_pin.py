@@ -63,3 +63,26 @@ def test_bench_regress_verify_flag_argument_errors():
     r = subprocess.run([sys.executable, tool, "--verify", "q"],
                        capture_output=True, text=True)
     assert r.returncode == 2 and "unambiguously" in r.stdout
+
+
+def test_bench_regress_verify_without_pin(tmp_path):
+    """ADVICE r7: --verify on a fresh clone with NO pin file (or a pin
+    lacking the 'steady' key) must mirror main()'s missing-file message
+    and exit 2 — not report the misleading 'matches 0 pinned queries'
+    or KeyError on pin['steady']."""
+    import json
+    import shutil
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    shutil.copy(os.path.join(ROOT, "tools", "bench_regress.py"),
+                tools / "bench_regress.py")
+    r = subprocess.run(
+        [sys.executable, str(tools / "bench_regress.py"), "--verify", "q01"],
+        capture_output=True, text=True)
+    assert r.returncode == 2, (r.stdout, r.stderr)
+    assert "BENCH_PINNED.json" in r.stdout and "nothing compared" in r.stdout
+    (tmp_path / "BENCH_PINNED.json").write_text(json.dumps({"sf": "0.1"}))
+    r = subprocess.run(
+        [sys.executable, str(tools / "bench_regress.py"), "--verify", "q01"],
+        capture_output=True, text=True)
+    assert r.returncode == 2 and "nothing compared" in r.stdout

@@ -701,3 +701,40 @@ def test_window_minhash_missing_id_column_message(spark):
     df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     with pytest.raises(ValueError, match="not in the input columns"):
         window_minhash_pairs(df, "document_id", "text")
+
+
+def test_window_minhash_gapped_stride_matches_oracle(spark):
+    """ADVICE r7 (medium) regression: with stride > window_tokens - n + 1
+    (gapped coverage — window=8, stride=8, n=3) a shingle that straddles
+    a window boundary (p=6: lo=1 > hi=0) belongs to NO window; Spark's
+    sequence(lo, hi) used to DESCEND there, spuriously injecting the
+    straddler into BOTH neighboring windows. Docs 1/2 below share ONLY
+    tokens 5..9: the in-window overlap is 1 shingle of 6 (J=1/11) but
+    the two straddling shingles made the buggy 1-shingle second window a
+    3-shingle set with J=0.5 — a phantom pair the exact DuckDB oracle
+    (generate_series is empty when lo > hi) never emits. Assert exact
+    agreement with the oracle in this regime, phantom absent, true
+    duplicate still caught."""
+    import duckdb
+
+    from etl_load_spark.operators.dedup import (window_minhash_pairs,
+                                                window_minhash_pairs_sql)
+
+    shared = " ".join(f"s{j}" for j in range(5))           # tokens 5..9
+    mk = lambda tag: " ".join(                             # noqa: E731
+        [f"{tag}{j}" for j in range(5)] + [shared] + [f"{tag}z"])
+    dup = " ".join(f"d{j}" for j in range(16))
+    rows = [(1, mk("a")), (2, mk("b")), (100, dup), (101, dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in window_minhash_pairs(
+        df, "doc_id", "text", window_tokens=8, stride=8).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                + ") AS v(doc_id, text)")
+    sql = window_minhash_pairs_sql("documents", window_tokens=8, stride=8)
+    want = {(a, b) for a, b, *_ in con.execute(sql).fetchall()}
+    assert got == want
+    assert (100, 101) in got          # aligned true duplicate survives
+    assert (1, 2) not in got          # the phantom straddler pair is gone

@@ -178,3 +178,22 @@ def test_dim_column_contract_case_insensitive(spark):
     updates = spark.createDataFrame([(1, "B")], "k long, attr string")
     out = scd2_merge(dim, updates, ["k"], ["attr"], "2021-06-01").collect()
     assert len(out) == 2 and {r.attr for r in out} == {"A", "B"}
+
+
+def test_dim_column_contract_rejects_case_duplicates(spark):
+    """ADVICE r7 regression: a dimension carrying BOTH valid_to and
+    VALID_TO slipped past the casefold set compare (missing/extra both
+    empty) and then died mid-merge with the ambiguous-column analysis
+    error the validator exists to pre-empt. The count check must catch
+    the collision up front and name the colliding column."""
+    import pytest
+
+    from etl_load_spark.operators.scd import scd2_merge
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None, None, True)],
+        "k long, attr string, valid_from string, valid_to string,"
+        " VALID_TO2 string, is_current boolean") \
+        .withColumnRenamed("VALID_TO2", "VALID_TO")
+    updates = spark.createDataFrame([(1, "B")], "k long, attr string")
+    with pytest.raises(ValueError, match="case-duplicate.*valid_to"):
+        scd2_merge(dim, updates, ["k"], ["attr"], "2021-06-01")

@@ -51,7 +51,14 @@ def verify(names_arg: str) -> int:
     import time
 
     sys.path.insert(0, ROOT)
-    pin = json.load(open(PIN)) if os.path.exists(PIN) else {"steady": {}}
+    # Mirror main()'s missing-file handling (ADVICE r7): without a pin
+    # there is nothing to adjudicate against — say so instead of the
+    # misleading "matches 0 pinned queries" name-resolution error.
+    pin = json.load(open(PIN)) if os.path.exists(PIN) else {}
+    if not pin.get("steady"):
+        print("bench_regress: missing BENCH_PINNED.json (or no 'steady' "
+              "key) — nothing compared. Run bench.py then --repin first.")
+        return 2
     thr = pin.get("threshold", 1.5)
     floor = pin.get("abs_floor_sec", 0.5)
     pinned = sorted(pin["steady"])
