@@ -6524,20 +6524,18 @@ _register_window_minhash_oracle()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
-# Round-7 rotation (VERDICT r6 "Next round" #1): the same 10 family
-# anchors, the FIRST driver row for q171 (window minhash — registered
-# after the round-6 window froze, so round 6's rotation comment
-# overstated it; green in the identical-methodology local gate since),
-# and re-greens for 39 of the 40 queries whose latest green driver row
-# is from round 3 (computed from the CORRECTNESS_r0*.json latest-green
-# per query — never a hardcoded list). 10 + 1 + 39 = 50. The one r3
-# query deferred to round 8 is q107_top_supplier: a plain TPC-H
-# aggregate whose family is re-covered in THIS window by the q01 anchor
-# plus six sibling re-greens (q102/q104/q105/q106/q109/q110). After
-# this round every one of the 171 declared queries is driver-certified
-# with no green row older than round 4. Everything outside the window
-# keeps the identical-methodology local pytest oracle gate
-# (tests/test_entry.py).
+# Round-8 rotation (VERDICT r7 "Next round" #1): the same 10 family
+# anchors, q107_top_supplier (the ONE remaining r3 row, deferred from
+# the r7 window), and re-greens for 39 of the 40 queries whose latest
+# green driver row is from round 4 (computed from the
+# CORRECTNESS_r0*.json latest-green per query — never a hardcoded
+# list). 10 + 1 + 39 = 50. The one r4 query deferred to round 9 is
+# q68_join_right: a plain right-outer join whose family is re-covered
+# in THIS window by the q05 anchor plus four sibling re-greens
+# (q62 full-outer, q122 shuffle-hash, q65/q70 stream-static joins).
+# After this round every declared query's green row is ≤ round 5.
+# Everything outside the window keeps the identical-methodology local
+# pytest oracle gate (tests/test_entry.py).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate
@@ -6550,23 +6548,25 @@ DRIVER_WINDOW: list[str] = [
     "q27_dedup_minhash",        # LSH dedup
     "q30_sim_topk",             # similarity exact baseline
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
-    # --- first driver row: the post-r6-freeze operator ---
-    "q171_window_minhash",
-    # --- re-greens: 39 of the 40 r3-latest queries (q107 deferred) ---
-    "q10_window_rank", "q21_approx_distinct", "q32_embedding_near_dup",
-    "q33_text_stats", "q37_multimodal_features", "q39_sliding_windows",
-    "q41_pivot", "q63_window_ntile", "q66_vocab_topk",
-    "q67_approx_percentile", "q71_sketch_rollup", "q72_gapfill_locf",
-    "q73_funnel", "q74_retention", "q85_pseudonymize", "q86_bigram_topk",
-    "q87_contamination", "q88_feature_moments", "q89_sequence_pack",
-    "q90_curation_funnel", "q92_scd2_merge", "q94_unpivot",
-    "q99_repetition", "q102_nation_trade_volume", "q104_market_share",
-    "q105_returned_items", "q106_shipping_delay_priority",
-    "q109_small_quantity_revenue", "q110_large_volume_orders",
-    "q128_passage_dedup", "q129_quality_rules", "q130_data_mixture",
-    "q131_sim_lsh_planted", "q134_quality_classifier",
-    "q135_xml_roundtrip", "q136_sim_ivf_planted", "q137_sim_pq_planted",
-    "q138_pii_redaction", "q139_bloom_decontaminate",
+    # --- the one r3 row (deferred from round 7 with family rationale) ---
+    "q107_top_supplier",
+    # --- re-greens: 39 of the 40 r4-latest queries (q68 deferred) ---
+    "q40_grouping_sets", "q42_array_explode", "q43_array_agg",
+    "q61_correlated_subquery", "q62_full_outer_join", "q64_media_resize",
+    "q65_stream_static_enrich", "q69_union_by_name",
+    "q70_stream_interval_left", "q75_weighted_sample",
+    "q76_json_shred_roundtrip", "q77_histogram", "q78_pivot_multi_agg",
+    "q79_array_set_ops", "q80_regexp_extract_all", "q81_exists_returned",
+    "q82_dormant_rich", "q83_cust_order_distribution", "q84_promo_share",
+    "q93_window_distribution", "q96_important_parts",
+    "q97_qualified_suppliers", "q98_cheapest_supplier",
+    "q100_audio_chunks", "q103_disjunctive_predicates",
+    "q108_supplier_part_counts", "q115_sessionize", "q116_date_spine",
+    "q117_mad_outliers", "q118_argmax_customer", "q122_shuffle_hash_join",
+    "q132_forecast_revenue", "q140_cluster_balance",
+    "q141_source_divergence", "q142_repeated_spans",
+    "q143_image_near_dup", "q144_chunk_overlap", "q145_span_dedup",
+    "q146_lm_surprisal",
 ]
 
 
