@@ -738,3 +738,60 @@ def test_window_minhash_gapped_stride_matches_oracle(spark):
     assert got == want
     assert (100, 101) in got          # aligned true duplicate survives
     assert (1, 2) not in got          # the phantom straddler pair is gone
+
+
+def test_window_minhash_recall_property_gapped_regimes(spark):
+    """Sharpen the recall guarantee across stride regimes, INCLUDING
+    gapped ones (stride > window_tokens - n + 1, the ADVICE r7 regime):
+    a shared paragraph of >= window+stride tokens fully contains one
+    window per doc per stride slot, so with per-example-unique vocab
+    the best fully-covered window pair has EXACTLY
+    J = (W-n+1-d)/(W-n+1+d), where d is the circular alignment
+    distance |pre_a - pre_b| mod stride (capped at floor(s/2)).
+    Whenever that J clears the threshold the pair MUST be caught — in
+    particular every stride-ALIGNED plant (d=0, J=1) in every regime.
+    The default config (32/16/3, tau=0.5) satisfies the all-alignment
+    guarantee (worst J = 22/38); gapped strides legitimately trade
+    misaligned-paragraph recall for fewer windows — pinned here so the
+    boundary is a documented contract, not an accident. False
+    positives are impossible by vocabulary construction; exactness of
+    misses is covered by the DuckDB-oracle parity tests."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+
+    regimes = [(8, 8, 3), (6, 6, 2), (8, 8, 2),   # gapped: s > W-n+1
+               (8, 4, 3)]                          # safe control
+    cases = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(0, 23), st.integers(0, 23))
+    def collect(pre_a, pre_b):
+        cases.append((pre_a, pre_b))
+
+    collect()
+
+    for w, s, n in regimes:
+        rows, must = [], set()
+        for i, (pre_a, pre_b) in enumerate(cases):
+            para = " ".join(f"p{i}x{j}" for j in range(w + s))
+            fill = lambda tag, m: " ".join(  # noqa: E731
+                f"{tag}{i}y{j}" for j in range(m))
+            a = " ".join(x for x in (fill("a", pre_a), para,
+                                     fill("c", 3)) if x)
+            b = " ".join(x for x in (fill("b", pre_b), para,
+                                     fill("d", 3)) if x)
+            rows += [(2 * i, a), (2 * i + 1, b)]
+            d = (pre_a - pre_b) % s
+            d = min(d, s - d)
+            if (w - n + 1 - d) / (w - n + 1 + d) >= 0.5:
+                must.add((2 * i, 2 * i + 1))
+        assert any((2 * i, 2 * i + 1) in must for i in range(len(cases)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b) for r in window_minhash_pairs(
+            df, "doc_id", "text", window_tokens=w, stride=s,
+            n=n).collect()}
+        # only planted pairs can ever match (unique vocab) and every
+        # guarantee-covered plant must be among them
+        assert all(b == a + 1 and a % 2 == 0 for a, b in got), (w, s, n)
+        assert must <= got, (w, s, n, must - got)
