@@ -1084,8 +1084,15 @@ def test_global_plan_sweep_all_stages(spark, tmp_path):
     pandas_ok = {"SEMANTIC_DEDUP", "QUANTIZE_EMBEDDINGS", "DECONTAMINATE",
                  "PYTHON_SCRIPT:pandas"}
     specs = _stage_sweep_specs(tmp_path)
+    # completeness: every registry stage AND every spec-dispatched
+    # branch of apply_transformation (parsed from its source so a new
+    # hardcoded `tr.type.upper() == "X"` branch can't dodge the sweep)
+    import inspect
+    import re
     from etl_load_spark.plans import builder as _b
-    missing = (set(_b._CORPUS_TRANSFORMS)
+    dispatched = set(re.findall(r'tr\.type\.upper\(\) == "([A-Z_]+)"',
+                                inspect.getsource(_b.apply_transformation)))
+    missing = ((set(_b._CORPUS_TRANSFORMS) | dispatched)
                - {k.split(":")[0] for k in specs})
     assert not missing, f"stage sweep lacks specs for: {sorted(missing)}"
     bad = []
