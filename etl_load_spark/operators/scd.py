@@ -42,27 +42,42 @@ def _check_dim_columns(dim: DataFrame, key_cols: list[str],
     Comparison is case-INSENSITIVE (ADVICE r6): Spark's default resolver
     (spark.sql.caseSensitive=false) resolves ``Valid_From`` against
     ``valid_from``, so a dimension that merges fine must not be rejected
-    here on casing alone."""
+    here on casing alone. The folding stays case-insensitive even when a
+    session sets ``spark.sql.caseSensitive=true`` (ADVICE r7, deliberate):
+    under that resolver mixed-case columns DO merge, so a stricter check
+    would only reject dimensions that work — and the case-duplicate
+    rejection below is then merely conservative, never wrong."""
+    from collections import Counter
     expected = [*key_cols, *attr_cols, *META_COLS]
     exp_fold = {c.casefold() for c in expected}
     dim_fold = {c.casefold() for c in dim.columns}
     missing = [c for c in expected if c.casefold() not in dim_fold]
     extra = [c for c in dim.columns if c.casefold() not in exp_fold]
-    # A set-based compare admits case-DUPLICATE columns (both valid_to and
-    # VALID_TO): missing/extra are empty but the merge then dies with the
-    # ambiguous-column analysis error this validator exists to pre-empt
-    # (ADVICE r7). Count-check catches the collision and names it.
-    if not missing and not extra and len(dim.columns) != len(expected):
-        from collections import Counter
-        dup = sorted(c for c, k in
+    # Compute BOTH duplicate sets unconditionally (ADVICE r8): a set-based
+    # compare admits case-DUPLICATE columns (both valid_to and VALID_TO),
+    # and a collision must be reported even when it co-occurs with
+    # missing/extra columns — otherwise it stays hidden until the next
+    # attempt. A duplicate on the SPEC side (key_cols/attr_cols naming
+    # both "id" and "ID") is the caller's bug, not the dimension's, and
+    # gets its own message.
+    dim_dup = sorted(c for c, k in
                      Counter(c.casefold() for c in dim.columns).items()
                      if k > 1)
+    spec_dup = sorted(c for c, k in
+                      Counter(c.casefold() for c in expected).items()
+                      if k > 1)
+    if spec_dup:
         raise ValueError(
-            f"{op_name}: the dimension carries case-duplicate columns "
-            f"{dup} ({len(dim.columns)} columns for {len(expected)} "
-            "expected names) — Spark's default case-insensitive resolver "
-            "would report them ambiguous mid-merge. Rename or drop the "
-            "duplicates first.")
+            f"{op_name}: key_cols/attr_cols themselves contain "
+            f"case-duplicate names {spec_dup} (or repeat one of "
+            f"{META_COLS}) — fix the merge SPEC, the dimension cannot "
+            "satisfy it. Spark's default case-insensitive resolver would "
+            "report such columns ambiguous mid-merge.")
+    dup_note = ("" if not dim_dup else
+                f" The dimension also carries case-duplicate columns "
+                f"{dim_dup}, which Spark's default case-insensitive "
+                "resolver would report ambiguous mid-merge — rename or "
+                "drop the duplicates too.")
     if missing or extra:
         raise ValueError(
             f"{op_name}: the dimension must contain exactly "
@@ -70,7 +85,14 @@ def _check_dim_columns(dim: DataFrame, key_cols: list[str],
             f"missing={missing} unexpected={extra}. Drop extra "
             "audit/metadata columns before the merge (and re-join them "
             "afterwards), or declare them in attr_cols if they are "
-            "version-tracked.")
+            f"version-tracked.{dup_note}")
+    if dim_dup:
+        raise ValueError(
+            f"{op_name}: the dimension carries case-duplicate columns "
+            f"{dim_dup} ({len(dim.columns)} columns for {len(expected)} "
+            "expected names) — Spark's default case-insensitive resolver "
+            "would report them ambiguous mid-merge. Rename or drop the "
+            "duplicates first.")
 
 
 def _field_type(df: DataFrame, name: str):

@@ -6524,18 +6524,17 @@ _register_window_minhash_oracle()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
-# Round-8 rotation (VERDICT r7 "Next round" #1): the same 10 family
-# anchors, q107_top_supplier (the ONE remaining r3 row, deferred from
-# the r7 window), and re-greens for 39 of the 40 queries whose latest
-# green driver row is from round 4 (computed from the
-# CORRECTNESS_r0*.json latest-green per query — never a hardcoded
-# list). 10 + 1 + 39 = 50. The one r4 query deferred to round 9 is
-# q68_join_right: a plain right-outer join whose family is re-covered
-# in THIS window by the q05 anchor plus four sibling re-greens
-# (q62 full-outer, q122 shuffle-hash, q65/q70 stream-static joins).
-# After this round every declared query's green row is ≤ round 5.
-# Everything outside the window keeps the identical-methodology local
-# pytest oracle gate (tests/test_entry.py).
+# Round-9 rotation (VERDICT r8 "Next round" #1): the same 10 family
+# anchors, q68_join_right (the ONE remaining r4 row, deferred from the
+# r8 window with a family rationale — its join siblings q05/q62/q65/
+# q70/q122 all re-greened in r8), and re-greens for the 39 oldest
+# remaining rows: all 37 queries whose latest green driver row is from
+# round 5, plus the 2 lowest-numbered round-6 rows to fill the window
+# (computed from the CORRECTNESS_r0*.json latest-green per query —
+# never a hardcoded list). 10 + 1 + 37 + 2 = 50. After this round
+# every declared query's green row is ≤ round 6. Everything outside
+# the window keeps the identical-methodology local pytest oracle gate
+# (tests/test_entry.py).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate
@@ -6548,25 +6547,25 @@ DRIVER_WINDOW: list[str] = [
     "q27_dedup_minhash",        # LSH dedup
     "q30_sim_topk",             # similarity exact baseline
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
-    # --- the one r3 row (deferred from round 7 with family rationale) ---
-    "q107_top_supplier",
-    # --- re-greens: 39 of the 40 r4-latest queries (q68 deferred) ---
-    "q40_grouping_sets", "q42_array_explode", "q43_array_agg",
-    "q61_correlated_subquery", "q62_full_outer_join", "q64_media_resize",
-    "q65_stream_static_enrich", "q69_union_by_name",
-    "q70_stream_interval_left", "q75_weighted_sample",
-    "q76_json_shred_roundtrip", "q77_histogram", "q78_pivot_multi_agg",
-    "q79_array_set_ops", "q80_regexp_extract_all", "q81_exists_returned",
-    "q82_dormant_rich", "q83_cust_order_distribution", "q84_promo_share",
-    "q93_window_distribution", "q96_important_parts",
-    "q97_qualified_suppliers", "q98_cheapest_supplier",
-    "q100_audio_chunks", "q103_disjunctive_predicates",
-    "q108_supplier_part_counts", "q115_sessionize", "q116_date_spine",
-    "q117_mad_outliers", "q118_argmax_customer", "q122_shuffle_hash_join",
-    "q132_forecast_revenue", "q140_cluster_balance",
-    "q141_source_divergence", "q142_repeated_spans",
-    "q143_image_near_dup", "q144_chunk_overlap", "q145_span_dedup",
-    "q146_lm_surprisal",
+    # --- the one r4 row (deferred from round 8 with family rationale) ---
+    "q68_join_right",
+    # --- re-greens: all 37 r5-latest queries ---
+    "q04_group_having", "q06_join_semi", "q09_join_range_theta",
+    "q11_window_running", "q12_rollup", "q13_cube", "q15_intersect",
+    "q16_except_all", "q20_distinct_agg", "q22_json_events",
+    "q26_dedup_normalized", "q36_band_join", "q55_range_frame",
+    "q91_profile", "q119_window_misc", "q120_agg_misc",
+    "q121_date_breadth", "q124_string_breadth", "q125_math_breadth",
+    "q147_cross_source_dedup", "q148_token_budget", "q149_shard_manifest",
+    "q150_sequence_pack", "q151_incremental_dedup",
+    "q152_embedding_quantize", "q153_stratified_sample",
+    "q154_url_canonicalize", "q155_importance_weights",
+    "q156_hard_negatives", "q157_markup_strip", "q158_eval_leakage",
+    "q159_cdc_scd2_apply", "q160_tokenizer_fertility",
+    "q161_embedding_drift", "q162_charset_stats", "q163_grouped_split",
+    "q164_dense_ids",
+    # --- the 2 lowest-numbered r6 rows filling the window ---
+    "q02_filter_predicates", "q03_top_revenue",
 ]
 
 

@@ -762,9 +762,13 @@ def test_window_minhash_recall_property_gapped_regimes(spark):
 
     regimes = [(8, 8, 3), (6, 6, 2), (8, 8, 2),   # gapped: s > W-n+1
                (8, 4, 3)]                          # safe control
-    cases = []
+    # Deterministic alignment grid (ADVICE r8): (0, d) for d=0..4 covers
+    # every circular distance 0..floor(s/2) for all four regimes (s in
+    # {8, 6, 4}), so the d=0 guaranteed plant and the boundary cases are
+    # exercised on EVERY run regardless of what hypothesis draws.
+    cases = [(0, d) for d in range(5)]
 
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=12, deadline=None, derandomize=True)
     @given(st.integers(0, 23), st.integers(0, 23))
     def collect(pre_a, pre_b):
         cases.append((pre_a, pre_b))

@@ -1085,13 +1085,53 @@ def test_global_plan_sweep_all_stages(spark, tmp_path):
                  "PYTHON_SCRIPT:pandas"}
     specs = _stage_sweep_specs(tmp_path)
     # completeness: every registry stage AND every spec-dispatched
-    # branch of apply_transformation (parsed from its source so a new
-    # hardcoded `tr.type.upper() == "X"` branch can't dodge the sweep)
+    # branch of apply_transformation. Discovery is STRUCTURAL (ADVICE
+    # r8): walk the AST for comparisons whose left side is tr.type /
+    # tr.type.upper() — ==/!= against a string literal registers the
+    # branch, membership in the two registries is swept via
+    # _CORPUS_TRANSFORMS below, and ANY other comparison shape
+    # (`in ("X",)`, a tuple/set literal, a variable, an aliased
+    # `t = tr.type.upper()`) fails the guard outright instead of
+    # silently escaping the sweep.
+    import ast
     import inspect
-    import re
+    import textwrap
     from etl_load_spark.plans import builder as _b
-    dispatched = set(re.findall(r'tr\.type\.upper\(\) == "([A-Z_]+)"',
-                                inspect.getsource(_b.apply_transformation)))
+
+    def _is_trtype(node):
+        if (isinstance(node, ast.Call) and not node.args
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "upper"):
+            node = node.func.value
+        return (isinstance(node, ast.Attribute) and node.attr == "type"
+                and isinstance(node.value, ast.Name)
+                and node.value.id == "tr")
+
+    tree = ast.parse(textwrap.dedent(
+        inspect.getsource(_b.apply_transformation)))
+    dispatched, undiscoverable = set(), []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Compare) and _is_trtype(node.left):
+            for op, cmp_ in zip(node.ops, node.comparators):
+                if (isinstance(op, (ast.Eq, ast.NotEq))
+                        and isinstance(cmp_, ast.Constant)
+                        and isinstance(cmp_.value, str)):
+                    dispatched.add(cmp_.value.upper())
+                elif (isinstance(op, (ast.In, ast.NotIn))
+                      and isinstance(cmp_, ast.Name)
+                      and cmp_.id in ("_CORPUS_TRANSFORMS",
+                                      "_BATCH_ONLY_TRANSFORMS")):
+                    pass    # registry membership — swept structurally
+                else:
+                    undiscoverable.append(ast.unparse(node))
+        if (isinstance(node, (ast.Assign, ast.AnnAssign, ast.NamedExpr))
+                and _is_trtype(getattr(node, "value", None))):
+            undiscoverable.append(ast.unparse(node))
+    assert not undiscoverable, (
+        "apply_transformation compares tr.type in a shape this sweep's "
+        f"discovery can't register: {undiscoverable} — rewrite as "
+        'tr.type.upper() == "X" or registry membership so the stage '
+        "sweep sees the branch")
     missing = ((set(_b._CORPUS_TRANSFORMS) | dispatched)
                - {k.split(":")[0] for k in specs})
     assert not missing, f"stage sweep lacks specs for: {sorted(missing)}"

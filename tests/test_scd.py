@@ -197,3 +197,47 @@ def test_dim_column_contract_rejects_case_duplicates(spark):
     updates = spark.createDataFrame([(1, "B")], "k long, attr string")
     with pytest.raises(ValueError, match="case-duplicate.*valid_to"):
         scd2_merge(dim, updates, ["k"], ["attr"], "2021-06-01")
+
+
+def test_dim_column_contract_duplicate_reported_alongside_missing(spark):
+    """ADVICE r8 regression: a dimension with BOTH a case-duplicate column
+    and a missing/extra column previously reported only the missing/extra
+    error — the collision stayed hidden until the next attempt. The
+    missing/extra message must now mention the duplicates too."""
+    import pytest
+
+    from etl_load_spark.operators.scd import scd2_merge
+    # valid_to duplicated AND is_current missing AND an extra audit column
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None, None, "loader-7")],
+        "k long, attr string, valid_from string, valid_to string,"
+        " VALID_TO2 string, load_src string") \
+        .withColumnRenamed("VALID_TO2", "VALID_TO")
+    updates = spark.createDataFrame([(1, "B")], "k long, attr string")
+    with pytest.raises(ValueError,
+                       match=r"(?s)missing=\['is_current'\].*"
+                             r"unexpected=\['load_src'\].*"
+                             r"case-duplicate columns \['valid_to'\]"):
+        scd2_merge(dim, updates, ["k"], ["attr"], "2021-06-01")
+
+
+def test_dim_column_contract_spec_side_duplicates_blame_the_spec(spark):
+    """ADVICE r8 regression: when key_cols/attr_cols THEMSELVES contain
+    case-duplicate names, the old branch raised with an empty duplicate
+    list ("case-duplicate columns []") blaming the dimension for a spec
+    problem. The validator must name the spec as the culprit instead."""
+    import pytest
+
+    from etl_load_spark.operators.scd import scd2_merge
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string,"
+        " is_current boolean")
+    updates = spark.createDataFrame([(1, "B")], "k long, attr string")
+    with pytest.raises(ValueError, match=r"key_cols/attr_cols themselves "
+                                         r"contain case-duplicate names "
+                                         r"\['attr'\]"):
+        scd2_merge(dim, updates, ["k"], ["attr", "ATTR"], "2021-06-01")
+    # repeating a META column in attr_cols is the same spec bug
+    with pytest.raises(ValueError, match="key_cols/attr_cols"):
+        scd2_merge(dim, updates, ["k"], ["attr", "valid_to"], "2021-06-01")
