@@ -686,3 +686,38 @@ def test_stage_registry_readme_and_error_in_sync():
     missing_err = sorted(s for s in stages if s not in err_src)
     assert not missing_readme, missing_readme
     assert not missing_err, missing_err
+
+
+def test_window_minhash_recall_contract_documented_in_readme():
+    """VERDICT r8 #4: the gapped-stride recall boundary lives in the
+    operator docstring and the verify notes, but a spec author choosing
+    `stride > windowTokens - ngram + 1` reads neither — pin a README
+    paragraph to the same three-way-sync discipline as the stage table.
+    The pin checks the paragraph exists next to the stage name, states
+    the boundary inequality, cites the operator defaults that actually
+    ship (inspected from the signature, not hardcoded), and points at
+    the dedup.py derivation."""
+    import inspect
+    import os
+    import re
+
+    from etl_load_spark.operators.dedup import window_minhash_pairs
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"WINDOW_MINHASH_DEDUP recall contract.*?dedup\.py",
+                  readme, re.S)
+    assert m, "README lost the WINDOW_MINHASH_DEDUP recall-contract note"
+    para = m.group(0)
+    # the boundary inequality and the gapped-stride caveat are both stated
+    assert "⌊stride/2⌋ ≤ (windowTokens−ngram+1)(1−τ)/(1+τ)" in para, para
+    assert "stride > windowTokens−ngram+1" in para, para
+    # the cited defaults are the ones the operator ships
+    sig = inspect.signature(window_minhash_pairs)
+    w = sig.parameters["window_tokens"].default
+    s = sig.parameters["stride"].default
+    n = sig.parameters["n"].default
+    tau = sig.parameters["threshold"].default
+    assert f"{w}/{s}/{n} defaults" in para, (w, s, n, para)
+    assert f"τ={tau}" in para, (tau, para)
+    # and the shipped defaults really satisfy the all-alignment guarantee
+    assert s // 2 <= (w - n + 1) * (1 - tau) / (1 + tau)
