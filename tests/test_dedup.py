@@ -108,6 +108,63 @@ def test_connected_components_multi_hop(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_deep_chain_beyond_old_round_bound(spark):
+    """100×-scale regression: plain min-label propagation needs
+    diameter-many rounds, so a duplicate chain deeper than max_iter=25
+    hops (gradually-drifting page versions produce exactly this shape
+    at crawl scale) silently returned HALF-MERGED clusters. Pointer
+    jumping makes rounds O(log2 diameter) — a 200-hop path must resolve
+    to ONE cluster well inside the default 25 rounds (log2(200) ≈ 8)."""
+    from etl_load_spark.operators.dedup import connected_components
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "src long, dst long")
+    got = {r._id: r._cluster for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Exactness property: CC output equals a driver-side union-find on
+    the same edge list, on a deterministic blob mixing cliques, chains,
+    a ring, and bridges between them (the shapes near-dup graphs take)."""
+    from etl_load_spark.operators.dedup import connected_components
+    edges = []
+    edges += [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique
+    edges += [(i, i + 1) for i in range(10, 40)]                  # chain
+    edges += [(50 + i, 50 + (i + 1) % 8) for i in range(8)]       # ring
+    edges += [(4, 10), (39, 50)]                                  # bridges
+    edges += [(100, 101), (102, 103)]                             # pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r._id: r._cluster for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_connected_components_raises_instead_of_half_merged(spark):
+    """A fixpoint NOT reached at max_iter must raise, never return —
+    half-merged clusters make the dedup survivor pick silently wrong."""
+    import pytest
+
+    from etl_load_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_dedup_clusters_singletons(spark):
     """Rows without a duplicate partner get their own id as cluster."""
     from etl_load_spark.operators.dedup import dedup_clusters
