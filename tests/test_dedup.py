@@ -153,6 +153,42 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property (derandomized): on arbitrary random edge lists the CC
+    labels equal a driver-side union-find — topology-independent
+    exactness, complementing the fixed clique/chain/ring blob above."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_load_spark.operators.dedup import connected_components
+
+    edge = st.tuples(st.integers(0, 39), st.integers(0, 39))
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(st.lists(edge, min_size=1, max_size=60))
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in parent}
+        df = spark.createDataFrame([(a, b) for a, b in edges],
+                                   "src long, dst long")
+        got = {r._id: r._cluster
+               for r in connected_components(df).collect()}
+        assert got == want
+
+    check()
+
+
 def test_connected_components_raises_instead_of_half_merged(spark):
     """A fixpoint NOT reached at max_iter must raise, never return —
     half-merged clusters make the dedup survivor pick silently wrong."""
