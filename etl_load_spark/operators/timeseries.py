@@ -1,0 +1,176 @@
+"""Time-series gap fill — bucketed resample with LOCF and linear
+interpolation (the TimescaleDB ``time_bucket_gapfill`` + ``locf()`` +
+``interpolate()`` continuous-series stage). Siblings: queries.py q53 is
+the plain ``time_bucket`` rollup and q72 the per-series-span LOCF-only
+fill; this operator adds the global-grid fill convention (leading and
+trailing empty buckets with their own NULL contract) and interpolation.
+
+Semantics
+---------
+Given an event stream ``(key, ts, value)``:
+
+1. bucket ``ts`` to an epoch-aligned fixed grid (``F.window(ts, bucket)``
+   — identical alignment to DuckDB/Timescale ``time_bucket`` for
+   sub-week intervals) and average ``value`` per (key, bucket);
+2. densify: every series gets a row for EVERY bucket in the global
+   [min, max] bucket range (the Timescale convention: the fill range is
+   the query range, shared by all series, so a series that starts late
+   or ends early gets leading/trailing empty buckets);
+3. fill: ``val`` (the actual, NULL in gaps), ``locf_val`` (last
+   observation carried forward; NULL before a series' first actual),
+   ``interp_val`` (linear between the surrounding actuals; NULL outside
+   the series' observed range — exactly Timescale ``interpolate()``).
+
+Determinism / oracle parity: every fractional quantity is computed in
+EXACT scale-4 integer fixed point (the q59 half-up trick, queries.py
+header rule 3) — ``ROUND(double, 4)`` is NOT portable at the .00005
+boundary (Spark rounds the exact decimal expansion HALF_UP; DuckDB
+rounds via a double multiply — found as a real sf0.01 interp mismatch,
+46.94725 → 46.9473 vs 46.9472). The per-bucket average is
+``(2·cents·100 + n) // (2n)``; the interpolation numerator is
+``prev4·(d2−d1) + next4·d1`` over integer epoch-second distances (both
+terms ≥ 0 for the non-negative value domain, so floor-div half-up is
+correct); each final column is one exact int→double cast and one
+division by 10000.0 — identical IEEE ops in both engines. Epochs enter
+only as DIFFERENCES, so the fraction is session-timezone-invariant.
+
+100 TB shape: the per-bucket aggregate is one hash aggregation (partial
+map-side); the grid is |series| × |buckets| rows built from a DISTINCT
+key scan cross-joined with the broadcast one-row bounds aggregate (the
+only BroadcastNestedLoopJoin, build side = 1 row) and an exploded,
+bounds-guarded ``sequence`` (Spark sequence() DESCENDS when lo > hi —
+round-8 lesson — so an empty input must gate, not descend); the fills
+are two windows over the same (key, bucket) sort. Partition count
+follows series cardinality, never raw-event skew: a hot series costs
+its bucket count, not its event count. Output size is the contract
+(dense grid), not a blow-up. Overflow headroom: the numerator is
+bounded by max_val·10⁴ · range_seconds ≈ 10⁷·10⁹ ≪ 2⁶³.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def gapfill(events: DataFrame, key_col: str = "user_id",
+            ts_col: str = "ts", value_col: str = "value",
+            bucket: str = "1 day") -> DataFrame:
+    """Densify + LOCF + linearly interpolate ``value_col`` per series.
+
+    Returns (key_col, bucket_ts, val, locf_val, interp_val), one row per
+    series per bucket of the global bucket range, ordered by key then
+    bucket. Values carry exactly 4 decimals (exact fixed point — see
+    module docstring). ``value_col`` must be non-negative (raising this
+    restriction needs the signed half-up variant of the fixed-point
+    divisions)."""
+    e = events.filter(F.col(ts_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    actual = (
+        e.groupBy(F.col(key_col),
+                  F.window(ts_col, bucket).start.alias("bucket_ts"))
+        .agg(F.sum(cents).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        # exact scale-4 half-up average: cents·100 is the value at
+        # scale 4; (2·x + n) DIV (2·n) rounds x/n half-up for x ≥ 0
+        .select(key_col, "bucket_ts",
+                F.expr("(2 * _s * 100 + _n) DIV (2 * _n)").alias("val4")))
+
+    bounds = actual.agg(F.min("bucket_ts").alias("_lo"),
+                        F.max("bucket_ts").alias("_hi"))
+    # Bounds-guarded explode: min<=max whenever a row exists, but on an
+    # empty input both are NULL and sequence() must not run at all.
+    grid = (actual.select(key_col).distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select(key_col,
+                    F.explode(F.when(
+                        F.col("_lo") <= F.col("_hi"),
+                        F.sequence("_lo", "_hi", F.expr(f"interval {bucket}"))
+                    )).alias("bucket_ts")))
+
+    filled = grid.join(actual, [key_col, "bucket_ts"], "left")
+
+    wp = (Window.partitionBy(key_col).orderBy("bucket_ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy(key_col).orderBy("bucket_ts")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    epoch = F.unix_timestamp(F.col("bucket_ts"))
+    at_actual = F.when(F.col("val4").isNotNull(), epoch)
+
+    f2 = filled.select(
+        key_col, "bucket_ts", "val4",
+        F.last("val4", ignorenulls=True).over(wp).alias("_prev4"),
+        F.last(at_actual, ignorenulls=True).over(wp).alias("_pt"),
+        F.first("val4", ignorenulls=True).over(wn).alias("_next4"),
+        F.first(at_actual, ignorenulls=True).over(wn).alias("_nt"),
+        epoch.alias("_be"))
+
+    as_dbl = lambda c: c.cast("double") / 10000.0  # noqa: E731
+    # prev4·(d2−d1) + next4·d1 with d1 = be−pt, d2 = nt−pt: both terms
+    # ≥ 0, so the same half-up integer DIV applies; exact end-to-end.
+    interp4 = F.expr(
+        "(2 * (_prev4 * ((_nt - _pt) - (_be - _pt))"
+        "      + _next4 * (_be - _pt))"
+        " + (_nt - _pt)) DIV (2 * (_nt - _pt))")
+    interp = (
+        F.when(F.col("val4").isNotNull(), as_dbl(F.col("val4")))
+        .when(F.col("_prev4").isNull() | F.col("_next4").isNull(),
+              F.lit(None))
+        .otherwise(as_dbl(interp4)))
+
+    return (f2
+            .select(key_col, "bucket_ts",
+                    as_dbl(F.col("val4")).alias("val"),
+                    as_dbl(F.col("_prev4")).alias("locf_val"),
+                    interp.alias("interp_val"))
+            .orderBy(key_col, "bucket_ts"))
+
+
+def gapfill_sql(table: str = "events", key_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`gapfill` — same bucket alignment
+    (``time_bucket``), same exact fixed-point arithmetic, same final
+    int→double cast and division."""
+    return f"""
+WITH actual AS (
+  SELECT {key_col},
+         time_bucket(INTERVAL '{bucket}', {ts_col}) AS bucket_ts,
+         (2 * CAST(SUM(CAST(CAST({value_col} AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS BIGINT) * 100 + COUNT(*))
+           // (2 * COUNT(*)) AS val4
+  FROM {table} WHERE {ts_col} IS NOT NULL
+  GROUP BY 1, 2),
+bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM actual),
+grid AS (
+  SELECT k.{key_col},
+         unnest(generate_series(b.lo, b.hi, INTERVAL '{bucket}')) AS bucket_ts
+  FROM (SELECT DISTINCT {key_col} FROM actual) k CROSS JOIN bounds b),
+filled AS (
+  SELECT g.{key_col}, g.bucket_ts, a.val4
+  FROM grid g LEFT JOIN actual a USING ({key_col}, bucket_ts)),
+f2 AS (
+  SELECT {key_col}, bucket_ts, val4,
+    last_value(val4 IGNORE NULLS) OVER wp AS prev4,
+    last_value(CASE WHEN val4 IS NOT NULL
+                    THEN CAST(epoch(bucket_ts) AS BIGINT) END
+               IGNORE NULLS) OVER wp AS pt,
+    first_value(val4 IGNORE NULLS) OVER wn AS next4,
+    first_value(CASE WHEN val4 IS NOT NULL
+                     THEN CAST(epoch(bucket_ts) AS BIGINT) END
+                IGNORE NULLS) OVER wn AS nt
+  FROM filled
+  WINDOW wp AS (PARTITION BY {key_col} ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY {key_col} ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT {key_col}, bucket_ts,
+  CAST(val4 AS DOUBLE) / 10000.0 AS val,
+  CAST(prev4 AS DOUBLE) / 10000.0 AS locf_val,
+  CASE WHEN val4 IS NOT NULL THEN CAST(val4 AS DOUBLE) / 10000.0
+       WHEN prev4 IS NULL OR next4 IS NULL THEN NULL
+       ELSE CAST((2 * (prev4 * ((nt - pt) - (CAST(epoch(bucket_ts) AS BIGINT)
+                                             - pt))
+                       + next4 * (CAST(epoch(bucket_ts) AS BIGINT) - pt))
+                  + (nt - pt)) // (2 * (nt - pt)) AS DOUBLE) / 10000.0
+  END AS interp_val
+FROM f2 ORDER BY {key_col}, bucket_ts
+"""

@@ -159,7 +159,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP, "
                          "CDC_SCD2_APPLY, ASSIGN_SPLIT, PRIORITY_SAMPLE, "
                          "QUOTA_SAMPLE, HARD_NEGATIVES, "
-                         "WINDOW_MINHASH_DEDUP)")
+                         "WINDOW_MINHASH_DEDUP, GAPFILL)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -791,6 +791,25 @@ def _window_minhash_dedup_transform(df: DataFrame, p: dict) -> DataFrame:
     return df.join(losers, id_col, "left_anti")
 
 
+def _gapfill_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative time-series gap fill (operators/timeseries.gapfill —
+    q172): bucket-resample a (key, ts, value) feed onto the dense
+    global bucket grid and emit the actual per-bucket average plus the
+    LOCF and linear-interpolation fills with the Timescale edge
+    contract (leading buckets NULL for both fills; trailing buckets
+    carry LOCF only). Row shape CHANGES to
+    (key, bucket_ts, val, locf_val, interp_val). Values must be
+    non-negative (the exact fixed-point half-up arithmetic is unsigned;
+    the operator documents the restriction). Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import gapfill
+    return gapfill(df, key_col=p.get("keyColumn", "user_id"),
+                   ts_col=p.get("tsColumn", "ts"),
+                   value_col=p.get("valueColumn", "value"),
+                   bucket=p.get("bucket", "1 day"))
+
+
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
                               spec: JobSpec) -> DataFrame:
     """Declarative hard-negative mining (operators/similarity.
@@ -846,6 +865,7 @@ _CORPUS_TRANSFORMS = {
     "PRIORITY_SAMPLE": _priority_sample_transform,
     "QUOTA_SAMPLE": _quota_sample_transform,
     "WINDOW_MINHASH_DEDUP": _window_minhash_dedup_transform,
+    "GAPFILL": _gapfill_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -899,4 +919,9 @@ _BATCH_ONLY_TRANSFORMS = {
                              "then dedup each landed batch downstream "
                              "(streaming.windows.stream_content_dedup is "
                              "the stream-safe exact-content alternative)"),
+    "GAPFILL": ("the dense grid bounds and the LOCF/interpolation "
+                "windows are feed-global; run the streaming rollup "
+                "(streaming.windows.time_bucket_rollup) to land bucket "
+                "aggregates incrementally, then gap-fill the landed "
+                "table downstream"),
 }

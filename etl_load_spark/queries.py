@@ -6515,6 +6515,35 @@ def _register_window_minhash_oracle() -> None:
 _register_window_minhash_oracle()
 
 
+# --- q172: time-series gap fill (densify + LOCF + linear interpolate) -------
+
+@query("q172_gapfill")  # oracle attached right below
+def q172_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap fill with LINEAR INTERPOLATION: daily resample of
+    per-user event value AVERAGES over the dense GLOBAL bucket grid —
+    completing the Timescale triple next to q53 (time_bucket rollup)
+    and q72 (per-series-span LOCF): where q72 densifies each series'
+    own [min, max] span and only carries forward, q172 uses the shared
+    query-range grid (so leading/trailing empty buckets exist and pin
+    the edge contract: leading → locf and interp both NULL; trailing →
+    locf carries, interp NULL) and blends interior gaps linearly
+    between the surrounding actuals — in exact scale-4 integer fixed
+    point, because ROUND(double, 4) is not portable at the .00005
+    boundary (see operators/timeseries module docstring). 100 TB shape
+    there too (one hash agg, a 1-row broadcast bounds cross join, two
+    windows over one sort)."""
+    from etl_load_spark.operators.timeseries import gapfill
+    return gapfill(t(spark, sf_dir, "events"))
+
+
+def _register_gapfill_oracle() -> None:
+    from etl_load_spark.operators.timeseries import gapfill_sql
+    QUERIES["q172_gapfill"].oracle = gapfill_sql("events")
+
+
+_register_gapfill_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
@@ -6527,13 +6556,15 @@ _register_window_minhash_oracle()
 # Round-9 rotation (VERDICT r8 "Next round" #1): the same 10 family
 # anchors, q68_join_right (the ONE remaining r4 row, deferred from the
 # r8 window with a family rationale — its join siblings q05/q62/q65/
-# q70/q122 all re-greened in r8), and re-greens for the 39 oldest
-# remaining rows: all 37 queries whose latest green driver row is from
-# round 5, plus the 2 lowest-numbered round-6 rows to fill the window
-# (computed from the CORRECTNESS_r0*.json latest-green per query —
-# never a hardcoded list). 10 + 1 + 37 + 2 = 50. After this round
-# every declared query's green row is ≤ round 6. Everything outside
-# the window keeps the identical-methodology local pytest oracle gate
+# q70/q122 all re-greened in r8), the FIRST row for q172_gapfill
+# (registered this round — a brand-new query outranks any re-green,
+# the q171 precedent), and re-greens for the 38 oldest remaining rows:
+# all 37 queries whose latest green driver row is from round 5, plus
+# the lowest-numbered round-6 row to fill the window (computed from
+# the CORRECTNESS_r0*.json latest-green per query — never a hardcoded
+# list). 10 + 1 + 1 + 37 + 1 = 50. After this round every declared
+# query's green row is ≤ round 6. Everything outside the window keeps
+# the identical-methodology local pytest oracle gate
 # (tests/test_entry.py).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
@@ -6549,6 +6580,8 @@ DRIVER_WINDOW: list[str] = [
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
     # --- the one r4 row (deferred from round 8 with family rationale) ---
     "q68_join_right",
+    # --- first row for the round-9 new query ---
+    "q172_gapfill",
     # --- re-greens: all 37 r5-latest queries ---
     "q04_group_having", "q06_join_semi", "q09_join_range_theta",
     "q11_window_running", "q12_rollup", "q13_cube", "q15_intersect",
@@ -6564,8 +6597,8 @@ DRIVER_WINDOW: list[str] = [
     "q159_cdc_scd2_apply", "q160_tokenizer_fertility",
     "q161_embedding_drift", "q162_charset_stats", "q163_grouped_split",
     "q164_dense_ids",
-    # --- the 2 lowest-numbered r6 rows filling the window ---
-    "q02_filter_predicates", "q03_top_revenue",
+    # --- the lowest-numbered r6 row filling the window ---
+    "q02_filter_predicates",
 ]
 
 

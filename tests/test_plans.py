@@ -881,7 +881,8 @@ def test_global_plan_sweep_all_queries(spark, sf_dir):
     only in the families built on them. Extending an allowlist is a
     conscious act with this test in the diff."""
     # BNLJ = the join's build side is BOUNDED by construction:
-    #   scalar/threshold one-row aggregates: q73 q82 q141 q146 q153 q155 q163
+    #   scalar/threshold one-row aggregates: q73 q82 q141 q146 q153 q155
+    #     q163 q172 (gapfill bounds row)
     #   broadcast anchor/query sets: q30 q114 q140 q156 q168
     #   non-equi theta join (banded by design): q09
     bnlj_ok = {
@@ -890,6 +891,7 @@ def test_global_plan_sweep_all_queries(spark, sf_dir):
         "q141_source_divergence", "q146_lm_surprisal",
         "q153_stratified_sample", "q155_importance_weights",
         "q156_hard_negatives", "q163_grouped_split", "q168_basket_lift",
+        "q172_gapfill",
     }
     # Arrow-batched Python kernels (documented vectorized paths):
     #   similarity/ANN numpy kernels + SQ8 + bloom bits + multimodal codecs
@@ -963,6 +965,13 @@ def _stage_sweep_specs(tmp_path):
     feed = tmp_path / "sweep_feed.json"
     feed.write_text(_json.dumps(
         {"k": 1, "attr": "B", "seq": 10, "op": "U"}))
+    ts_feed = tmp_path / "sweep_ts.json"
+    ts_feed.write_text("\n".join(_json.dumps(r) for r in [
+        {"user_id": 1, "ts": "2024-01-01T06:00:00", "value": 10.0},
+        {"user_id": 1, "ts": "2024-01-03T06:00:00", "value": 30.0},
+        {"user_id": 2, "ts": "2024-01-02T00:00:00", "value": 5.0},
+    ]))
+    ts_schema = "user_id bigint, ts timestamp, value double"
     df_script = tmp_path / "sweep_df_hook.py"
     df_script.write_text(textwrap.dedent("""
         from pyspark.sql import functions as F
@@ -1029,6 +1038,8 @@ def _stage_sweep_specs(tmp_path):
                             "stratumColumn": "source"}),
         "WINDOW_MINHASH_DEDUP": js("WINDOW_MINHASH_DEDUP",
                                    {"windowTokens": 8, "stride": 4}),
+        "GAPFILL": js("GAPFILL", {"bucket": "1 day"},
+                      src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},
@@ -1074,9 +1085,10 @@ def test_global_plan_sweep_all_stages(spark, tmp_path):
     # of a query already on the 171-sweep allowlist:
     #   CLUSTER_BALANCE→q140, LM_SURPRISAL→q146, STRATIFIED_SAMPLE→q153,
     #   IMPORTANCE_RESAMPLE→q155, HARD_NEGATIVES→q156 (scalar/threshold
-    #   one-row aggregates or broadcast anchor sets)
+    #   one-row aggregates or broadcast anchor sets), GAPFILL→q172
+    #   (1-row bounds aggregate)
     bnlj_ok = {"CLUSTER_BALANCE", "LM_SURPRISAL", "STRATIFIED_SAMPLE",
-               "IMPORTANCE_RESAMPLE", "HARD_NEGATIVES"}
+               "IMPORTANCE_RESAMPLE", "HARD_NEGATIVES", "GAPFILL"}
     # Arrow-batched kernels (documented vectorized paths):
     #   SEMANTIC_DEDUP→q133 gram kernel, QUANTIZE_EMBEDDINGS→q152 SQ8,
     #   DECONTAMINATE→q139 bloom bits, PYTHON_SCRIPT:pandas = the Arrow

@@ -150,6 +150,14 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "stream_content_dedup" in (r.error or "")
 
+    # GAPFILL's grid bounds are feed-global: refuses with the
+    # incremental-rollup-then-batch-fill pointer
+    r = run_job(spark, spec("GAPFILL", {"keyColumn": "doc_id",
+                                        "tsColumn": "ts",
+                                        "valueColumn": "v"}, "gf"))
+    assert r.status == "FAILED"
+    assert "time_bucket_rollup" in (r.error or "")
+
     # the snapshot-needing curation stages refuse with their batch pointer
     r = run_job(spark, spec("DECONTAMINATE", {}, "d"))
     assert r.status == "FAILED" and "batch" in (r.error or "")

@@ -1,0 +1,128 @@
+"""Gap-fill operator: dense grid, LOCF, linear interpolation, edges.
+
+The hand fixtures pin the FILL CONTRACT (Timescale gapfill/locf/
+interpolate semantics) row by row; q172's oracle-parity gate in
+test_entry.py separately certifies the full query at sf_dir scale.
+"""
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from etl_load_spark.operators.timeseries import gapfill
+
+
+def d(day, hour=0):
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def filled(spark):
+    """Two series over a global grid of Jan 1–7 (7 daily buckets).
+
+    - series 1: actuals on days 1, 2, 5 (values 10, 20, 50 — the day-5
+      bucket averages two events 40 and 60), then a trailing gap;
+      the day-3/4 gap interpolates the 20 → 50 segment.
+    - series 2: first actual on day 3 (leading gap), second on day 7
+      with value equal to day 3's (flat interpolation), and an
+      interior 3-day gap whose step is NOT an integer multiple of the
+      value delta (rounding path).
+    """
+    events = spark.createDataFrame([
+        Row(user_id=1, ts=d(1, 6), value=10.0),
+        Row(user_id=1, ts=d(2, 1), value=20.0),
+        Row(user_id=1, ts=d(5, 3), value=40.0),
+        Row(user_id=1, ts=d(5, 9), value=60.0),
+        Row(user_id=2, ts=d(3, 12), value=7.0),
+        Row(user_id=2, ts=d(7, 0), value=8.0),
+    ])
+    rows = gapfill(events).collect()
+    return {(r.user_id, r.bucket_ts.day): (r.val, r.locf_val, r.interp_val)
+            for r in rows}
+
+
+def test_dense_global_grid(filled):
+    # 2 series x 7 buckets, every (series, day) present exactly once
+    assert len(filled) == 14
+    assert {k[1] for k in filled} == set(range(1, 8))
+
+
+def test_actuals_pass_through(filled):
+    assert filled[(1, 1)] == (10.0, 10.0, 10.0)
+    assert filled[(1, 2)] == (20.0, 20.0, 20.0)
+    # day-5 bucket averages the two events: (40 + 60) / 2
+    assert filled[(1, 5)] == (50.0, 50.0, 50.0)
+
+
+def test_interior_gap_locf_and_interp(filled):
+    # series 1, days 3-4: locf carries 20; interp blends 20 -> 50 over
+    # the 3-day segment (day 3 = 20 + 30*(1/3), day 4 = 20 + 30*(2/3))
+    assert filled[(1, 3)] == (None, 20.0, 30.0)
+    assert filled[(1, 4)] == (None, 20.0, 40.0)
+
+
+def test_trailing_gap_locf_carries_interp_null(filled):
+    for day in (6, 7):
+        assert filled[(1, day)] == (None, 50.0, None)
+
+
+def test_leading_gap_all_null(filled):
+    for day in (1, 2):
+        assert filled[(2, day)] == (None, None, None)
+
+
+def test_noninteger_step_rounds_half_up(filled):
+    # series 2: 7.0 -> 8.0 over 4 days; exact steps 7.25, 7.5, 7.75.
+    # Scale-4 fixed point represents these exactly; the half-up rule is
+    # pinned by day 5's x.5 midpoint at scale 1 (exact at scale 4).
+    assert filled[(2, 4)] == (None, 7.0, 7.25)
+    assert filled[(2, 5)] == (None, 7.0, 7.5)
+    assert filled[(2, 6)] == (None, 7.0, 7.75)
+    assert filled[(2, 7)] == (8.0, 8.0, 8.0)
+
+
+def test_single_point_series(spark):
+    # one actual: that bucket keeps its value, locf carries forward,
+    # interp is NULL off the observed range in BOTH directions
+    events = spark.createDataFrame([
+        Row(user_id=1, ts=d(1), value=5.0),
+        Row(user_id=1, ts=d(3), value=5.0),
+        Row(user_id=2, ts=d(2), value=9.0),
+    ])
+    got = {(r.user_id, r.bucket_ts.day): (r.val, r.locf_val, r.interp_val)
+           for r in gapfill(events).collect()}
+    assert got[(2, 1)] == (None, None, None)
+    assert got[(2, 2)] == (9.0, 9.0, 9.0)
+    assert got[(2, 3)] == (None, 9.0, None)
+
+
+def test_null_ts_rows_ignored(spark):
+    events = spark.createDataFrame([
+        Row(user_id=1, ts=d(1), value=1.0),
+        Row(user_id=1, ts=None, value=99.0),
+    ])
+    rows = gapfill(events).collect()
+    assert len(rows) == 1 and rows[0].val == 1.0
+
+
+def test_empty_input_is_empty_not_descending(spark):
+    # Spark sequence(lo, hi) DESCENDS when lo > hi (round-8 lesson);
+    # the NULL-bounds guard must yield zero rows, not a crash or grid
+    events = spark.createDataFrame(
+        [], "user_id bigint, ts timestamp, value double")
+    assert gapfill(events).count() == 0
+
+
+def test_plan_shape(spark, sf_dir):
+    """100TB posture: pushed ts filter, pruned scans, the ONE
+    BroadcastNestedLoopJoin is the 1-row bounds broadcast, no
+    cartesian, no Python, exact integer `div` on the data path."""
+    from etl_load_spark.queries import QUERIES
+    df = QUERIES["q172_gapfill"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(ts)" in plan
+    assert " div " in plan  # fixed-point average/interp stayed integral

@@ -667,6 +667,43 @@ def test_window_minhash_dedup_stage(spark, tmp_path):
             schema="doc_id string, source string, text string"))
 
 
+def test_gapfill_stage(spark, tmp_path):
+    """Declarative GAPFILL (q172 as product surface): a (key, ts, value)
+    feed resamples onto the dense GLOBAL bucket grid; interior gaps
+    carry LOCF and interpolate linearly, leading buckets are NULL for
+    both fills, and the non-default bucket/column parameters route
+    through."""
+    import json as _json
+    rows = [
+        {"uid": 1, "at": "2024-01-01T06:00:00", "v": 10.0},
+        {"uid": 1, "at": "2024-01-03T06:00:00", "v": 30.0},
+        {"uid": 2, "at": "2024-01-02T00:00:00", "v": 5.0},
+    ]
+    src = tmp_path / "gapfill_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(params):
+        return JobSpec.from_dict({
+            "jobId": "gapfill-stage",
+            "source": {"type": "FILE_JSON",
+                       "details": {"path": str(src),
+                                   "schema": "uid bigint, at timestamp,"
+                                             " v double"}},
+            "transformation": {"type": "GAPFILL", "parameters": params},
+        })
+
+    out = build_plan(spark, spec({"keyColumn": "uid", "tsColumn": "at",
+                                  "valueColumn": "v"}))
+    assert out.columns == ["uid", "bucket_ts", "val", "locf_val",
+                           "interp_val"]
+    got = {(r.uid, r.bucket_ts.day): (r.val, r.locf_val, r.interp_val)
+           for r in out.collect()}
+    assert len(got) == 6                       # 2 series x 3 global days
+    assert got[(1, 2)] == (None, 10.0, 20.0)   # interior gap: locf+interp
+    assert got[(2, 1)] == (None, None, None)   # leading gap: all NULL
+    assert got[(2, 3)] == (None, 5.0, None)    # trailing: locf only
+
+
 def test_stage_registry_readme_and_error_in_sync():
     """ADVICE r5 hit README drift once (a shipped stage missing from the
     docs); pin the three surfaces together: every _CORPUS_TRANSFORMS key
