@@ -124,6 +124,100 @@ def gapfill(events: DataFrame, key_col: str = "user_id",
             .orderBy(key_col, "bucket_ts"))
 
 
+def counter_rate(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 order_col: str = "event_id",
+                 bucket: str = "1 day",
+                 bucket_seconds: int = 86400) -> DataFrame:
+    """Monotonic-counter increase/rate with reset detection — the
+    Timescale ``counter_agg``/Prometheus ``increase()`` staple, distinct
+    from q166's bucket-count deltas: here the DELTA IS SAMPLE-TO-SAMPLE
+    on the raw feed, and a decrease means the counter RESTARTED (process
+    restart, device reboot), so the post-reset value itself is the
+    increase since zero, not a negative step.
+
+    Per series ordered by (ts, order_col) — the unique tiebreaker makes
+    same-timestamp samples deterministic: step = value − prev when
+    value ≥ prev, value on a reset, 0 for the series' first sample;
+    then per (key, bucket): n_samples, n_resets, increase = Σstep and
+    rate_per_sec = increase / bucket_seconds. NULL-ts and NULL-value
+    samples are excluded (the Timescale convention: a NULL sample is a
+    missed scrape, not a zero).
+
+    Exactness: samples convert once to cents (bigint); every step, sum
+    and the rate division stay integral (the rate is the scale-4
+    half-up fixed-point quotient, q59 form), one int→double cast per
+    output column — the ROUND(double, 4) portability trap never enters.
+
+    100 TB shape: the ONE per-sample window (lag) shuffles the raw feed
+    once on the series key and sorts per series — inherent to
+    sample-to-sample semantics (the sessionization class, q115); the
+    bucket aggregate then rides the SAME partitioning (no second
+    exchange before it; the window output is already keyed). A hot
+    series serializes only its own samples. Values must be
+    non-negative (counters are)."""
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    prev = F.lag(cents).over(w)
+    step = (F.when(prev.isNull(), F.lit(0))
+            .when(cents >= prev, cents - prev)
+            .otherwise(cents))
+    reset = F.when(prev.isNotNull() & (cents < prev), 1).otherwise(0)
+    agg = (e.select(F.col(key_col),
+                    F.window(ts_col, bucket).start.alias("bucket_ts"),
+                    step.alias("_step"), reset.alias("_reset"))
+           .groupBy(key_col, "bucket_ts")
+           .agg(F.count(F.lit(1)).alias("n_samples"),
+                F.sum("_reset").alias("n_resets"),
+                F.sum("_step").alias("_inc")))
+    rate4 = F.expr(f"(2 * _inc * 100 + {bucket_seconds}) "
+                   f"DIV (2 * {bucket_seconds})")
+    return (agg.select(key_col, "bucket_ts", "n_samples", "n_resets",
+                       (F.col("_inc").cast("double") / 100.0)
+                       .alias("increase"),
+                       (rate4.cast("double") / 10000.0)
+                       .alias("rate_per_sec"))
+            .orderBy(key_col, "bucket_ts"))
+
+
+def counter_rate_sql(table: str = "events", key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     order_col: str = "event_id",
+                     bucket: str = "1 day",
+                     bucket_seconds: int = 86400) -> str:
+    """DuckDB oracle for :func:`counter_rate` — same ordering, same
+    integral cents arithmetic, same fixed-point rate quotient. SUMs are
+    cast back to BIGINT (DuckDB SUM(BIGINT) → HUGEINT renders float64
+    through pandas — the round-2 lesson)."""
+    return f"""
+WITH s AS (
+  SELECT {key_col},
+         time_bucket(INTERVAL '{bucket}', {ts_col}) AS bucket_ts,
+         CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         lag(CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT))
+           OVER (PARTITION BY {key_col}
+                 ORDER BY {ts_col}, {order_col}) AS p
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+a AS (
+  SELECT {key_col}, bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(CASE WHEN p IS NOT NULL AND c < p THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resets,
+         CAST(SUM(CASE WHEN p IS NULL THEN 0
+                       WHEN c >= p THEN c - p ELSE c END)
+              AS BIGINT) AS inc
+  FROM s GROUP BY 1, 2)
+SELECT {key_col}, bucket_ts, n_samples, n_resets,
+       CAST(inc AS DOUBLE) / 100.0 AS increase,
+       CAST((2 * inc * 100 + {bucket_seconds})
+            // (2 * {bucket_seconds}) AS DOUBLE) / 10000.0 AS rate_per_sec
+FROM a ORDER BY {key_col}, bucket_ts
+"""
+
+
 def gapfill_sql(table: str = "events", key_col: str = "user_id",
                 ts_col: str = "ts", value_col: str = "value",
                 bucket: str = "1 day") -> str:

@@ -6544,6 +6544,33 @@ def _register_gapfill_oracle() -> None:
 _register_gapfill_oracle()
 
 
+# --- q173: counter increase/rate with reset detection ------------------------
+
+@query("q173_counter_rate")  # oracle attached right below
+def q173_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter increase and per-second rate with RESET
+    detection (Timescale counter_agg / Prometheus increase()): per-user
+    sample-to-sample deltas ordered by (ts, event_id), a decrease =
+    counter restart (the new value is the increase since zero), rolled
+    up to daily buckets as (n_samples, n_resets, increase,
+    rate_per_sec). Distinct from q166 (bucket-COUNT deltas between
+    windows) and q72/q172 (densify/fill): the delta here is on the raw
+    sample feed. All arithmetic integral cents end-to-end; the rate is
+    the q59 fixed-point quotient. See operators/timeseries.counter_rate
+    for the 100 TB shape (one series-keyed shuffle serves both the lag
+    window and the bucket aggregate)."""
+    from etl_load_spark.operators.timeseries import counter_rate
+    return counter_rate(t(spark, sf_dir, "events"))
+
+
+def _register_counter_rate_oracle() -> None:
+    from etl_load_spark.operators.timeseries import counter_rate_sql
+    QUERIES["q173_counter_rate"].oracle = counter_rate_sql("events")
+
+
+_register_counter_rate_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
@@ -6556,13 +6583,12 @@ _register_gapfill_oracle()
 # Round-9 rotation (VERDICT r8 "Next round" #1): the same 10 family
 # anchors, q68_join_right (the ONE remaining r4 row, deferred from the
 # r8 window with a family rationale — its join siblings q05/q62/q65/
-# q70/q122 all re-greened in r8), the FIRST row for q172_gapfill
-# (registered this round — a brand-new query outranks any re-green,
-# the q171 precedent), and re-greens for the 38 oldest remaining rows:
-# all 37 queries whose latest green driver row is from round 5, plus
-# the lowest-numbered round-6 row to fill the window (computed from
+# q70/q122 all re-greened in r8), FIRST rows for q172_gapfill and
+# q173_counter_rate (registered this round — a brand-new query
+# outranks any re-green, the q171 precedent), and re-greens for all 37
+# queries whose latest green driver row is from round 5 (computed from
 # the CORRECTNESS_r0*.json latest-green per query — never a hardcoded
-# list). 10 + 1 + 1 + 37 + 1 = 50. After this round every declared
+# list). 10 + 1 + 2 + 37 = 50. After this round every declared
 # query's green row is ≤ round 6. Everything outside the window keeps
 # the identical-methodology local pytest oracle gate
 # (tests/test_entry.py).
@@ -6580,8 +6606,8 @@ DRIVER_WINDOW: list[str] = [
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
     # --- the one r4 row (deferred from round 8 with family rationale) ---
     "q68_join_right",
-    # --- first row for the round-9 new query ---
-    "q172_gapfill",
+    # --- first rows for the round-9 new queries ---
+    "q172_gapfill", "q173_counter_rate",
     # --- re-greens: all 37 r5-latest queries ---
     "q04_group_having", "q06_join_semi", "q09_join_range_theta",
     "q11_window_running", "q12_rollup", "q13_cube", "q15_intersect",
@@ -6597,8 +6623,6 @@ DRIVER_WINDOW: list[str] = [
     "q159_cdc_scd2_apply", "q160_tokenizer_fertility",
     "q161_embedding_drift", "q162_charset_stats", "q163_grouped_split",
     "q164_dense_ids",
-    # --- the lowest-numbered r6 row filling the window ---
-    "q02_filter_predicates",
 ]
 
 

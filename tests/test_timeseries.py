@@ -113,6 +113,65 @@ def test_empty_input_is_empty_not_descending(spark):
     assert gapfill(events).count() == 0
 
 
+def test_counter_rate_reset_semantics(spark):
+    """Reset contract (Timescale counter_agg / Prometheus increase):
+    a decrease means the counter restarted, so the post-reset value IS
+    the step; the first sample contributes 0; NULL-value samples are
+    excluded; same-timestamp samples break ties on order_col."""
+    from etl_load_spark.operators.timeseries import counter_rate
+    events = spark.createDataFrame([
+        # series 1, one bucket: 10 -> 25 (+15) -> reset to 4 (+4)
+        # -> 4 (same ts, later event_id; +0) -> 30 (+26)
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=25.0),
+        Row(event_id=3, user_id=1, ts=d(1, 3), value=4.0),
+        Row(event_id=4, user_id=1, ts=d(1, 3), value=4.0),
+        Row(event_id=5, user_id=1, ts=d(1, 4), value=30.0),
+        # a NULL sample: missed scrape, not a zero — excluded entirely
+        Row(event_id=6, user_id=1, ts=d(1, 5), value=None),
+        # series 2 spans two buckets; the day-2 step crosses buckets
+        # and lands in day 2 (the bucket of the LATER sample)
+        Row(event_id=7, user_id=2, ts=d(1, 23), value=100.0),
+        Row(event_id=8, user_id=2, ts=d(2, 1), value=107.0),
+    ])
+    got = {(r.user_id, r.bucket_ts.day):
+           (r.n_samples, r.n_resets, r.increase, r.rate_per_sec)
+           for r in counter_rate(events).collect()}
+    assert got[(1, 1)] == (5, 1, 45.0, 0.0005)      # 45/86400 half-up @4
+    assert got[(2, 1)] == (1, 0, 0.0, 0.0)          # first sample: 0
+    assert got[(2, 2)] == (1, 0, 7.0, 0.0001)       # cross-bucket delta
+
+
+def test_counter_rate_tiebreak_is_deterministic(spark):
+    """Two same-ts samples in the OTHER order flip which delta is the
+    reset — the (ts, order_col) contract pins one answer."""
+    from etl_load_spark.operators.timeseries import counter_rate
+    events = spark.createDataFrame([
+        Row(event_id=2, user_id=1, ts=d(1, 1), value=50.0),
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=3, user_id=1, ts=d(1, 2), value=60.0),
+    ])
+    r = counter_rate(events).collect()[0]
+    # order_col order: 10 -> 50 (+40) -> 60 (+10); no reset
+    assert (r.n_samples, r.n_resets, r.increase) == (3, 0, 50.0)
+
+
+def test_counter_rate_plan_shape(spark, sf_dir):
+    """ONE series-keyed exchange serves both the lag window and the
+    bucket aggregate (hashpartitioning(user_id) satisfies the
+    (user_id, bucket) clustering); the only other exchange is the
+    output ORDER BY. No joins, no Python."""
+    from etl_load_spark.queries import QUERIES
+    import re
+    df = QUERIES["q173_counter_rate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert " div " in plan          # fixed-point rate stayed integral
+
+
 def test_plan_shape(spark, sf_dir):
     """100TB posture: pushed ts filter, pruned scans, the ONE
     BroadcastNestedLoopJoin is the 1-row bounds broadcast, no
