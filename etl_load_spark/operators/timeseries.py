@@ -223,7 +223,14 @@ def gapfill_sql(table: str = "events", key_col: str = "user_id",
                 bucket: str = "1 day") -> str:
     """DuckDB oracle for :func:`gapfill` — same bucket alignment
     (``time_bucket``), same exact fixed-point arithmetic, same final
-    int→double cast and division."""
+    int→double cast and division.
+
+    Bucket-width contract: Spark's ``window()`` is EPOCH-aligned for
+    every width, DuckDB's ``time_bucket`` only for sub-week intervals
+    (from a week up it snaps to the ISO Monday 2024-01-01-style
+    origin) — so this oracle is valid for buckets < 1 week (parity
+    pinned at '1 day' and '6 hours'); for coarser grains give
+    time_bucket an explicit epoch origin before trusting the twin."""
     return f"""
 WITH actual AS (
   SELECT {key_col},

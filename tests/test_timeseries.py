@@ -113,6 +113,22 @@ def test_empty_input_is_empty_not_descending(spark):
     assert gapfill(events).count() == 0
 
 
+def test_nondefault_bucket_oracle_parity(spark, sf_dir):
+    """The bucket parameter routes through both sides and stays
+    oracle-exact for a sub-week non-default width ('6 hours') — the
+    width class where Spark window() and DuckDB time_bucket share the
+    epoch alignment (the gapfill_sql docstring contract)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import duckdb_connection, compare
+    from etl_load_spark.operators.timeseries import gapfill, gapfill_sql
+    from etl_load_spark.session import read_table
+    df = gapfill(read_table(spark, sf_dir, "events"), bucket="6 hours")
+    ok, msg = compare(df, duckdb_connection(sf_dir),
+                      gapfill_sql("events", bucket="6 hours"))
+    assert ok, msg
+
+
 def test_counter_rate_reset_semantics(spark):
     """Reset contract (Timescale counter_agg / Prometheus increase):
     a decrease means the counter restarted, so the post-reset value IS
