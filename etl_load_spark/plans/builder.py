@@ -159,7 +159,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP, "
                          "CDC_SCD2_APPLY, ASSIGN_SPLIT, PRIORITY_SAMPLE, "
                          "QUOTA_SAMPLE, HARD_NEGATIVES, "
-                         "WINDOW_MINHASH_DEDUP, GAPFILL)")
+                         "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -810,6 +810,27 @@ def _gapfill_transform(df: DataFrame, p: dict) -> DataFrame:
                    bucket=p.get("bucket", "1 day"))
 
 
+def _counter_rate_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative counter increase/rate with reset detection
+    (operators/timeseries.counter_rate — q173): per-series
+    sample-to-sample deltas ordered by (tsColumn, orderColumn), a
+    decrease = counter restart (the post-reset value is the step),
+    rolled up per bucket to (key, bucket_ts, n_samples, n_resets,
+    increase, rate_per_sec). Row shape CHANGES to the rollup. Values
+    must be non-negative (counters are). Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
+    orderColumn ('event_id'), bucket ('1 day'),
+    bucketSeconds (86400 — the rate denominator; keep it equal to the
+    bucket width)."""
+    from etl_load_spark.operators.timeseries import counter_rate
+    return counter_rate(df, key_col=p.get("keyColumn", "user_id"),
+                        ts_col=p.get("tsColumn", "ts"),
+                        value_col=p.get("valueColumn", "value"),
+                        order_col=p.get("orderColumn", "event_id"),
+                        bucket=p.get("bucket", "1 day"),
+                        bucket_seconds=int(p.get("bucketSeconds", 86400)))
+
+
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
                               spec: JobSpec) -> DataFrame:
     """Declarative hard-negative mining (operators/similarity.
@@ -866,6 +887,7 @@ _CORPUS_TRANSFORMS = {
     "QUOTA_SAMPLE": _quota_sample_transform,
     "WINDOW_MINHASH_DEDUP": _window_minhash_dedup_transform,
     "GAPFILL": _gapfill_transform,
+    "COUNTER_RATE": _counter_rate_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -924,4 +946,10 @@ _BATCH_ONLY_TRANSFORMS = {
                 "(streaming.windows.time_bucket_rollup) to land bucket "
                 "aggregates incrementally, then gap-fill the landed "
                 "table downstream"),
+    "COUNTER_RATE": ("sample-to-sample lag needs each series' full "
+                     "ordered history; keep the last sample per series "
+                     "in keyed state (streaming.stateful, "
+                     "applyInPandasWithState) to emit deltas "
+                     "incrementally, or land the stream and roll up "
+                     "each landed batch downstream"),
 }

@@ -1040,6 +1040,8 @@ def _stage_sweep_specs(tmp_path):
                                    {"windowTokens": 8, "stride": 4}),
         "GAPFILL": js("GAPFILL", {"bucket": "1 day"},
                       src=ts_feed, schema=ts_schema),
+        "COUNTER_RATE": js("COUNTER_RATE", {"orderColumn": "user_id"},
+                           src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},

@@ -158,6 +158,16 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "time_bucket_rollup" in (r.error or "")
 
+    # COUNTER_RATE's lag needs full per-series history: refuses with
+    # the keyed-state pointer
+    r = run_job(spark, spec("COUNTER_RATE", {"keyColumn": "doc_id",
+                                             "tsColumn": "ts",
+                                             "valueColumn": "v",
+                                             "orderColumn": "doc_id"},
+                            "cr"))
+    assert r.status == "FAILED"
+    assert "applyInPandasWithState" in (r.error or "")
+
     # the snapshot-needing curation stages refuse with their batch pointer
     r = run_job(spark, spec("DECONTAMINATE", {}, "d"))
     assert r.status == "FAILED" and "batch" in (r.error or "")

@@ -704,6 +704,38 @@ def test_gapfill_stage(spark, tmp_path):
     assert got[(2, 3)] == (None, 5.0, None)    # trailing: locf only
 
 
+def test_counter_rate_stage(spark, tmp_path):
+    """Declarative COUNTER_RATE (q173 as product surface): reset
+    detection and the bucketed increase/rate route through the spec
+    path with non-default column names."""
+    import json as _json
+    rows = [
+        {"eid": 1, "uid": 1, "at": "2024-01-01T01:00:00", "v": 10.0},
+        {"eid": 2, "uid": 1, "at": "2024-01-01T02:00:00", "v": 25.0},
+        {"eid": 3, "uid": 1, "at": "2024-01-01T03:00:00", "v": 4.0},
+    ]
+    src = tmp_path / "counter_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "counter-rate-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "eid bigint, uid bigint,"
+                                         " at timestamp, v double"}},
+        "transformation": {"type": "COUNTER_RATE",
+                           "parameters": {"keyColumn": "uid",
+                                          "tsColumn": "at",
+                                          "valueColumn": "v",
+                                          "orderColumn": "eid"}},
+    })
+    out = build_plan(spark, spec).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 10 -> 25 (+15) -> reset to 4 (+4): increase 19, one reset
+    assert (r.n_samples, r.n_resets, r.increase) == (3, 1, 19.0)
+    assert r.rate_per_sec == 0.0002            # 19/86400 half-up @4
+
+
 def test_stage_registry_readme_and_error_in_sync():
     """ADVICE r5 hit README drift once (a shipped stage missing from the
     docs); pin the three surfaces together: every _CORPUS_TRANSFORMS key
