@@ -1071,7 +1071,7 @@ def _stage_sweep_specs(tmp_path):
 
 
 def test_global_plan_sweep_all_stages(spark, tmp_path):
-    """VERDICT r7 #3: the 171-query sweep above pins the plan floor for
+    """VERDICT r7 #3: the all-queries sweep above pins the plan floor for
     the declared query surface, but the declarative stages reach the
     same operators through build_plan — a future stage (or a stage-only
     parameter path) could still ship a degenerate plan unswept. Build
@@ -1084,7 +1084,7 @@ def test_global_plan_sweep_all_stages(spark, tmp_path):
     from etl_load_spark.plans.builder import build_plan
 
     # BNLJ = bounded build side by construction, each the declarative twin
-    # of a query already on the 171-sweep allowlist:
+    # of a query already on the all-queries-sweep allowlist:
     #   CLUSTER_BALANCE→q140, LM_SURPRISAL→q146, STRATIFIED_SAMPLE→q153,
     #   IMPORTANCE_RESAMPLE→q155, HARD_NEGATIVES→q156 (scalar/threshold
     #   one-row aggregates or broadcast anchor sets), GAPFILL→q172
