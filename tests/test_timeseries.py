@@ -172,6 +172,50 @@ def test_counter_rate_tiebreak_is_deterministic(spark):
     assert (r.n_samples, r.n_resets, r.increase) == (3, 0, 50.0)
 
 
+def test_counter_rate_matches_reference_property(spark):
+    """Derandomized property (the house collector rule): random sample
+    feeds — duplicate timestamps, zeros, resets at bucket edges —
+    match a pure-Python reference of the counter contract exactly."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import counter_rate
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 2),          # user
+                  st.integers(0, 3 * 86400 - 1),   # offset seconds
+                  st.integers(0, 5000)),      # value in cents
+        min_size=1, max_size=40)
+
+    @settings(max_examples=12, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    value=c / 100.0)
+                for i, (u, off, c) in enumerate(rows)]
+        got = {(r.user_id, r.bucket_ts): (r.n_samples, r.n_resets,
+                                          r.increase, r.rate_per_sec)
+               for r in counter_rate(spark.createDataFrame(data)).collect()}
+        # reference: per user ordered by (ts, event_id), integer cents
+        expect = {}
+        by_user = {}
+        for r in sorted(data, key=lambda r: (r.user_id, r.ts, r.event_id)):
+            c = round(r.value * 100)
+            prev = by_user.get(r.user_id)
+            by_user[r.user_id] = c
+            step = 0 if prev is None else (c - prev if c >= prev else c)
+            reset = 1 if (prev is not None and c < prev) else 0
+            day = dt.datetime(r.ts.year, r.ts.month, r.ts.day)
+            k = (r.user_id, day)
+            n, nr, inc = expect.get(k, (0, 0, 0))
+            expect[k] = (n + 1, nr + reset, inc + step)
+        assert set(got) == set(expect)
+        for k, (n, nr, inc) in expect.items():
+            rate4 = (2 * inc * 100 + 86400) // (2 * 86400)
+            assert got[k] == (n, nr, inc / 100.0, rate4 / 10000.0), k
+
+    check()
+
+
 def test_counter_rate_plan_shape(spark, sf_dir):
     """ONE series-keyed exchange serves both the lag window and the
     bucket aggregate (hashpartitioning(user_id) satisfies the
