@@ -24,9 +24,10 @@ Given an event stream ``(key, ts, value)``:
 Determinism / oracle parity: every fractional quantity is computed in
 EXACT scale-4 integer fixed point (the q59 half-up trick, queries.py
 header rule 3) — ``ROUND(double, 4)`` is NOT portable at the .00005
-boundary (Spark rounds the exact decimal expansion HALF_UP; DuckDB
-rounds via a double multiply — found as a real sf0.01 interp mismatch,
-46.94725 → 46.9473 vs 46.9472). The per-bucket average is
+boundary (Spark rounds the double's SHORTEST decimal representation
+HALF_UP — BigDecimal.valueOf semantics — while DuckDB rounds the true
+binary value; found as a real sf0.01 interp mismatch on a
+bit-identical double, Spark 46.9473 vs DuckDB 46.9472). The per-bucket average is
 ``(2·cents·100 + n) // (2n)``; the interpolation numerator is
 ``prev4·(d2−d1) + next4·d1`` over integer epoch-second distances (both
 terms ≥ 0 for the non-negative value domain, so floor-div half-up is
