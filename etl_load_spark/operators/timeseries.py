@@ -219,6 +219,69 @@ FROM a ORDER BY {key_col}, bucket_ts
 """
 
 
+def ohlc(events: DataFrame, type_col: str = "event_type",
+         ts_col: str = "ts", value_col: str = "value",
+         order_col: str = "event_id", bucket: str = "1 day") -> DataFrame:
+    """Candlestick rollup — Timescale ``candlestick_agg``/``ohlc``: per
+    (series, bucket) the first/highest/lowest/last sample value plus the
+    sample count. Completes the hypertable set next to q53 (rollup),
+    q72/q172 (fill) and q173 (counter rate).
+
+    Determinism: open/close are ``min_by``/``max_by`` over a UNIQUE
+    zero-padded ``(epoch_micros, order_col)`` string key — lexicographic
+    equals chronological, and the unique tiebreaker makes same-timestamp
+    samples deterministic (DuckDB's arg_min/arg_max accept no composite
+    key, so the padded string IS the portable composite). Values stay
+    decimal(12,2) through the aggregate and cast to double once —
+    nothing derived, so no fixed-point machinery is needed. NULL-ts and
+    NULL-value samples are excluded on both sides.
+
+    100 TB shape: ONE hash aggregation — min_by/max_by/min/max/count all
+    combine map-side, so each map partition ships one candle per
+    (series, bucket) and the shuffle is candle-sized, never
+    sample-sized; no window, no join. The string key exists only inside
+    the partial aggregate (never shuffled per sample)."""
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("decimal(12,2)")
+    key = F.format_string(
+        "%020d%012d",
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")),
+        F.col(order_col))
+    return (e.groupBy(type_col,
+                      F.window(ts_col, bucket).start.alias("bucket_ts"))
+            .agg(F.min_by(v, key).cast("double").alias("open"),
+                 F.max(v).cast("double").alias("high"),
+                 F.min(v).cast("double").alias("low"),
+                 F.max_by(v, key).cast("double").alias("close"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.col(type_col).asc_nulls_last(), "bucket_ts"))
+
+
+def ohlc_sql(table: str = "events", type_col: str = "event_type",
+             ts_col: str = "ts", value_col: str = "value",
+             order_col: str = "event_id", bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`ohlc` — same padded-string ordering key
+    (arg_min/arg_max take no composite), same decimal-through double
+    casts, NULLS LAST ordering matching Spark's asc_nulls_last."""
+    k = (f"lpad(CAST(epoch_us({ts_col}) AS VARCHAR), 20, '0') || "
+         f"lpad(CAST({order_col} AS VARCHAR), 12, '0')")
+    v = f"CAST({value_col} AS DECIMAL(12,2))"
+    return f"""
+SELECT {type_col},
+       time_bucket(INTERVAL '{bucket}', {ts_col}) AS bucket_ts,
+       CAST(arg_min({v}, {k}) AS DOUBLE) AS open,
+       CAST(max({v}) AS DOUBLE) AS high,
+       CAST(min({v}) AS DOUBLE) AS low,
+       CAST(arg_max({v}, {k}) AS DOUBLE) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM {table}
+WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+GROUP BY 1, 2
+ORDER BY {type_col} NULLS LAST, bucket_ts
+"""
+
+
 def gapfill_sql(table: str = "events", key_col: str = "user_id",
                 ts_col: str = "ts", value_col: str = "value",
                 bucket: str = "1 day") -> str:

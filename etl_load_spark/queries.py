@@ -6571,6 +6571,33 @@ def _register_counter_rate_oracle() -> None:
 _register_counter_rate_oracle()
 
 
+# --- q174: OHLC / candlestick rollup -----------------------------------------
+
+@query("q174_ohlc")  # oracle attached right below
+def q174_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick rollup (Timescale candlestick_agg / financial OHLC):
+    per (event_type, daily bucket) the first/highest/lowest/last sample
+    value and the sample count. open/close use a UNIQUE zero-padded
+    (epoch_micros, event_id) string key — min_by/max_by on the Spark
+    side, arg_min/arg_max on DuckDB's (which accept no composite key,
+    hence the portable padded string) — so same-timestamp samples are
+    deterministic. One map-side-combinable hash aggregate: the shuffle
+    is candle-sized, never sample-sized; no window, no join (contrast
+    q118's max(struct) top-1, which this generalizes to four
+    positional aggregates at once). Registered post-window-freeze;
+    leads the round-10 rotation (the q171 precedent)."""
+    from etl_load_spark.operators.timeseries import ohlc
+    return ohlc(t(spark, sf_dir, "events"))
+
+
+def _register_ohlc_oracle() -> None:
+    from etl_load_spark.operators.timeseries import ohlc_sql
+    QUERIES["q174_ohlc"].oracle = ohlc_sql("events")
+
+
+_register_ohlc_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

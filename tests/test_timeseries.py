@@ -232,6 +232,47 @@ def test_counter_rate_plan_shape(spark, sf_dir):
     assert " div " in plan          # fixed-point rate stayed integral
 
 
+def test_ohlc_semantics_and_tiebreak(spark):
+    """Candle contract: open = first by (ts, event_id), close = last,
+    high/low = extremes, NULL samples excluded; same-timestamp samples
+    resolve by event_id through the padded-string key."""
+    from etl_load_spark.operators.timeseries import ohlc
+    events = spark.createDataFrame([
+        Row(event_id=2, event_type="x", ts=d(1, 1), value=50.0),
+        Row(event_id=1, event_type="x", ts=d(1, 1), value=10.0),  # open
+        Row(event_id=3, event_type="x", ts=d(1, 2), value=99.0),  # high
+        Row(event_id=4, event_type="x", ts=d(1, 3), value=2.0),   # low
+        Row(event_id=6, event_type="x", ts=d(1, 4), value=30.0),  # close
+        Row(event_id=5, event_type="x", ts=d(1, 4), value=70.0),
+        Row(event_id=7, event_type="x", ts=d(1, 5), value=None),  # excluded
+        Row(event_id=8, event_type="y", ts=d(2, 1), value=7.0),
+    ])
+    got = {(r.event_type, r.bucket_ts.day): r
+           for r in ohlc(events).collect()}
+    x = got[("x", 1)]
+    assert (x.open, x.high, x.low, x.close, x.n_events) == \
+        (10.0, 99.0, 2.0, 30.0, 6)
+    y = got[("y", 2)]
+    assert (y.open, y.high, y.low, y.close, y.n_events) == \
+        (7.0, 7.0, 7.0, 7.0, 1)
+    assert len(got) == 2
+
+
+def test_ohlc_plan_shape(spark, sf_dir):
+    """ONE map-side-combinable hash aggregate: a single
+    hashpartitioning exchange of candle-sized partials (partial min_by
+    visible), plus the output sort. No window, no join, no Python."""
+    from etl_load_spark.queries import QUERIES
+    import re
+    df = QUERIES["q174_ohlc"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 2
+    assert "partial_min_by" in plan or "partial_min" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_plan_shape(spark, sf_dir):
     """100TB posture: pushed ts filter, pruned scans, the ONE
     BroadcastNestedLoopJoin is the 1-row bounds broadcast, no
