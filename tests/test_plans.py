@@ -921,9 +921,11 @@ def test_global_plan_sweep_all_queries(spark, sf_dir):
 
 def _stage_sweep_specs(tmp_path):
     """One minimal VALID spec per declarative transformation stage —
-    every dispatch path of plans/builder.apply_transformation (the 20
-    _CORPUS_TRANSFORMS + the 6 spec-dispatched operators + both
-    PYTHON_SCRIPT hooks + NONE), each through build_plan exactly as a
+    every dispatch path of plans/builder.apply_transformation (all
+    _CORPUS_TRANSFORMS registry stages + the 6 spec-dispatched
+    operators + both PYTHON_SCRIPT hooks + NONE; the completeness guard
+    below derives the exact set from the dispatcher source, so a count
+    here would only go stale), each through build_plan exactly as a
     job would run it."""
     import json as _json
     import textwrap
