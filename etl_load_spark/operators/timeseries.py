@@ -231,7 +231,9 @@ def ohlc(events: DataFrame, type_col: str = "event_type",
     zero-padded ``(epoch_micros, order_col)`` string key — lexicographic
     equals chronological, and the unique tiebreaker makes same-timestamp
     samples deterministic (DuckDB's arg_min/arg_max accept no composite
-    key, so the padded string IS the portable composite). Values stay
+    key, so the padded string IS the portable composite; post-1970
+    timestamps and non-negative order ids only — a minus sign would
+    break the lexicographic ordering). Values stay
     decimal(12,2) through the aggregate and cast to double once —
     nothing derived, so no fixed-point machinery is needed. NULL-ts and
     NULL-value samples are excluded on both sides.
