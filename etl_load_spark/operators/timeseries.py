@@ -63,8 +63,12 @@ def gapfill(events: DataFrame, key_col: str = "user_id",
     bucket. Values carry exactly 4 decimals (exact fixed point — see
     module docstring). ``value_col`` must be non-negative (raising this
     restriction needs the signed half-up variant of the fixed-point
-    divisions)."""
-    e = events.filter(F.col(ts_col).isNotNull())
+    divisions). NULL-value samples are missed scrapes, not zeros: they
+    are excluded up front (counting them would silently dilute the
+    bucket average's denominator), so an all-NULL bucket is a GAP —
+    the counter_rate/ohlc convention."""
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
     cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
     actual = (
         e.groupBy(F.col(key_col),
@@ -304,7 +308,8 @@ WITH actual AS (
          (2 * CAST(SUM(CAST(CAST({value_col} AS DECIMAL(12,2)) * 100
                             AS BIGINT)) AS BIGINT) * 100 + COUNT(*))
            // (2 * COUNT(*)) AS val4
-  FROM {table} WHERE {ts_col} IS NOT NULL
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
   GROUP BY 1, 2),
 bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM actual),
 grid AS (

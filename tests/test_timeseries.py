@@ -105,6 +105,25 @@ def test_null_ts_rows_ignored(spark):
     assert len(rows) == 1 and rows[0].val == 1.0
 
 
+def test_null_value_samples_do_not_dilute(spark):
+    """A NULL sample is a missed scrape, not a zero: it must not enter
+    the bucket average's denominator (found by self-review: SUM skips
+    NULLs but COUNT(*) counted them, silently diluting the average —
+    invisible to oracle parity because the twin shared the formula),
+    and an all-NULL bucket is a GAP, not a value."""
+    events = spark.createDataFrame([
+        Row(user_id=1, ts=d(1, 1), value=10.0),
+        Row(user_id=1, ts=d(1, 2), value=None),   # must not halve day 1
+        Row(user_id=1, ts=d(2, 1), value=None),   # all-NULL bucket = gap
+        Row(user_id=1, ts=d(3, 1), value=30.0),
+    ])
+    got = {r.bucket_ts.day: (r.val, r.locf_val, r.interp_val)
+           for r in gapfill(events).collect()}
+    assert got[1] == (10.0, 10.0, 10.0)           # NOT 5.0
+    assert got[2] == (None, 10.0, 20.0)           # gap: locf + interp
+    assert got[3] == (30.0, 30.0, 30.0)
+
+
 def test_empty_input_is_empty_not_descending(spark):
     # Spark sequence(lo, hi) DESCENDS when lo > hi (round-8 lesson);
     # the NULL-bounds guard must yield zero rows, not a crash or grid
