@@ -189,6 +189,41 @@ def test_materialized_rollup_equals_batch(spark, batch_events, sf_dir, tmp_path)
     assert got.count() > 0
 
 
+def test_streaming_rollup_then_batch_gapfill_pipeline(spark, batch_events,
+                                                      sf_dir, tmp_path):
+    """The GAPFILL stage's streaming refusal points users at 'run the
+    streaming rollup to land bucket aggregates incrementally, then
+    gap-fill the landed table downstream' — prove that composed
+    pipeline, not just the error text: materialize the 15-min rollup
+    from the stream, run gapfill over the LANDED aggregates (series =
+    event_type, value = total_value), and get exactly the fill that
+    batch gapfill over the batch rollup produces."""
+    from etl_load_spark.operators.timeseries import gapfill
+    from etl_load_spark.streaming.windows import (
+        materialize_rollup, time_bucket_rollup,
+    )
+
+    stream = open_event_stream(spark, sf_dir)
+    q = materialize_rollup(time_bucket_rollup(stream),
+                           path=str(tmp_path / "rollup"),
+                           checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    landed = spark.read.parquet(str(tmp_path / "rollup"))
+
+    def fill(rollup_df):
+        return gapfill(rollup_df, key_col="event_type",
+                       ts_col="bucket_start", value_col="total_value",
+                       bucket="15 minutes")
+
+    got = fill(landed)
+    want = fill(time_bucket_rollup(batch_events))
+    cols = ["event_type", "bucket_ts", "val", "locf_val", "interp_val"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # the landed rollup has real 15-min gaps at this SF — the fill
+    # must actually fill, not pass rows through
+    assert got.filter("val IS NULL AND locf_val IS NOT NULL").count() > 0
+
+
 def test_stream_static_enrich_equals_batch(spark, batch_events, stream_events, sf_dir):
     from etl_load_spark.session import read_table
     from etl_load_spark.streaming.windows import (run_available_now,
