@@ -148,6 +148,69 @@ def test_nondefault_bucket_oracle_parity(spark, sf_dir):
     assert ok, msg
 
 
+def test_gapfill_matches_reference_property(spark):
+    """Derandomized property: random sparse feeds (multi-sample buckets,
+    NULL values, single-point and late-starting series) match a pure-
+    Python replay of the whole fill contract — global grid bounds,
+    exact fixed-point average, LOCF, integer-interpolation — exactly."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import gapfill
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 2),               # series
+                  st.integers(0, 9),               # day
+                  st.integers(0, 23),              # hour
+                  st.one_of(st.none(),             # NULL sample
+                            st.integers(0, 30000))),   # cents
+        min_size=1, max_size=30)
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [(u, d(day + 1, hour), None if c is None else c / 100.0)
+                for u, day, hour, c in rows]
+        df = spark.createDataFrame(
+            data, "user_id bigint, ts timestamp, value double")
+        got = {(r.user_id, r.bucket_ts.day):
+               (r.val, r.locf_val, r.interp_val)
+               for r in gapfill(df).collect()}
+        # reference replay (integer fixed point end-to-end)
+        buckets = {}                       # (u, day) -> [cents]
+        for u, day, hour, c in rows:
+            if c is not None:
+                buckets.setdefault((u, day + 1), []).append(c)
+        if not buckets:
+            assert got == {}
+            return
+        val4 = {k: (2 * sum(cs) * 100 + len(cs)) // (2 * len(cs))
+                for k, cs in buckets.items()}
+        days = range(min(d_ for _, d_ in val4), max(d_ for _, d_ in val4) + 1)
+        expect = {}
+        for u in {u_ for u_, _ in val4}:
+            series = {d_: v for (u_, d_), v in val4.items() if u_ == u}
+            have = sorted(series)
+            for day in days:
+                v = series.get(day)
+                prevs = [x for x in have if x <= day]
+                nexts = [x for x in have if x >= day]
+                p = prevs[-1] if prevs else None
+                n = nexts[0] if nexts else None
+                locf = series[p] / 10000.0 if p is not None else None
+                if v is not None:
+                    interp = v / 10000.0
+                elif p is None or n is None:
+                    interp = None
+                else:
+                    d1, d2 = (day - p) * 86400, (n - p) * 86400
+                    num = series[p] * (d2 - d1) + series[n] * d1
+                    interp = ((2 * num + d2) // (2 * d2)) / 10000.0
+                expect[(u, day)] = (v / 10000.0 if v is not None else None,
+                                    locf, interp)
+        assert got == expect
+
+    check()
+
+
 def test_counter_rate_reset_semantics(spark):
     """Reset contract (Timescale counter_agg / Prometheus increase):
     a decrease means the counter restarted, so the post-reset value IS
