@@ -129,11 +129,28 @@ def gapfill(events: DataFrame, key_col: str = "user_id",
             .orderBy(key_col, "bucket_ts"))
 
 
+def bucket_width_seconds(df_or_spark, bucket: str) -> int:
+    """Width of a Spark interval string in whole seconds, via Spark's
+    own interval parser (so '1 day', '15 minutes', '6 hours' all parse
+    exactly as ``F.window`` will read them). One driver-side scalar —
+    config-shaped, never data-shaped."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    # Spark has no extract(epoch FROM interval); anchor at the epoch and
+    # measure the shift (day-time intervals only — the same class
+    # F.window accepts; a calendar '1 month' is rejected by window too)
+    row = spark.sql(
+        "SELECT CAST(unix_micros(timestamp_seconds(0) + INTERVAL "
+        f"{bucket}) DIV 1000000 AS BIGINT) AS s").collect()[0]
+    if row.s is None or row.s <= 0:
+        raise ValueError(f"bucket width must be positive: {bucket!r}")
+    return row.s
+
+
 def counter_rate(events: DataFrame, key_col: str = "user_id",
                  ts_col: str = "ts", value_col: str = "value",
                  order_col: str = "event_id",
                  bucket: str = "1 day",
-                 bucket_seconds: int = 86400) -> DataFrame:
+                 bucket_seconds: int | None = None) -> DataFrame:
     """Monotonic-counter increase/rate with reset detection — the
     Timescale ``counter_agg``/Prometheus ``increase()`` staple, distinct
     from q166's bucket-count deltas: here the DELTA IS SAMPLE-TO-SAMPLE
@@ -145,9 +162,12 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
     same-timestamp samples deterministic: step = value − prev when
     value ≥ prev, value on a reset, 0 for the series' first sample;
     then per (key, bucket): n_samples, n_resets, increase = Σstep and
-    rate_per_sec = increase / bucket_seconds. NULL-ts and NULL-value
-    samples are excluded (the Timescale convention: a NULL sample is a
-    missed scrape, not a zero).
+    rate_per_sec = increase / bucket_seconds. ``bucket_seconds``
+    defaults to the PARSED width of ``bucket`` (bucket_width_seconds),
+    so the denominator cannot silently drift from the bucket; pass it
+    explicitly only to rate against a different horizon. NULL-ts and
+    NULL-value samples are excluded (the Timescale convention: a NULL
+    sample is a missed scrape, not a zero).
 
     Exactness: samples convert once to cents (bigint); every step, sum
     and the rate division stay integral (the rate is the scale-4
@@ -161,6 +181,8 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
     exchange before it; the window output is already keyed). A hot
     series serializes only its own samples. Values must be
     non-negative (counters are)."""
+    if bucket_seconds is None:
+        bucket_seconds = bucket_width_seconds(events, bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
     cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")

@@ -819,16 +819,18 @@ def _counter_rate_transform(df: DataFrame, p: dict) -> DataFrame:
     increase, rate_per_sec). Row shape CHANGES to the rollup. Values
     must be non-negative (counters are). Parameters:
     keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
-    orderColumn ('event_id'), bucket ('1 day'),
-    bucketSeconds (86400 — the rate denominator; keep it equal to the
-    bucket width)."""
+    orderColumn ('event_id'), bucket ('1 day'), bucketSeconds (the
+    rate denominator; defaults to the parsed bucket width, so it
+    cannot silently drift from the bucket — set it only to rate
+    against a different horizon)."""
     from etl_load_spark.operators.timeseries import counter_rate
+    bs = p.get("bucketSeconds")
     return counter_rate(df, key_col=p.get("keyColumn", "user_id"),
                         ts_col=p.get("tsColumn", "ts"),
                         value_col=p.get("valueColumn", "value"),
                         order_col=p.get("orderColumn", "event_id"),
                         bucket=p.get("bucket", "1 day"),
-                        bucket_seconds=int(p.get("bucketSeconds", 86400)))
+                        bucket_seconds=int(bs) if bs is not None else None)
 
 
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,

@@ -298,6 +298,27 @@ def test_counter_rate_matches_reference_property(spark):
     check()
 
 
+def test_bucket_width_derivation(spark):
+    """The rate denominator is DERIVED from the bucket string by
+    Spark's own interval parser, so the two cannot drift; hourly
+    buckets rate against 3600 without a second parameter."""
+    from etl_load_spark.operators.timeseries import (
+        bucket_width_seconds, counter_rate,
+    )
+    assert bucket_width_seconds(spark, "1 day") == 86400
+    assert bucket_width_seconds(spark, "15 minutes") == 900
+    assert bucket_width_seconds(spark, "6 hours") == 21600
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=46.0),
+    ])
+    r = counter_rate(events, bucket="1 hour").collect()
+    # the +36 step lands in the 02:00 bucket, rated against 3600 s
+    by_hour = {row.bucket_ts.hour: row.rate_per_sec for row in r}
+    assert by_hour[2] == 0.01                 # 36/3600
+    assert by_hour[1] == 0.0
+
+
 def test_counter_rate_plan_shape(spark, sf_dir):
     """ONE series-keyed exchange serves both the lag window and the
     bucket aggregate (hashpartitioning(user_id) satisfies the
