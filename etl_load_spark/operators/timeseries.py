@@ -245,6 +245,91 @@ FROM a ORDER BY {key_col}, bucket_ts
 """
 
 
+def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      order_col: str = "event_id",
+                      bucket: str = "1 day") -> DataFrame:
+    """Time-weighted average — Timescale ``time_weight('LOCF')`` /
+    ``average()``: the plain per-bucket mean (q172's ``val``) weights
+    every sample equally, so a sensor that reports 100× more often
+    while idle drags the average toward idle; here each sample is
+    weighted by HOW LONG IT HELD — the integral of the in-bucket LOCF
+    step curve from the bucket's first sample to the bucket end,
+    divided by that span (no carry-in from the previous bucket: each
+    bucket's integral starts at its own first sample, keeping the
+    operator one-pass and the contract self-contained; Timescale's
+    cross-bucket carry needs its rollup form).
+
+    Exactness: weights are MILLISECOND durations (``unix_millis`` /
+    ``epoch_ms`` truncate identically in both engines; same-millisecond
+    predecessors get weight 0 deterministically via the (ts, order_col)
+    ordering), values integral cents, and the quotient is the scale-4
+    half-up fixed point ``(200·Σc·dt + Σdt) DIV (2·Σdt)`` — overflow
+    headroom: Σ(cents·dt_ms) ≤ 10⁷ cents · 8.6×10⁷ ms/day ≈ 10¹⁵,
+    ×200 ≪ 2⁶³. NULL samples are missed scrapes, excluded up front.
+
+    100 TB shape: ONE exchange — the lead() window partitions by
+    (key, bucket), and the aggregate groups by the same keys, so
+    partial+final ride the window's partitioning with no second
+    exchange; per-partition sort cost is bounded by a single series'
+    single bucket, never a whole series (better skew behavior than
+    counter_rate, whose deltas must cross buckets)."""
+    width_ms = bucket_width_seconds(events, bucket) * 1000
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    b = F.window(ts_col, bucket).start.alias("bucket_ts")
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    s = e.select(F.col(key_col), b, cents.alias("_c"), tms.alias("_tm"),
+                 F.col(order_col).alias("_o"), F.col(ts_col).alias("_ts"))
+    w = (Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o"))
+    bucket_end = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz")) \
+        + F.lit(width_ms)
+    dt = (F.coalesce(F.lead("_tm").over(w), bucket_end) - F.col("_tm"))
+    agg = (s.select(key_col, "bucket_ts", "_c", dt.alias("_dt"))
+           .groupBy(key_col, "bucket_ts")
+           .agg(F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.col("_c") * F.col("_dt")).alias("_num"),
+                F.sum("_dt").alias("_den")))
+    twa4 = F.expr("(200 * _num + _den) DIV (2 * _den)")
+    return (agg.select(key_col, "bucket_ts", "n_samples",
+                       (twa4.cast("double") / 10000.0).alias("twa"))
+            .orderBy(key_col, "bucket_ts"))
+
+
+def time_weighted_avg_sql(table: str = "events", key_col: str = "user_id",
+                          ts_col: str = "ts", value_col: str = "value",
+                          order_col: str = "event_id",
+                          bucket: str = "1 day",
+                          bucket_seconds: int = 86400) -> str:
+    """DuckDB oracle for :func:`time_weighted_avg` — same millisecond
+    weights (epoch_ms), same in-bucket lead over the same (ts, order)
+    ordering, same fixed-point quotient."""
+    width_ms = bucket_seconds * 1000
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts,
+         CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         epoch_ms({ts_col}) AS tm,
+         lead(epoch_ms({ts_col})) OVER (PARTITION BY {key_col}, {tb}
+                                        ORDER BY {ts_col}, {order_col}) AS nx
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+a AS (
+  SELECT {key_col}, bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(c * (COALESCE(nx, epoch_ms(bucket_ts) + {width_ms})
+                       - tm)) AS BIGINT) AS num,
+         CAST(SUM(COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm)
+              AS BIGINT) AS den
+  FROM s GROUP BY 1, 2)
+SELECT {key_col}, bucket_ts, n_samples,
+       CAST((200 * num + den) // (2 * den) AS DOUBLE) / 10000.0 AS twa
+FROM a ORDER BY {key_col}, bucket_ts
+"""
+
+
 def ohlc(events: DataFrame, type_col: str = "event_type",
          ts_col: str = "ts", value_col: str = "value",
          order_col: str = "event_id", bucket: str = "1 day") -> DataFrame:

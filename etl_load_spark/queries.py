@@ -6598,6 +6598,31 @@ def _register_ohlc_oracle() -> None:
 _register_ohlc_oracle()
 
 
+# --- q175: time-weighted average ----------------------------------------------
+
+@query("q175_time_weighted_avg")  # oracle attached right below
+def q175_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (user, daily bucket) — Timescale
+    time_weight('LOCF'): each sample weighted by how long it HELD
+    (millisecond durations to the next in-bucket sample, the last
+    extending to the bucket end), so irregular sampling cannot bias the
+    mean the way q172's equally-weighted val can. Exact end-to-end:
+    integer cents × integer millisecond weights, one fixed-point
+    quotient. One exchange total before the output sort — the lead()
+    window partitions by (user, bucket) and the aggregate groups by
+    the same keys. See operators/timeseries.time_weighted_avg."""
+    from etl_load_spark.operators.timeseries import time_weighted_avg
+    return time_weighted_avg(t(spark, sf_dir, "events"))
+
+
+def _register_twa_oracle() -> None:
+    from etl_load_spark.operators.timeseries import time_weighted_avg_sql
+    QUERIES["q175_time_weighted_avg"].oracle = time_weighted_avg_sql("events")
+
+
+_register_twa_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

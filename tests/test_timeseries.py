@@ -376,6 +376,48 @@ def test_ohlc_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_time_weighted_avg_semantics(spark):
+    """TWA contract: weight = hold time to the next in-bucket sample
+    (the last extends to bucket end); irregular sampling cannot bias
+    the mean; a single-sample bucket IS its value."""
+    from etl_load_spark.operators.timeseries import time_weighted_avg
+    events = spark.createDataFrame([
+        # value 10 holds 00:00->18:00 (64.8Ms), 40 holds 18:00->24:00
+        # (21.6Ms): twa = (10*0.75 + 40*0.25) = 17.5 — the equally-
+        # weighted mean would say 25
+        Row(event_id=1, user_id=1, ts=d(1, 0), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 18), value=40.0),
+        # single-sample bucket: holds to bucket end -> twa = value
+        Row(event_id=3, user_id=1, ts=d(2, 23), value=7.0),
+        # burst sampling: three 5.0 readings in one minute then 11.0 at
+        # 12:00 — twa is dominated by hold time, not sample count
+        Row(event_id=4, user_id=2, ts=d(1, 0), value=5.0),
+        Row(event_id=5, user_id=2, ts=d(1, 0), value=5.0),
+        Row(event_id=6, user_id=2, ts=d(1, 0), value=5.0),
+        Row(event_id=7, user_id=2, ts=d(1, 12), value=11.0),
+    ])
+    got = {(r.user_id, r.bucket_ts.day): (r.n_samples, r.twa)
+           for r in time_weighted_avg(events).collect()}
+    assert got[(1, 1)] == (2, 17.5)
+    assert got[(1, 2)] == (1, 7.0)
+    # user 2: 5.0 holds 12h, 11.0 holds 12h -> 8.0 (mean would be 6.5)
+    assert got[(2, 1)] == (4, 8.0)
+
+
+def test_time_weighted_avg_plan_shape(spark, sf_dir):
+    """ONE hash exchange serves the lead window AND the (key, bucket)
+    aggregate (identical partition keys); the only other exchange is
+    the output sort. No joins, no Python, integral div on the path."""
+    from etl_load_spark.queries import QUERIES
+    import re
+    df = QUERIES["q175_time_weighted_avg"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert " div " in plan
+
+
 def test_plan_shape(spark, sf_dir):
     """100TB posture: pushed ts filter, pruned scans, the ONE
     BroadcastNestedLoopJoin is the 1-row bounds broadcast, no
