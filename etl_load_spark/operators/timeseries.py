@@ -52,6 +52,56 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+#: fixed day-time interval units in microseconds — the exact widths
+#: Spark's own interval parser assigns them (week..microsecond are all
+#: fixed-duration; the calendar units month/year, which F.window itself
+#: rejects, are deliberately absent)
+_UNIT_MICROS = {
+    "week": 7 * 86400 * 10**6,
+    "day": 86400 * 10**6,
+    "hour": 3600 * 10**6,
+    "minute": 60 * 10**6,
+    "second": 10**6,
+    "millisecond": 1000,
+    "microsecond": 1,
+}
+
+
+def validate_bucket(bucket: str) -> int:
+    """Validate a bucket/interval string against the day-time grammar
+    ``<uint> <unit> [<uint> <unit> ...]`` (units week/day/hour/minute/
+    second/millisecond/microsecond, singular or plural) and return its
+    total width in MICROSECONDS.
+
+    The bucket strings these operators receive flow from user-supplied
+    declarative job-spec parameters and are embedded into interval
+    expressions (``F.expr(f"interval {bucket}")``, the DuckDB oracle
+    twins' ``INTERVAL '{bucket}'``) — so a malformed or hostile value
+    must fail HERE as a spec validation error, never surface as a raw
+    SQL parse error or ride into an expression (ADVICE r9). The grammar
+    is deliberately a strict subset of what Spark's parser accepts
+    (no signs, no decimals, no 'interval' prefix): within it the fixed
+    per-unit widths above are exactly Spark's, so no second parser can
+    drift."""
+    toks = str(bucket).split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"invalid bucket {bucket!r}: expected '<n> <unit>' pairs "
+            "(e.g. '1 day', '6 hours', '1 hour 30 minutes')")
+    total = 0
+    for num, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower()
+        u = u[:-1] if u.endswith("s") and u[:-1] in _UNIT_MICROS else u
+        if not num.isdigit() or u not in _UNIT_MICROS:
+            raise ValueError(
+                f"invalid bucket {bucket!r}: {num + ' ' + unit!r} is not "
+                "'<non-negative int> <week|day|hour|minute|second|"
+                "millisecond|microsecond>'")
+        total += int(num) * _UNIT_MICROS[u]
+    if total <= 0:
+        raise ValueError(f"bucket width must be positive: {bucket!r}")
+    return total
+
 
 def gapfill(events: DataFrame, key_col: str = "user_id",
             ts_col: str = "ts", value_col: str = "value",
@@ -66,7 +116,11 @@ def gapfill(events: DataFrame, key_col: str = "user_id",
     divisions). NULL-value samples are missed scrapes, not zeros: they
     are excluded up front (counting them would silently dilute the
     bucket average's denominator), so an all-NULL bucket is a GAP —
-    the counter_rate/ohlc convention."""
+    the counter_rate/ohlc convention. A NULL key is a legitimate
+    series (the counter_rate/ohlc/twa groupBy convention and the q71
+    precedent): it gets its own grid rows and fills via the null-safe
+    grid join."""
+    validate_bucket(bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
     cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
@@ -91,7 +145,18 @@ def gapfill(events: DataFrame, key_col: str = "user_id",
                         F.sequence("_lo", "_hi", F.expr(f"interval {bucket}"))
                     )).alias("bucket_ts")))
 
-    filled = grid.join(actual, [key_col, "bucket_ts"], "left")
+    # Null-safe on the key (ADVICE r9): a NULL-key series' grid rows
+    # must still match its actuals — plain equality would leave every
+    # fill NULL even at buckets that have data (and the USING-join
+    # oracle twin shared the wart, so parity alone couldn't catch it).
+    # EqualNullSafe is still an equi-join key for Spark (sort-merge /
+    # shuffled-hash, never BNLJ). bucket_ts is never NULL here (ts is
+    # filtered non-null), so plain equality is correct for it.
+    a = actual.select(F.col(key_col).alias("_ak"),
+                      F.col("bucket_ts").alias("_ab"), "val4")
+    filled = (grid.join(a, F.col(key_col).eqNullSafe(F.col("_ak"))
+                        & (F.col("bucket_ts") == F.col("_ab")), "left")
+              .select(key_col, "bucket_ts", "val4"))
 
     wp = (Window.partitionBy(key_col).orderBy("bucket_ts")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -126,24 +191,28 @@ def gapfill(events: DataFrame, key_col: str = "user_id",
                     as_dbl(F.col("val4")).alias("val"),
                     as_dbl(F.col("_prev4")).alias("locf_val"),
                     interp.alias("interp_val"))
-            .orderBy(key_col, "bucket_ts"))
+            # nulls-last to match the oracle twin now that a NULL-key
+            # series can reach the output (the ohlc convention)
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts"))
 
 
-def bucket_width_seconds(df_or_spark, bucket: str) -> int:
-    """Width of a Spark interval string in whole seconds, via Spark's
-    own interval parser (so '1 day', '15 minutes', '6 hours' all parse
-    exactly as ``F.window`` will read them). One driver-side scalar —
-    config-shaped, never data-shaped."""
-    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
-    # Spark has no extract(epoch FROM interval); anchor at the epoch and
-    # measure the shift (day-time intervals only — the same class
-    # F.window accepts; a calendar '1 month' is rejected by window too)
-    row = spark.sql(
-        "SELECT CAST(unix_micros(timestamp_seconds(0) + INTERVAL "
-        f"{bucket}) DIV 1000000 AS BIGINT) AS s").collect()[0]
-    if row.s is None or row.s <= 0:
-        raise ValueError(f"bucket width must be positive: {bucket!r}")
-    return row.s
+def bucket_width_seconds(bucket: str) -> int:
+    """Width of a validated day-time bucket string in WHOLE seconds.
+    Pure Python over :func:`validate_bucket`'s fixed unit widths — the
+    validated grammar is a strict subset of Spark's interval syntax on
+    which the per-unit widths are exactly Spark's, so '1 day',
+    '15 minutes', '6 hours' all measure exactly as ``F.window`` will
+    read them, with no SQL round trip (the previous implementation
+    interpolated the raw string into ``spark.sql`` — an injection
+    surface for spec-supplied values, ADVICE r9) and no collect.
+    Raises on sub-second residue: a rate denominator must be integral
+    seconds."""
+    micros = validate_bucket(bucket)
+    if micros % 10**6:
+        raise ValueError(
+            f"bucket {bucket!r} is not a whole number of seconds "
+            f"({micros} microseconds)")
+    return micros // 10**6
 
 
 def counter_rate(events: DataFrame, key_col: str = "user_id",
@@ -181,8 +250,9 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
     exchange before it; the window output is already keyed). A hot
     series serializes only its own samples. Values must be
     non-negative (counters are)."""
+    validate_bucket(bucket)
     if bucket_seconds is None:
-        bucket_seconds = bucket_width_seconds(events, bucket)
+        bucket_seconds = bucket_width_seconds(bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
     cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
@@ -213,11 +283,17 @@ def counter_rate_sql(table: str = "events", key_col: str = "user_id",
                      ts_col: str = "ts", value_col: str = "value",
                      order_col: str = "event_id",
                      bucket: str = "1 day",
-                     bucket_seconds: int = 86400) -> str:
+                     bucket_seconds: int | None = None) -> str:
     """DuckDB oracle for :func:`counter_rate` — same ordering, same
     integral cents arithmetic, same fixed-point rate quotient. SUMs are
     cast back to BIGINT (DuckDB SUM(BIGINT) → HUGEINT renders float64
-    through pandas — the round-2 lesson)."""
+    through pandas — the round-2 lesson). ``bucket_seconds`` defaults
+    to the parsed width of ``bucket`` exactly like the Spark side — an
+    independent 86400 default here once let a '6 hours' twin silently
+    rate against a day (ADVICE r9, the drift class commit a0c9160
+    removed on the Spark side)."""
+    if bucket_seconds is None:
+        bucket_seconds = bucket_width_seconds(bucket)
     return f"""
 WITH s AS (
   SELECT {key_col},
@@ -274,7 +350,7 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
     exchange; per-partition sort cost is bounded by a single series'
     single bucket, never a whole series (better skew behavior than
     counter_rate, whose deltas must cross buckets)."""
-    width_ms = bucket_width_seconds(events, bucket) * 1000
+    width_ms = bucket_width_seconds(bucket) * 1000
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
     cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
@@ -301,10 +377,15 @@ def time_weighted_avg_sql(table: str = "events", key_col: str = "user_id",
                           ts_col: str = "ts", value_col: str = "value",
                           order_col: str = "event_id",
                           bucket: str = "1 day",
-                          bucket_seconds: int = 86400) -> str:
+                          bucket_seconds: int | None = None) -> str:
     """DuckDB oracle for :func:`time_weighted_avg` — same millisecond
     weights (epoch_ms), same in-bucket lead over the same (ts, order)
-    ordering, same fixed-point quotient."""
+    ordering, same fixed-point quotient. ``bucket_seconds`` derives
+    from ``bucket`` exactly like the Spark side (ADVICE r9: an
+    independent default here is the oracle-side variant of the
+    denominator-drift class)."""
+    if bucket_seconds is None:
+        bucket_seconds = bucket_width_seconds(bucket)
     width_ms = bucket_seconds * 1000
     tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
     return f"""
@@ -342,9 +423,16 @@ def ohlc(events: DataFrame, type_col: str = "event_type",
     zero-padded ``(epoch_micros, order_col)`` string key — lexicographic
     equals chronological, and the unique tiebreaker makes same-timestamp
     samples deterministic (DuckDB's arg_min/arg_max accept no composite
-    key, so the padded string IS the portable composite; post-1970
-    timestamps and non-negative order ids only — a minus sign would
-    break the lexicographic ordering). Values stay
+    key, so the padded string IS the portable composite). The key domain
+    is GUARDED, not just documented (VERDICT r9 / ADVICE r9): a negative
+    epoch (pre-1970 ts) or negative order id would render a minus sign
+    and break lexicographic == chronological SILENTLY, so the key
+    expression raises on either — two comparisons per row inside the
+    partial aggregate, loud-wrong instead of silent-wrong. Both fields
+    are padded to 19 digits, the full non-negative int64 range (the
+    first cut padded order ids to 12: an id ≥ 10¹² — plausible at
+    100 TB — made Spark's format_string WIDEN the field while DuckDB's
+    lpad TRUNCATED it, diverging engines both wrong). Values stay
     decimal(12,2) through the aggregate and cast to double once —
     nothing derived, so no fixed-point machinery is needed. NULL-ts and
     NULL-value samples are excluded on both sides.
@@ -354,13 +442,19 @@ def ohlc(events: DataFrame, type_col: str = "event_type",
     (series, bucket) and the shuffle is candle-sized, never
     sample-sized; no window, no join. The string key exists only inside
     the partial aggregate (never shuffled per sample)."""
+    validate_bucket(bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
     v = F.col(value_col).cast("decimal(12,2)")
-    key = F.format_string(
-        "%020d%012d",
-        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")),
-        F.col(order_col))
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    oc = F.col(order_col).cast("bigint")
+    key = (
+        F.when((ep < 0) | (oc < 0), F.raise_error(F.format_string(
+            "ohlc: ordering key out of domain (epoch_micros=%s, "
+            f"{order_col}=%s): the padded-string open/close key needs "
+            "non-negative (post-1970) timestamps and non-negative "
+            "order ids", ep, oc)))
+        .otherwise(F.format_string("%019d%019d", ep, oc)))
     return (e.groupBy(type_col,
                       F.window(ts_col, bucket).start.alias("bucket_ts"))
             .agg(F.min_by(v, key).cast("double").alias("open"),
@@ -376,9 +470,14 @@ def ohlc_sql(table: str = "events", type_col: str = "event_type",
              order_col: str = "event_id", bucket: str = "1 day") -> str:
     """DuckDB oracle for :func:`ohlc` — same padded-string ordering key
     (arg_min/arg_max take no composite), same decimal-through double
-    casts, NULLS LAST ordering matching Spark's asc_nulls_last."""
-    k = (f"lpad(CAST(epoch_us({ts_col}) AS VARCHAR), 20, '0') || "
-         f"lpad(CAST({order_col} AS VARCHAR), 12, '0')")
+    casts, NULLS LAST ordering matching Spark's asc_nulls_last. Both
+    fields lpad to 19 digits = the full non-negative int64 range
+    (DuckDB lpad TRUNCATES past the width — at 12 it disagreed with
+    Spark's widening format_string for ids ≥ 10¹², ADVICE r9); the
+    non-negative domain itself is raise-guarded on the Spark side."""
+    validate_bucket(bucket)
+    k = (f"lpad(CAST(epoch_us({ts_col}) AS VARCHAR), 19, '0') || "
+         f"lpad(CAST({order_col} AS VARCHAR), 19, '0')")
     v = f"CAST({value_col} AS DECIMAL(12,2))"
     return f"""
 SELECT {type_col},
@@ -407,7 +506,13 @@ def gapfill_sql(table: str = "events", key_col: str = "user_id",
     (from a week up it snaps to the ISO Monday 2024-01-01-style
     origin) — so this oracle is valid for buckets < 1 week (parity
     pinned at '1 day' and '6 hours'); for coarser grains give
-    time_bucket an explicit epoch origin before trusting the twin."""
+    time_bucket an explicit epoch origin before trusting the twin.
+
+    The grid join is null-safe on the key (IS NOT DISTINCT FROM) to
+    match the Spark side's eqNullSafe — the original USING join shared
+    the plain-equality wart (ADVICE r9), the shared-wart class parity
+    cannot catch."""
+    validate_bucket(bucket)
     return f"""
 WITH actual AS (
   SELECT {key_col},
@@ -425,7 +530,9 @@ grid AS (
   FROM (SELECT DISTINCT {key_col} FROM actual) k CROSS JOIN bounds b),
 filled AS (
   SELECT g.{key_col}, g.bucket_ts, a.val4
-  FROM grid g LEFT JOIN actual a USING ({key_col}, bucket_ts)),
+  FROM grid g LEFT JOIN actual a
+    ON g.{key_col} IS NOT DISTINCT FROM a.{key_col}
+   AND g.bucket_ts = a.bucket_ts),
 f2 AS (
   SELECT {key_col}, bucket_ts, val4,
     last_value(val4 IGNORE NULLS) OVER wp AS prev4,
@@ -451,5 +558,5 @@ SELECT {key_col}, bucket_ts,
                        + next4 * (CAST(epoch(bucket_ts) AS BIGINT) - pt))
                   + (nt - pt)) // (2 * (nt - pt)) AS DOUBLE) / 10000.0
   END AS interp_val
-FROM f2 ORDER BY {key_col}, bucket_ts
+FROM f2 ORDER BY {key_col} NULLS LAST, bucket_ts
 """

@@ -299,15 +299,18 @@ def test_counter_rate_matches_reference_property(spark):
 
 
 def test_bucket_width_derivation(spark):
-    """The rate denominator is DERIVED from the bucket string by
-    Spark's own interval parser, so the two cannot drift; hourly
-    buckets rate against 3600 without a second parameter."""
+    """The rate denominator is DERIVED from the bucket string (via the
+    validated day-time grammar, whose fixed unit widths are exactly
+    Spark's), so the two cannot drift; hourly buckets rate against
+    3600 without a second parameter."""
     from etl_load_spark.operators.timeseries import (
         bucket_width_seconds, counter_rate,
     )
-    assert bucket_width_seconds(spark, "1 day") == 86400
-    assert bucket_width_seconds(spark, "15 minutes") == 900
-    assert bucket_width_seconds(spark, "6 hours") == 21600
+    assert bucket_width_seconds("1 day") == 86400
+    assert bucket_width_seconds("15 minutes") == 900
+    assert bucket_width_seconds("6 hours") == 21600
+    assert bucket_width_seconds("1 hour 30 minutes") == 5400
+    assert bucket_width_seconds("1 week") == 7 * 86400
     events = spark.createDataFrame([
         Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
         Row(event_id=2, user_id=1, ts=d(1, 2), value=46.0),
@@ -317,6 +320,112 @@ def test_bucket_width_derivation(spark):
     by_hour = {row.bucket_ts.hour: row.rate_per_sec for row in r}
     assert by_hour[2] == 0.01                 # 36/3600
     assert by_hour[1] == 0.0
+
+
+def test_null_key_series_fills(spark):
+    """ADVICE r9 (medium): the grid join must be NULL-SAFE on the key —
+    plain equality gave a NULL-key series grid rows whose fills were
+    all-NULL even at buckets that HAVE data, and the USING-join oracle
+    twin shared the wart so parity stayed green around it. NULL is a
+    legitimate series here (the counter_rate/ohlc/twa groupBy
+    convention, the q71 eqNullSafe precedent): it must fill exactly
+    like any other key."""
+    events = spark.createDataFrame([
+        Row(user_id=None, ts=d(1, 6), value=10.0),
+        Row(user_id=None, ts=d(3, 6), value=30.0),
+        Row(user_id=1, ts=d(2, 0), value=5.0),
+    ], "user_id bigint, ts timestamp, value double")
+    got = {(r.user_id, r.bucket_ts.day): (r.val, r.locf_val, r.interp_val)
+           for r in gapfill(events).collect()}
+    assert len(got) == 6                          # 2 series x 3 days
+    assert got[(None, 1)] == (10.0, 10.0, 10.0)   # actuals MATCH the grid
+    assert got[(None, 2)] == (None, 10.0, 20.0)   # interior gap fills
+    assert got[(None, 3)] == (30.0, 30.0, 30.0)
+    assert got[(1, 2)] == (5.0, 5.0, 5.0)
+
+
+def test_null_key_series_oracle_parity(spark):
+    """The null-safe join is mirrored in the SQL twin (IS NOT DISTINCT
+    FROM) and the NULLS LAST output order matches — pinned against
+    DuckDB on a feed that contains a NULL-key series, the exact fixture
+    class the shared-wart pair used to pass vacuously."""
+    import duckdb
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare
+    from etl_load_spark.operators.timeseries import gapfill_sql
+    events = spark.createDataFrame([
+        Row(user_id=None, ts=d(1, 6), value=10.0),
+        Row(user_id=None, ts=d(3, 6), value=30.0),
+        Row(user_id=1, ts=d(2, 0), value=5.0),
+        Row(user_id=2, ts=d(1, 1), value=7.0),
+    ], "user_id bigint, ts timestamp, value double")
+    con = duckdb.connect()
+    con.register("events", events.toPandas())
+    ok, msg = compare(gapfill(events), con, gapfill_sql("events"))
+    assert ok, msg
+
+
+def test_bucket_string_is_validated_not_interpolated(spark):
+    """ADVICE r9: bucket strings flow from user-supplied job-spec
+    parameters into interval expressions — malformed or hostile values
+    must fail as a spec ValueError, never as a raw SQL parse error or
+    an expression injection."""
+    import pytest as _pytest
+    from etl_load_spark.operators.timeseries import (
+        bucket_width_seconds, counter_rate, gapfill, gapfill_sql, ohlc,
+        time_weighted_avg, validate_bucket,
+    )
+    events = spark.createDataFrame(
+        [], "event_id bigint, event_type string, user_id bigint,"
+            " ts timestamp, value double")
+    hostile = "1 day) AS s; DROP TABLE events; --"
+    for bad in [hostile, "", "day", "1", "1 month", "1 fortnight",
+                "-1 day", "1.5 hours", "0 seconds"]:
+        with _pytest.raises(ValueError, match="bucket"):
+            validate_bucket(bad)
+        for op in (gapfill, counter_rate, time_weighted_avg, ohlc):
+            with _pytest.raises(ValueError, match="bucket"):
+                op(events, bucket=bad)
+        with _pytest.raises(ValueError, match="bucket"):
+            gapfill_sql("events", bucket=bad)
+    # sub-second residue cannot be a rate denominator
+    with _pytest.raises(ValueError, match="whole"):
+        bucket_width_seconds("500 milliseconds")
+    # but compound and plural/singular forms parse
+    assert validate_bucket("2 hours 30 minutes") == 9000 * 10**6
+    assert validate_bucket("1 Second") == 10**6
+
+
+def test_sql_twins_derive_denominator_from_bucket(spark):
+    """ADVICE r9 (low): the SQL twins' bucket_seconds now derives from
+    the bucket string exactly like the Spark side — a '6 hours' twin
+    called with defaults must rate against 21600, not 86400 (the
+    oracle-side variant of the drift commit a0c9160 removed)."""
+    import duckdb
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare
+    from etl_load_spark.operators.timeseries import (
+        counter_rate, counter_rate_sql, time_weighted_avg,
+        time_weighted_avg_sql,
+    )
+    assert "21600" in counter_rate_sql("events", bucket="6 hours")
+    assert "86400" not in counter_rate_sql("events", bucket="6 hours")
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=46.0),
+        Row(event_id=3, user_id=1, ts=d(1, 9), value=100.0),
+        Row(event_id=4, user_id=2, ts=d(1, 3), value=9.0),
+    ])
+    con = duckdb.connect()
+    con.register("events", events.toPandas())
+    ok, msg = compare(counter_rate(events, bucket="6 hours"), con,
+                      counter_rate_sql("events", bucket="6 hours"))
+    assert ok, msg
+    ok, msg = compare(time_weighted_avg(events, bucket="6 hours"), con,
+                      time_weighted_avg_sql("events", bucket="6 hours"))
+    assert ok, msg
 
 
 def test_counter_rate_plan_shape(spark, sf_dir):
@@ -359,6 +468,58 @@ def test_ohlc_semantics_and_tiebreak(spark):
     assert (y.open, y.high, y.low, y.close, y.n_events) == \
         (7.0, 7.0, 7.0, 7.0, 1)
     assert len(got) == 2
+
+
+def test_ohlc_key_domain_raises_not_misorders(spark):
+    """VERDICT r9 #4: the padded-key contract (non-negative epoch and
+    order id) was docstring-only — a violating feed got silently WRONG
+    open/close. Now the key expression raises: negative order ids and
+    pre-1970 timestamps are loud failures."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from etl_load_spark.operators.timeseries import ohlc
+    neg_id = spark.createDataFrame([
+        Row(event_id=-1, event_type="x", ts=d(1, 1), value=10.0),
+        Row(event_id=2, event_type="x", ts=d(1, 2), value=20.0),
+    ])
+    with _pytest.raises(Exception, match="non-negative") as ei:
+        ohlc(neg_id).collect()
+    assert isinstance(ei.value, Py4JJavaError) or "ohlc" in str(ei.value)
+    pre_epoch = spark.createDataFrame([
+        Row(event_id=1, event_type="x",
+            ts=dt.datetime(1969, 12, 31, 23, 0, 0), value=10.0),
+    ])
+    with _pytest.raises(Exception, match="non-negative"):
+        ohlc(pre_epoch).collect()
+
+
+def test_ohlc_wide_order_id_stays_portable(spark):
+    """ADVICE r9 (low): order ids ≥ 10¹² overflowed the original
+    12-digit pad — Spark's format_string WIDENED the field (breaking
+    lexicographic order) while DuckDB's lpad TRUNCATED it (diverging
+    engines). Both sides now pad to 19 digits (full non-negative
+    int64): a feed mixing 13-digit and 1-digit ids must agree with the
+    oracle and order chronologically."""
+    import duckdb
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare
+    from etl_load_spark.operators.timeseries import ohlc, ohlc_sql
+    events = spark.createDataFrame([
+        # same-ts tiebreak across the old 12-digit boundary: the
+        # 13-digit id must sort AFTER the small id, not before
+        Row(event_id=5_000_000_000_000, event_type="x",
+            ts=d(1, 1), value=50.0),
+        Row(event_id=7, event_type="x", ts=d(1, 1), value=10.0),  # open
+        Row(event_id=9_223_372_036_854_775_807, event_type="x",
+            ts=d(1, 2), value=30.0),                              # close
+    ])
+    got = ohlc(events).collect()[0]
+    assert (got.open, got.close) == (10.0, 30.0)
+    con = duckdb.connect()
+    con.register("events", events.toPandas())
+    ok, msg = compare(ohlc(events), con, ohlc_sql("events"))
+    assert ok, msg
 
 
 def test_ohlc_plan_shape(spark, sf_dir):
