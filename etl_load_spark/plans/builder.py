@@ -159,7 +159,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "URL_CANONICALIZE, IMPORTANCE_RESAMPLE, MARKUP_STRIP, "
                          "CDC_SCD2_APPLY, ASSIGN_SPLIT, PRIORITY_SAMPLE, "
                          "QUOTA_SAMPLE, HARD_NEGATIVES, "
-                         "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE)")
+                         "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE, "
+                         "OHLC, TIME_WEIGHTED_AVG)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -833,6 +834,43 @@ def _counter_rate_transform(df: DataFrame, p: dict) -> DataFrame:
                         bucket_seconds=int(bs) if bs is not None else None)
 
 
+def _ohlc_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative OHLC / candlestick rollup (operators/timeseries.ohlc
+    — q174): per (type, bucket) the open/high/low/close sample values
+    and the sample count; open/close are deterministic via the
+    raise-guarded padded (epoch_micros, orderColumn) key (non-negative
+    timestamps and order ids only — a violating feed fails LOUDLY, it
+    never mis-orders). Row shape CHANGES to (type, bucket_ts, open,
+    high, low, close, n_events). One map-side-combinable hash
+    aggregate: the shuffle is candle-sized, never sample-sized.
+    Parameters: typeColumn ('event_type'), tsColumn ('ts'),
+    valueColumn ('value'), orderColumn ('event_id'), bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import ohlc
+    return ohlc(df, type_col=p.get("typeColumn", "event_type"),
+                ts_col=p.get("tsColumn", "ts"),
+                value_col=p.get("valueColumn", "value"),
+                order_col=p.get("orderColumn", "event_id"),
+                bucket=p.get("bucket", "1 day"))
+
+
+def _time_weighted_avg_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative time-weighted average (operators/timeseries.
+    time_weighted_avg — q175): each sample weighted by how long it HELD
+    (the in-bucket LOCF integral), so burst sampling cannot bias the
+    bucket mean the way a plain average can. Row shape CHANGES to
+    (key, bucket_ts, n_samples, twa). The contract is self-contained
+    per bucket (no carry-in from the previous bucket — the documented
+    Timescale-rollup divergence). Parameters: keyColumn ('user_id'),
+    tsColumn ('ts'), valueColumn ('value'), orderColumn ('event_id'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import time_weighted_avg
+    return time_weighted_avg(df, key_col=p.get("keyColumn", "user_id"),
+                             ts_col=p.get("tsColumn", "ts"),
+                             value_col=p.get("valueColumn", "value"),
+                             order_col=p.get("orderColumn", "event_id"),
+                             bucket=p.get("bucket", "1 day"))
+
+
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
                               spec: JobSpec) -> DataFrame:
     """Declarative hard-negative mining (operators/similarity.
@@ -890,6 +928,8 @@ _CORPUS_TRANSFORMS = {
     "WINDOW_MINHASH_DEDUP": _window_minhash_dedup_transform,
     "GAPFILL": _gapfill_transform,
     "COUNTER_RATE": _counter_rate_transform,
+    "OHLC": _ohlc_transform,
+    "TIME_WEIGHTED_AVG": _time_weighted_avg_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -954,4 +994,17 @@ _BATCH_ONLY_TRANSFORMS = {
                      "applyInPandasWithState) to emit deltas "
                      "incrementally, or land the stream and roll up "
                      "each landed batch downstream"),
+    "OHLC": ("a candle's open/close finalize only when its bucket's "
+             "feed is complete; run the watermarked incremental rollup "
+             "(streaming.windows.time_bucket_rollup) to land per-bucket "
+             "aggregates, then finalize open/close over each landed "
+             "bucket downstream"),
+    "TIME_WEIGHTED_AVG": ("hold-time weights need each (series, bucket)'s "
+                          "complete ordered samples — the last sample's "
+                          "weight extends to the bucket end, which only a "
+                          "closed bucket knows; keep the last sample per "
+                          "series in keyed state (streaming.stateful, "
+                          "applyInPandasWithState) to emit hold-time "
+                          "increments, or land the stream and roll up "
+                          "each landed batch downstream"),
 }

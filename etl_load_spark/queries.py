@@ -6632,18 +6632,20 @@ _register_twa_oracle()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
-# Round-9 rotation (VERDICT r8 "Next round" #1): the same 10 family
-# anchors, q68_join_right (the ONE remaining r4 row, deferred from the
-# r8 window with a family rationale — its join siblings q05/q62/q65/
-# q70/q122 all re-greened in r8), FIRST rows for q172_gapfill and
-# q173_counter_rate (registered this round — a brand-new query
-# outranks any re-green, the q171 precedent), and re-greens for all 37
-# queries whose latest green driver row is from round 5 (computed from
-# the CORRECTNESS_r0*.json latest-green per query — never a hardcoded
-# list). 10 + 1 + 2 + 37 = 50. After this round every declared
-# query's green row is ≤ round 6. Everything outside the window keeps
-# the identical-methodology local pytest oracle gate
-# (tests/test_entry.py).
+# Round-10 rotation (VERDICT r9 "Next round" #1): the same 10 family
+# anchors, FIRST rows for q174_ohlc and q175_time_weighted_avg
+# (registered post-window-freeze in round 9 — a brand-new query
+# outranks any re-green, the q171/q172/q173 precedent), and re-greens
+# for 38 of the 40 queries whose latest green driver row is from
+# round 6 (computed from the CORRECTNESS_r0*.json latest-green per
+# query — never a hardcoded list). 10 + 2 + 38 = 50. The 2 deferred
+# r6 rows are q17_string_funcs and q19_math_case — the scalar-breadth
+# family members whose direct siblings q124_string_breadth and
+# q125_math_breadth re-greened in r9 (the strongest family-freshness
+# rationale in the r6 set); they lead the round-11 rotation. After
+# this round every other declared query's green row is ≤ round 7.
+# Everything outside the window keeps the identical-methodology local
+# pytest oracle gate (tests/test_entry.py).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate
@@ -6656,25 +6658,23 @@ DRIVER_WINDOW: list[str] = [
     "q27_dedup_minhash",        # LSH dedup
     "q30_sim_topk",             # similarity exact baseline
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
-    # --- the one r4 row (deferred from round 8 with family rationale) ---
-    "q68_join_right",
-    # --- first rows for the round-9 new queries ---
-    "q172_gapfill", "q173_counter_rate",
-    # --- re-greens: all 37 r5-latest queries ---
-    "q04_group_having", "q06_join_semi", "q09_join_range_theta",
-    "q11_window_running", "q12_rollup", "q13_cube", "q15_intersect",
-    "q16_except_all", "q20_distinct_agg", "q22_json_events",
-    "q26_dedup_normalized", "q36_band_join", "q55_range_frame",
-    "q91_profile", "q119_window_misc", "q120_agg_misc",
-    "q121_date_breadth", "q124_string_breadth", "q125_math_breadth",
-    "q147_cross_source_dedup", "q148_token_budget", "q149_shard_manifest",
-    "q150_sequence_pack", "q151_incremental_dedup",
-    "q152_embedding_quantize", "q153_stratified_sample",
-    "q154_url_canonicalize", "q155_importance_weights",
-    "q156_hard_negatives", "q157_markup_strip", "q158_eval_leakage",
-    "q159_cdc_scd2_apply", "q160_tokenizer_fertility",
-    "q161_embedding_drift", "q162_charset_stats", "q163_grouped_split",
-    "q164_dense_ids",
+    # --- first rows for the round-9 post-freeze queries ---
+    "q174_ohlc", "q175_time_weighted_avg",
+    # --- re-greens: 38 of the 40 r6-latest queries (q17/q19 -> r11) ---
+    "q02_filter_predicates", "q03_top_revenue", "q07_join_anti",
+    "q08_join_range_equi", "q14_union_distinct", "q18_date_funcs",
+    "q28_dedup_simhash", "q29_ngram_jaccard", "q34_text_langid",
+    "q35_text_fingerprint", "q38_session_windows", "q45_json_roundtrip",
+    "q46_fixed_width", "q49_frame_sample", "q50_salted_join",
+    "q51_asof_join", "q52_map_funcs", "q53_time_bucket",
+    "q54_percentiles", "q56_stream_interval_join", "q57_dedup_clusters",
+    "q58_local_supplier_volume", "q59_token_rarity",
+    "q60_train_test_split", "q95_event_dedup",
+    "q101_sole_returning_supplier", "q111_product_profit",
+    "q112_dedup_edit_distance", "q113_grouping_sets", "q114_tfidf_topk",
+    "q123_cdc_apply", "q126_rolling_hour", "q165_containment_pairs",
+    "q166_trending_windows", "q167_last_touch_attribution",
+    "q168_basket_lift", "q169_priority_sample", "q170_quota_sample",
 ]
 
 

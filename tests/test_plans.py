@@ -1044,6 +1044,12 @@ def _stage_sweep_specs(tmp_path):
                       src=ts_feed, schema=ts_schema),
         "COUNTER_RATE": js("COUNTER_RATE", {"orderColumn": "user_id"},
                            src=ts_feed, schema=ts_schema),
+        "OHLC": js("OHLC", {"typeColumn": "user_id",
+                            "orderColumn": "user_id"},
+                   src=ts_feed, schema=ts_schema),
+        "TIME_WEIGHTED_AVG": js("TIME_WEIGHTED_AVG",
+                                {"orderColumn": "user_id"},
+                                src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},

@@ -168,6 +168,23 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "applyInPandasWithState" in (r.error or "")
 
+    # OHLC's open/close finalize only on a closed bucket: refuses with
+    # the incremental-rollup pointer
+    r = run_job(spark, spec("OHLC", {"typeColumn": "source",
+                                     "tsColumn": "ts", "valueColumn": "v",
+                                     "orderColumn": "doc_id"}, "oh"))
+    assert r.status == "FAILED"
+    assert "time_bucket_rollup" in (r.error or "")
+
+    # TIME_WEIGHTED_AVG's last-sample weight extends to bucket end:
+    # refuses with the keyed-state pointer
+    r = run_job(spark, spec("TIME_WEIGHTED_AVG",
+                            {"keyColumn": "doc_id", "tsColumn": "ts",
+                             "valueColumn": "v", "orderColumn": "doc_id"},
+                            "tw"))
+    assert r.status == "FAILED"
+    assert "applyInPandasWithState" in (r.error or "")
+
     # the snapshot-needing curation stages refuse with their batch pointer
     r = run_job(spark, spec("DECONTAMINATE", {}, "d"))
     assert r.status == "FAILED" and "batch" in (r.error or "")

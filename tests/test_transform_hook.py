@@ -736,6 +736,104 @@ def test_counter_rate_stage(spark, tmp_path):
     assert r.rate_per_sec == 0.0002            # 19/86400 half-up @4
 
 
+def test_ohlc_stage(spark, tmp_path):
+    """Declarative OHLC (q174 as product surface): the candlestick
+    contract (open = first by (ts, order), close = last, high/low
+    extremes, count) routes through the spec path with non-default
+    column names — and the key-domain guard surfaces through the stage
+    (a negative order id fails loudly, never mis-orders)."""
+    import json as _json
+    import pytest as _pytest
+    rows = [
+        {"eid": 2, "kind": "x", "at": "2024-01-01T01:00:00", "v": 50.0},
+        {"eid": 1, "kind": "x", "at": "2024-01-01T01:00:00", "v": 10.0},
+        {"eid": 3, "kind": "x", "at": "2024-01-01T02:00:00", "v": 99.0},
+        {"eid": 4, "kind": "x", "at": "2024-01-01T03:00:00", "v": 2.0},
+    ]
+    src = tmp_path / "ohlc_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(rows_path):
+        return JobSpec.from_dict({
+            "jobId": "ohlc-stage",
+            "source": {"type": "FILE_JSON",
+                       "details": {"path": str(rows_path),
+                                   "schema": "eid bigint, kind string,"
+                                             " at timestamp, v double"}},
+            "transformation": {"type": "OHLC",
+                               "parameters": {"typeColumn": "kind",
+                                              "tsColumn": "at",
+                                              "valueColumn": "v",
+                                              "orderColumn": "eid"}},
+        })
+
+    out = build_plan(spark, spec(src)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.kind, r.open, r.high, r.low, r.close, r.n_events) == \
+        ("x", 10.0, 99.0, 2.0, 2.0, 4)
+    bad = tmp_path / "ohlc_bad.json"
+    bad.write_text(_json.dumps(
+        {"eid": -1, "kind": "x", "at": "2024-01-01T01:00:00", "v": 1.0}))
+    with _pytest.raises(Exception, match="non-negative"):
+        build_plan(spark, spec(bad)).collect()
+
+
+def test_time_weighted_avg_stage(spark, tmp_path):
+    """Declarative TIME_WEIGHTED_AVG (q175 as product surface): the
+    hold-time weighting routes through the spec path — a value held
+    18h then replaced for 6h averages 0.75/0.25, not the equally-
+    weighted 0.5/0.5."""
+    import json as _json
+    rows = [
+        {"eid": 1, "uid": 1, "at": "2024-01-01T00:00:00", "v": 10.0},
+        {"eid": 2, "uid": 1, "at": "2024-01-01T18:00:00", "v": 40.0},
+    ]
+    src = tmp_path / "twa_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "twa-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "eid bigint, uid bigint,"
+                                         " at timestamp, v double"}},
+        "transformation": {"type": "TIME_WEIGHTED_AVG",
+                           "parameters": {"keyColumn": "uid",
+                                          "tsColumn": "at",
+                                          "valueColumn": "v",
+                                          "orderColumn": "eid"}},
+    })
+    out = build_plan(spark, spec).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.uid, r.n_samples, r.twa) == (1, 2, 17.5)
+
+
+def test_timeseries_stages_validate_bucket_as_spec_error(spark, tmp_path):
+    """ADVICE r9: a malformed/hostile bucket parameter on any of the
+    four hypertable stages fails as a clean ValueError, not a SQL
+    parse error deep inside an interval expression."""
+    import json as _json
+    import pytest as _pytest
+    src = tmp_path / "bucket_feed.json"
+    src.write_text(_json.dumps(
+        {"user_id": 1, "ts": "2024-01-01T00:00:00",
+         "value": 1.0, "event_id": 1, "event_type": "x"}))
+    schema = ("user_id bigint, ts timestamp, value double,"
+              " event_id bigint, event_type string")
+    for stage in ("GAPFILL", "COUNTER_RATE", "OHLC", "TIME_WEIGHTED_AVG"):
+        spec = JobSpec.from_dict({
+            "jobId": f"bucket-{stage.lower()}",
+            "source": {"type": "FILE_JSON",
+                       "details": {"path": str(src), "schema": schema}},
+            "transformation": {
+                "type": stage,
+                "parameters": {"bucket": "1 day); DROP TABLE x; --"}},
+        })
+        with _pytest.raises(ValueError, match="bucket"):
+            build_plan(spark, spec)
+
+
 def test_stage_registry_readme_and_error_in_sync():
     """ADVICE r5 hit README drift once (a shipped stage missing from the
     docs); pin the three surfaces together: every _CORPUS_TRANSFORMS key
