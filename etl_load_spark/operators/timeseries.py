@@ -324,17 +324,30 @@ FROM a ORDER BY {key_col}, bucket_ts
 def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", value_col: str = "value",
                       order_col: str = "event_id",
-                      bucket: str = "1 day") -> DataFrame:
+                      bucket: str = "1 day",
+                      carry_in: bool = False) -> DataFrame:
     """Time-weighted average — Timescale ``time_weight('LOCF')`` /
     ``average()``: the plain per-bucket mean (q172's ``val``) weights
     every sample equally, so a sensor that reports 100× more often
     while idle drags the average toward idle; here each sample is
     weighted by HOW LONG IT HELD — the integral of the in-bucket LOCF
-    step curve from the bucket's first sample to the bucket end,
-    divided by that span (no carry-in from the previous bucket: each
-    bucket's integral starts at its own first sample, keeping the
-    operator one-pass and the contract self-contained; Timescale's
-    cross-bucket carry needs its rollup form).
+    step curve, divided by the covered span.
+
+    Two contracts, selected by ``carry_in``:
+
+    - ``carry_in=False`` (default, q175): SELF-CONTAINED per bucket —
+      the integral starts at the bucket's own first sample; the span
+      from bucket start to that sample is unweighted.
+    - ``carry_in=True`` (q176, Timescale ``interpolated_average`` with
+      the LOCF weight method): the series' previous sample — from ANY
+      earlier bucket, LOCF carries across empty buckets — extends into
+      the bucket, weighting [bucket_start, first_sample) with the
+      carried value, so a bucket with any history covers its FULL
+      width and a value that held across a boundary is charged to both
+      sides of it. A series' first-ever bucket has no carry and falls
+      back to the self-contained span. Only buckets with ≥1 sample are
+      emitted (the Timescale rollup convention; compose with gapfill
+      for a dense grid).
 
     Exactness: weights are MILLISECOND durations (``unix_millis`` /
     ``epoch_ms`` truncate identically in both engines; same-millisecond
@@ -344,12 +357,18 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
     headroom: Σ(cents·dt_ms) ≤ 10⁷ cents · 8.6×10⁷ ms/day ≈ 10¹⁵,
     ×200 ≪ 2⁶³. NULL samples are missed scrapes, excluded up front.
 
-    100 TB shape: ONE exchange — the lead() window partitions by
-    (key, bucket), and the aggregate groups by the same keys, so
-    partial+final ride the window's partitioning with no second
-    exchange; per-partition sort cost is bounded by a single series'
-    single bucket, never a whole series (better skew behavior than
-    counter_rate, whose deltas must cross buckets)."""
+    100 TB shape: ONE exchange either way. Self-contained: the lead()
+    window partitions by (key, bucket) and the aggregate groups by the
+    same keys, so partial+final ride the window's partitioning; sort
+    cost is bounded by one series' one bucket. With carry-in the extra
+    cross-bucket lag() window partitions by key alone — the SAME
+    hashpartitioning(key) exchange satisfies the (key, bucket) window
+    and the aggregate too (subset clustering, the counter_rate reuse),
+    so the carry costs one extra in-partition sort, zero exchanges —
+    but inherits counter_rate's hot-series skew class (one series'
+    full history serializes in one partition) instead of the
+    self-contained form's per-bucket bound."""
+    validate_bucket(bucket)
     width_ms = bucket_width_seconds(bucket) * 1000
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
@@ -359,14 +378,29 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
     s = e.select(F.col(key_col), b, cents.alias("_c"), tms.alias("_tm"),
                  F.col(order_col).alias("_o"), F.col(ts_col).alias("_ts"))
     w = (Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o"))
-    bucket_end = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz")) \
-        + F.lit(width_ms)
+    bucket_start = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
+    bucket_end = bucket_start + F.lit(width_ms)
     dt = (F.coalesce(F.lead("_tm").over(w), bucket_end) - F.col("_tm"))
-    agg = (s.select(key_col, "bucket_ts", "_c", dt.alias("_dt"))
+    if carry_in:
+        wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+        # the carried value reaches only each bucket's FIRST sample
+        # (in-bucket lag NULL); its weight is the bucket-start gap
+        first_in_bucket = F.lag("_c").over(w).isNull()
+        prev_c = F.lag("_c").over(wk)
+        carry_c = F.when(first_in_bucket, prev_c)
+        carry_dt = (F.when(first_in_bucket & prev_c.isNotNull(),
+                           F.col("_tm") - bucket_start)
+                    .otherwise(F.lit(0)))
+    else:
+        carry_c, carry_dt = F.lit(None).cast("bigint"), F.lit(0)
+    agg = (s.select(key_col, "bucket_ts", "_c", dt.alias("_dt"),
+                    carry_c.alias("_cc"), carry_dt.alias("_cdt"))
            .groupBy(key_col, "bucket_ts")
            .agg(F.count(F.lit(1)).alias("n_samples"),
-                F.sum(F.col("_c") * F.col("_dt")).alias("_num"),
-                F.sum("_dt").alias("_den")))
+                (F.sum(F.col("_c") * F.col("_dt"))
+                 + F.coalesce(F.sum(F.col("_cc") * F.col("_cdt")),
+                              F.lit(0))).alias("_num"),
+                (F.sum("_dt") + F.sum("_cdt")).alias("_den")))
     twa4 = F.expr("(200 * _num + _den) DIV (2 * _den)")
     return (agg.select(key_col, "bucket_ts", "n_samples",
                        (twa4.cast("double") / 10000.0).alias("twa"))
@@ -377,37 +411,221 @@ def time_weighted_avg_sql(table: str = "events", key_col: str = "user_id",
                           ts_col: str = "ts", value_col: str = "value",
                           order_col: str = "event_id",
                           bucket: str = "1 day",
-                          bucket_seconds: int | None = None) -> str:
+                          bucket_seconds: int | None = None,
+                          carry_in: bool = False) -> str:
     """DuckDB oracle for :func:`time_weighted_avg` — same millisecond
     weights (epoch_ms), same in-bucket lead over the same (ts, order)
-    ordering, same fixed-point quotient. ``bucket_seconds`` derives
-    from ``bucket`` exactly like the Spark side (ADVICE r9: an
-    independent default here is the oracle-side variant of the
-    denominator-drift class)."""
+    ordering, same cross-bucket lag for the ``carry_in`` contract, same
+    fixed-point quotient. ``bucket_seconds`` derives from ``bucket``
+    exactly like the Spark side (ADVICE r9: an independent default
+    here is the oracle-side variant of the denominator-drift class)."""
     if bucket_seconds is None:
         bucket_seconds = bucket_width_seconds(bucket)
     width_ms = bucket_seconds * 1000
     tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    if carry_in:
+        carry_cols = f""",
+         CASE WHEN lag(c) OVER wb IS NULL THEN lag(c) OVER wk END AS cc,
+         CASE WHEN lag(c) OVER wb IS NULL AND lag(c) OVER wk IS NOT NULL
+              THEN tm - epoch_ms(bucket_ts) ELSE 0 END AS cdt"""
+        carry_num = " + COALESCE(CAST(SUM(cc * cdt) AS BIGINT), 0)"
+        carry_den = " + CAST(SUM(cdt) AS BIGINT)"
+    else:
+        carry_cols = ", CAST(NULL AS BIGINT) AS cc, 0 AS cdt"
+        carry_num = carry_den = ""
     return f"""
-WITH s AS (
+WITH s0 AS (
   SELECT {key_col}, {tb} AS bucket_ts,
          CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
-         epoch_ms({ts_col}) AS tm,
-         lead(epoch_ms({ts_col})) OVER (PARTITION BY {key_col}, {tb}
-                                        ORDER BY {ts_col}, {order_col}) AS nx
+         epoch_ms({ts_col}) AS tm, {ts_col} AS t, {order_col} AS o
   FROM {table}
   WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+s AS (
+  SELECT {key_col}, bucket_ts, c, tm,
+         lead(tm) OVER wb AS nx{carry_cols}
+  FROM s0
+  WINDOW wb AS (PARTITION BY {key_col}, bucket_ts ORDER BY t, o),
+         wk AS (PARTITION BY {key_col} ORDER BY t, o)),
 a AS (
   SELECT {key_col}, bucket_ts,
          CAST(COUNT(*) AS BIGINT) AS n_samples,
          CAST(SUM(c * (COALESCE(nx, epoch_ms(bucket_ts) + {width_ms})
-                       - tm)) AS BIGINT) AS num,
+                       - tm)) AS BIGINT){carry_num} AS num,
          CAST(SUM(COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm)
-              AS BIGINT) AS den
+              AS BIGINT){carry_den} AS den
   FROM s GROUP BY 1, 2)
 SELECT {key_col}, bucket_ts, n_samples,
        CAST((200 * num + den) // (2 * den) AS DOUBLE) / 10000.0 AS twa
 FROM a ORDER BY {key_col}, bucket_ts
+"""
+
+
+def state_durations(events: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", state_col: str = "event_type",
+                    order_col: str = "event_id",
+                    bucket: str = "1 day") -> DataFrame:
+    """Time-in-state rollup — Timescale ``state_agg`` / ``duration_in``:
+    per (series, bucket, state) how long the series SAT in each state
+    (the LOCF step curve of a categorical value), how many times it
+    ENTERED the state, and the sample count. The time-weighted-average
+    idea with a categorical value: a state sample holds until the next
+    in-bucket sample (any state), the bucket's last sample holds to the
+    bucket end. An entry is a sample whose in-bucket predecessor is a
+    DIFFERENT state (or absent — the bucket's first sample opens its
+    state). Self-contained per bucket like q175's default contract
+    (no carry-in from the previous bucket; the span from bucket start
+    to the first sample belongs to no state).
+
+    Exactness: pure integer millisecond durations (``unix_millis`` /
+    ``epoch_ms`` truncate identically; same-millisecond predecessors
+    hold for 0 ms deterministically via the (ts, order_col) ordering)
+    — no fixed-point machinery needed, nothing fractional is emitted.
+    NULL-ts and NULL-state samples are missed scrapes, excluded up
+    front (the family convention).
+
+    100 TB shape: ONE exchange — the lead/lag windows partition by
+    (key, bucket) and the aggregate groups by (key, bucket, state),
+    which the same hashpartitioning satisfies (subset clustering), so
+    partial+final ride the window's exchange; sort cost is bounded by
+    one series' one bucket (the self-contained family bound — a hot
+    series splits across its buckets)."""
+    validate_bucket(bucket)
+    width_ms = bucket_width_seconds(bucket) * 1000
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(state_col).isNotNull())
+    b = F.window(ts_col, bucket).start.alias("bucket_ts")
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    s = e.select(F.col(key_col), b, F.col(state_col).alias("_st"),
+                 tms.alias("_tm"), F.col(order_col).alias("_o"),
+                 F.col(ts_col).alias("_ts"))
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
+    bucket_end = (F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
+                  + F.lit(width_ms))
+    dt = F.coalesce(F.lead("_tm").over(w), bucket_end) - F.col("_tm")
+    prev_st = F.lag("_st").over(w)
+    entered = F.when(prev_st.isNull() | (prev_st != F.col("_st")), 1) \
+        .otherwise(0)
+    return (s.select(key_col, "bucket_ts", "_st", dt.alias("_dt"),
+                     entered.alias("_en"))
+            .groupBy(key_col, "bucket_ts", F.col("_st").alias(state_col))
+            .agg(F.sum("_dt").alias("held_ms"),
+                 F.sum("_en").alias("n_entries"),
+                 F.count(F.lit(1)).alias("n_samples"))
+            .orderBy(key_col, "bucket_ts", state_col))
+
+
+def state_durations_sql(table: str = "events", key_col: str = "user_id",
+                        ts_col: str = "ts", state_col: str = "event_type",
+                        order_col: str = "event_id",
+                        bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`state_durations` — same millisecond
+    holds (epoch_ms), same in-bucket lead/lag over the same (ts, order)
+    ordering, integral SUMs cast back to BIGINT (the HUGEINT lesson)."""
+    validate_bucket(bucket)
+    width_ms = bucket_width_seconds(bucket) * 1000
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts, {state_col} AS st,
+         epoch_ms({ts_col}) AS tm,
+         lead(epoch_ms({ts_col})) OVER wb AS nx,
+         lag({state_col}) OVER wb AS prev_st
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {state_col} IS NOT NULL
+  WINDOW wb AS (PARTITION BY {key_col}, {tb}
+                ORDER BY {ts_col}, {order_col}))
+SELECT {key_col}, bucket_ts, st AS {state_col},
+       CAST(SUM(COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm)
+            AS BIGINT) AS held_ms,
+       CAST(SUM(CASE WHEN prev_st IS NULL OR prev_st <> st
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM s GROUP BY 1, 2, 3
+ORDER BY {key_col}, bucket_ts, {state_col}
+"""
+
+
+def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", order_col: str = "event_id",
+                     bucket: str = "1 day",
+                     tolerance: str = "15 minutes") -> DataFrame:
+    """Liveness rollup — Timescale ``heartbeat_agg`` / ``uptime``: each
+    heartbeat keeps the series LIVE for ``tolerance``; a next beat
+    inside the window extends it, a longer silence is an OUTAGE. Per
+    (series, bucket): n_beats, uptime_ms = the measure of the union of
+    the in-bucket live intervals = Σ least(gap to next in-bucket beat,
+    tolerance) with the last beat clipped to least(tolerance,
+    bucket_end − beat), and n_gaps = in-bucket silences longer than
+    the tolerance (mid-bucket outages; the bucket-end clip is not a
+    gap — the next bucket owns that silence). Self-contained per
+    bucket (no carry-in: a beat near the previous bucket's end does
+    not extend liveness into this one; the family convention, same as
+    q175/state_durations — compose buckets upstream for carry
+    semantics). Same-millisecond duplicate beats contribute 0 ms and
+    no gap. NULL-ts beats are excluded.
+
+    Exactness: pure integer milliseconds, nothing fractional.
+
+    100 TB shape: ONE exchange — the lead window partitions by
+    (key, bucket) and the aggregate groups by the same keys (the q175
+    reuse); sort cost bounded by one series' one bucket."""
+    validate_bucket(bucket)
+    width_ms = bucket_width_seconds(bucket) * 1000
+    tol_us = validate_bucket(tolerance)
+    if tol_us % 1000:
+        raise ValueError(
+            f"tolerance {tolerance!r} is not a whole number of "
+            "milliseconds (liveness is measured in ms)")
+    tol_ms = tol_us // 1000
+    e = events.filter(F.col(ts_col).isNotNull())
+    b = F.window(ts_col, bucket).start.alias("bucket_ts")
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    s = e.select(F.col(key_col), b, tms.alias("_tm"),
+                 F.col(order_col).alias("_o"), F.col(ts_col).alias("_ts"))
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
+    bucket_end = (F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
+                  + F.lit(width_ms))
+    nx = F.lead("_tm").over(w)
+    live = F.least(F.coalesce(nx, bucket_end) - F.col("_tm"),
+                   F.lit(tol_ms))
+    gap = F.when(nx.isNotNull() & (nx - F.col("_tm") > tol_ms), 1) \
+        .otherwise(0)
+    return (s.select(key_col, "bucket_ts", live.alias("_lv"),
+                     gap.alias("_gp"))
+            .groupBy(key_col, "bucket_ts")
+            .agg(F.count(F.lit(1)).alias("n_beats"),
+                 F.sum("_lv").alias("uptime_ms"),
+                 F.sum("_gp").alias("n_gaps"))
+            .orderBy(key_col, "bucket_ts"))
+
+
+def heartbeat_uptime_sql(table: str = "events", key_col: str = "user_id",
+                         ts_col: str = "ts", order_col: str = "event_id",
+                         bucket: str = "1 day",
+                         tolerance: str = "15 minutes") -> str:
+    """DuckDB oracle for :func:`heartbeat_uptime` — same millisecond
+    clock (epoch_ms), same in-bucket lead, same least() clipping,
+    integral SUMs cast back to BIGINT."""
+    validate_bucket(bucket)
+    width_ms = bucket_width_seconds(bucket) * 1000
+    tol_ms = validate_bucket(tolerance) // 1000
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts, epoch_ms({ts_col}) AS tm,
+         lead(epoch_ms({ts_col})) OVER (
+             PARTITION BY {key_col}, {tb}
+             ORDER BY {ts_col}, {order_col}) AS nx
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL)
+SELECT {key_col}, bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_beats,
+       CAST(SUM(least(COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm,
+                      {tol_ms})) AS BIGINT) AS uptime_ms,
+       CAST(SUM(CASE WHEN nx IS NOT NULL AND nx - tm > {tol_ms}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+FROM s GROUP BY 1, 2
+ORDER BY {key_col}, bucket_ts
 """
 
 

@@ -160,7 +160,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "CDC_SCD2_APPLY, ASSIGN_SPLIT, PRIORITY_SAMPLE, "
                          "QUOTA_SAMPLE, HARD_NEGATIVES, "
                          "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE, "
-                         "OHLC, TIME_WEIGHTED_AVG)")
+                         "OHLC, TIME_WEIGHTED_AVG, STATE_DURATIONS, "
+                         "HEARTBEAT_UPTIME)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -858,17 +859,54 @@ def _time_weighted_avg_transform(df: DataFrame, p: dict) -> DataFrame:
     time_weighted_avg — q175): each sample weighted by how long it HELD
     (the in-bucket LOCF integral), so burst sampling cannot bias the
     bucket mean the way a plain average can. Row shape CHANGES to
-    (key, bucket_ts, n_samples, twa). The contract is self-contained
-    per bucket (no carry-in from the previous bucket — the documented
-    Timescale-rollup divergence). Parameters: keyColumn ('user_id'),
-    tsColumn ('ts'), valueColumn ('value'), orderColumn ('event_id'),
-    bucket ('1 day')."""
+    (key, bucket_ts, n_samples, twa). By default the contract is
+    self-contained per bucket; ``carryIn: true`` selects the
+    Timescale interpolated_average contract (q176 — the previous
+    bucket's value weights the bucket-start span). Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
+    orderColumn ('event_id'), bucket ('1 day'), carryIn (false)."""
     from etl_load_spark.operators.timeseries import time_weighted_avg
     return time_weighted_avg(df, key_col=p.get("keyColumn", "user_id"),
                              ts_col=p.get("tsColumn", "ts"),
                              value_col=p.get("valueColumn", "value"),
                              order_col=p.get("orderColumn", "event_id"),
-                             bucket=p.get("bucket", "1 day"))
+                             bucket=p.get("bucket", "1 day"),
+                             carry_in=bool(p.get("carryIn", False)))
+
+
+def _state_durations_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative time-in-state rollup (operators/timeseries.
+    state_durations — q177): per (key, bucket, state) the
+    integer-millisecond hold time (in-bucket LOCF), the entry count
+    and the sample count. Row shape CHANGES to (key, bucket_ts,
+    state, held_ms, n_entries, n_samples). Self-contained per bucket.
+    Parameters: keyColumn ('user_id'), tsColumn ('ts'),
+    stateColumn ('event_type'), orderColumn ('event_id'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import state_durations
+    return state_durations(df, key_col=p.get("keyColumn", "user_id"),
+                           ts_col=p.get("tsColumn", "ts"),
+                           state_col=p.get("stateColumn", "event_type"),
+                           order_col=p.get("orderColumn", "event_id"),
+                           bucket=p.get("bucket", "1 day"))
+
+
+def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative heartbeat/liveness rollup (operators/timeseries.
+    heartbeat_uptime — q178): each row is a heartbeat keeping its
+    series live for ``tolerance``; per (key, bucket) the beat count,
+    the uptime (union of tolerance-clipped in-bucket live intervals,
+    integer ms) and the mid-bucket outage count. Row shape CHANGES to
+    (key, bucket_ts, n_beats, uptime_ms, n_gaps). Self-contained per
+    bucket. Parameters: keyColumn ('user_id'), tsColumn ('ts'),
+    orderColumn ('event_id'), bucket ('1 day'),
+    tolerance ('15 minutes')."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    return heartbeat_uptime(df, key_col=p.get("keyColumn", "user_id"),
+                            ts_col=p.get("tsColumn", "ts"),
+                            order_col=p.get("orderColumn", "event_id"),
+                            bucket=p.get("bucket", "1 day"),
+                            tolerance=p.get("tolerance", "15 minutes"))
 
 
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
@@ -930,6 +968,8 @@ _CORPUS_TRANSFORMS = {
     "COUNTER_RATE": _counter_rate_transform,
     "OHLC": _ohlc_transform,
     "TIME_WEIGHTED_AVG": _time_weighted_avg_transform,
+    "STATE_DURATIONS": _state_durations_transform,
+    "HEARTBEAT_UPTIME": _heartbeat_uptime_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -1007,4 +1047,16 @@ _BATCH_ONLY_TRANSFORMS = {
                           "applyInPandasWithState) to emit hold-time "
                           "increments, or land the stream and roll up "
                           "each landed batch downstream"),
+    "STATE_DURATIONS": ("state holds finalize only when the next sample "
+                        "(or the bucket end) is known; keep the open "
+                        "state per series in keyed state "
+                        "(streaming.stateful, applyInPandasWithState) to "
+                        "emit closed holds incrementally, or land the "
+                        "stream and roll up each landed batch downstream"),
+    "HEARTBEAT_UPTIME": ("liveness clips each beat against the NEXT beat "
+                         "and the bucket end; keep the last beat per "
+                         "series in keyed state (streaming.stateful, "
+                         "applyInPandasWithState) to emit live intervals "
+                         "incrementally, or land the stream and roll up "
+                         "each landed batch downstream"),
 }

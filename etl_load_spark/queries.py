@@ -6623,6 +6623,91 @@ def _register_twa_oracle() -> None:
 _register_twa_oracle()
 
 
+# --- q176: time-weighted average with cross-bucket carry-in -------------------
+
+@query("q176_twa_interpolated")  # oracle attached right below
+def q176_twa_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-bucket-carry time-weighted average — Timescale
+    ``interpolated_average`` with the LOCF weight method, closing the
+    one documented semantic divergence in the q175 contract: the
+    series' previous sample (from any earlier bucket — LOCF carries
+    across empty ones) extends into the bucket, weighting
+    [bucket_start, first_sample) with the carried value, so a bucket
+    with history covers its FULL width and a value held across a
+    boundary is charged to both sides. Same exact integer
+    millisecond×cents arithmetic and fixed-point quotient as q175; the
+    extra cross-bucket lag rides the SAME hashpartitioning(key)
+    exchange as the in-bucket lead window and the rollup (subset
+    clustering — one exchange total before the output sort), at the
+    price of counter_rate's hot-series skew class instead of q175's
+    per-bucket bound. See operators/timeseries.time_weighted_avg."""
+    from etl_load_spark.operators.timeseries import time_weighted_avg
+    return time_weighted_avg(t(spark, sf_dir, "events"), carry_in=True)
+
+
+def _register_twa_interpolated_oracle() -> None:
+    from etl_load_spark.operators.timeseries import time_weighted_avg_sql
+    QUERIES["q176_twa_interpolated"].oracle = time_weighted_avg_sql(
+        "events", carry_in=True)
+
+
+_register_twa_interpolated_oracle()
+
+
+# --- q177: time-in-state rollup ------------------------------------------------
+
+@query("q177_state_durations")  # oracle attached right below
+def q177_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state rollup (Timescale state_agg / duration_in): per
+    (user, daily bucket, event_type-as-state) how long the series sat
+    in the state (in-bucket LOCF hold, last sample to bucket end), how
+    many times it ENTERED it (predecessor differs or absent), and the
+    sample count — the q175 hold-time machinery applied to a
+    CATEGORICAL value, so everything stays integer milliseconds and no
+    fixed point is needed. Self-contained per bucket (the family
+    convention). One exchange: the lead/lag windows partition by
+    (user, bucket) and the rollup groups by (user, bucket, state) —
+    subset clustering rides the same exchange. See
+    operators/timeseries.state_durations."""
+    from etl_load_spark.operators.timeseries import state_durations
+    return state_durations(t(spark, sf_dir, "events"))
+
+
+def _register_state_durations_oracle() -> None:
+    from etl_load_spark.operators.timeseries import state_durations_sql
+    QUERIES["q177_state_durations"].oracle = state_durations_sql("events")
+
+
+_register_state_durations_oracle()
+
+
+# --- q178: heartbeat / liveness rollup ------------------------------------------
+
+@query("q178_heartbeat_uptime")  # oracle attached right below
+def q178_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liveness rollup (Timescale heartbeat_agg / uptime): each event
+    is a heartbeat keeping its user live for a 15-minute tolerance;
+    per (user, daily bucket) the number of beats, the measured uptime
+    (union of in-bucket live intervals = Σ least(gap-to-next,
+    tolerance), last beat clipped to the bucket end) and the count of
+    mid-bucket outages (in-bucket silences past the tolerance). Pure
+    integer milliseconds; self-contained per bucket. One exchange —
+    lead window and rollup share (user, bucket). See
+    operators/timeseries.heartbeat_uptime."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    return heartbeat_uptime(t(spark, sf_dir, "events"),
+                            tolerance="15 minutes")
+
+
+def _register_heartbeat_oracle() -> None:
+    from etl_load_spark.operators.timeseries import heartbeat_uptime_sql
+    QUERIES["q178_heartbeat_uptime"].oracle = heartbeat_uptime_sql(
+        "events", tolerance="15 minutes")
+
+
+_register_heartbeat_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

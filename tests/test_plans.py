@@ -1048,8 +1048,17 @@ def _stage_sweep_specs(tmp_path):
                             "orderColumn": "user_id"},
                    src=ts_feed, schema=ts_schema),
         "TIME_WEIGHTED_AVG": js("TIME_WEIGHTED_AVG",
-                                {"orderColumn": "user_id"},
+                                {"orderColumn": "user_id",
+                                 "carryIn": True},
                                 src=ts_feed, schema=ts_schema),
+        "STATE_DURATIONS": js("STATE_DURATIONS",
+                              {"stateColumn": "user_id",
+                               "orderColumn": "user_id"},
+                              src=ts_feed, schema=ts_schema),
+        "HEARTBEAT_UPTIME": js("HEARTBEAT_UPTIME",
+                               {"orderColumn": "user_id",
+                                "tolerance": "1 hour"},
+                               src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},

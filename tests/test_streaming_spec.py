@@ -185,6 +185,21 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "applyInPandasWithState" in (r.error or "")
 
+    # STATE_DURATIONS' holds close on the NEXT sample: keyed-state pointer
+    r = run_job(spark, spec("STATE_DURATIONS",
+                            {"keyColumn": "doc_id", "tsColumn": "ts",
+                             "stateColumn": "source",
+                             "orderColumn": "doc_id"}, "sd"))
+    assert r.status == "FAILED"
+    assert "applyInPandasWithState" in (r.error or "")
+
+    # HEARTBEAT_UPTIME clips against the NEXT beat: keyed-state pointer
+    r = run_job(spark, spec("HEARTBEAT_UPTIME",
+                            {"keyColumn": "doc_id", "tsColumn": "ts",
+                             "orderColumn": "doc_id"}, "hb"))
+    assert r.status == "FAILED"
+    assert "applyInPandasWithState" in (r.error or "")
+
     # the snapshot-needing curation stages refuse with their batch pointer
     r = run_job(spark, spec("DECONTAMINATE", {}, "d"))
     assert r.status == "FAILED" and "batch" in (r.error or "")

@@ -565,6 +565,169 @@ def test_time_weighted_avg_semantics(spark):
     assert got[(2, 1)] == (4, 8.0)
 
 
+def test_twa_carry_in_semantics(spark):
+    """q176 contract (Timescale interpolated_average, LOCF method):
+    the previous sample — from ANY earlier bucket — weights
+    [bucket_start, first_sample); a series' first-ever bucket falls
+    back to the self-contained span; LOCF carries across an EMPTY
+    bucket (though the empty bucket itself is not emitted)."""
+    from etl_load_spark.operators.timeseries import time_weighted_avg
+    events = spark.createDataFrame([
+        # day 1: only sample at 12:00 (v=10) -> first-ever bucket:
+        # twa = 10 over [12:00, 24:00) (no carry exists)
+        Row(event_id=1, user_id=1, ts=d(1, 12), value=10.0),
+        # day 2: sample at 06:00 (v=30). carry-in weights
+        # [00:00, 06:00) with 10: twa = (10*6 + 30*18)/24 = 25.0
+        Row(event_id=2, user_id=1, ts=d(2, 6), value=30.0),
+        # day 3 empty; day 4: sample at 18:00 (v=50). the carry is
+        # day 2's 30 across the empty day 3:
+        # twa = (30*18 + 50*6)/24 = 35.0
+        Row(event_id=3, user_id=1, ts=d(4, 18), value=50.0),
+    ])
+    got = {r.bucket_ts.day: (r.n_samples, r.twa)
+           for r in time_weighted_avg(events, carry_in=True).collect()}
+    assert got == {1: (1, 10.0), 2: (1, 25.0), 4: (1, 35.0)}
+    # the self-contained default is UNCHANGED by the new parameter
+    plain = {r.bucket_ts.day: r.twa
+             for r in time_weighted_avg(events).collect()}
+    assert plain == {1: 10.0, 2: 30.0, 4: 50.0}
+
+
+def test_twa_carry_in_matches_reference_property(spark):
+    """Derandomized property: random sparse multi-bucket feeds match a
+    pure-Python replay of the carry contract (cross-bucket LOCF into
+    the bucket-start span, in-bucket holds, exact fixed-point
+    quotient) exactly."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import time_weighted_avg
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1),                 # user
+                  st.integers(0, 4 * 86400 - 1),     # offset seconds
+                  st.integers(0, 5000)),             # cents
+        min_size=1, max_size=25)
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    value=c / 100.0)
+                for i, (u, off, c) in enumerate(rows)]
+        got = {(r.user_id, r.bucket_ts): (r.n_samples, r.twa)
+               for r in time_weighted_avg(
+                   spark.createDataFrame(data), carry_in=True).collect()}
+        day_ms = 86400 * 1000
+        expect = {}
+        by_user = {}
+        for r in sorted(data, key=lambda r: (r.user_id, r.ts, r.event_id)):
+            by_user.setdefault(r.user_id, []).append(
+                (r.ts, round(r.value * 100)))
+        for u, srs in by_user.items():
+            buckets = {}
+            for i, (ts, c) in enumerate(srs):
+                day = dt.datetime(ts.year, ts.month, ts.day)
+                tm = int(ts.timestamp() * 1000)
+                b0 = int(day.timestamp() * 1000)
+                nxt = srs[i + 1][0] if i + 1 < len(srs) else None
+                nxt_same = (nxt is not None
+                            and nxt.date() == ts.date())
+                end = (int(nxt.timestamp() * 1000) if nxt_same
+                       else b0 + day_ms)
+                n, num, den = buckets.get(day, (0, 0, 0))
+                if n == 0 and i > 0:              # carry into first sample
+                    pc = srs[i - 1][1]
+                    num += pc * (tm - b0)
+                    den += tm - b0
+                buckets[day] = (n + 1, num + c * (end - tm),
+                                den + (end - tm))
+            for day, (n, num, den) in buckets.items():
+                twa4 = (200 * num + den) // (2 * den)
+                expect[(u, day)] = (n, twa4 / 10000.0)
+        assert got == expect
+
+    check()
+
+
+def test_state_durations_semantics(spark):
+    """q177 contract (Timescale state_agg/duration_in): holds close on
+    the next in-bucket sample (any state), the last extends to bucket
+    end; entries count transitions (first sample opens its state;
+    re-entering after a different state is a new entry); NULL-state
+    samples are missed scrapes, excluded."""
+    from etl_load_spark.operators.timeseries import state_durations
+    h = 3600 * 1000
+    events = spark.createDataFrame([
+        # user 1 day 1: a(00-06) b(06-08) a(08-24) -> a: 22h/2 entries
+        Row(event_id=1, user_id=1, event_type="a", ts=d(1, 0), value=0.0),
+        Row(event_id=2, user_id=1, event_type="b", ts=d(1, 6), value=0.0),
+        Row(event_id=3, user_id=1, event_type="a", ts=d(1, 8), value=0.0),
+        # consecutive same-state sample: more held time, NOT an entry
+        Row(event_id=4, user_id=1, event_type="a", ts=d(1, 20), value=0.0),
+        Row(event_id=5, user_id=1, event_type=None, ts=d(1, 22), value=0.0),
+        # user 2 day 2: single sample holds to bucket end
+        Row(event_id=6, user_id=2, event_type="x", ts=d(2, 18), value=0.0),
+    ])
+    got = {(r.user_id, r.bucket_ts.day, r.event_type):
+           (r.held_ms, r.n_entries, r.n_samples)
+           for r in state_durations(events).collect()}
+    assert got[(1, 1, "a")] == (22 * h, 2, 3)
+    assert got[(1, 1, "b")] == (2 * h, 1, 1)
+    assert got[(2, 2, "x")] == (6 * h, 1, 1)
+    assert len(got) == 3
+
+
+def test_heartbeat_uptime_semantics(spark):
+    """q178 contract (Timescale heartbeat_agg/uptime): each beat is
+    live for min(gap-to-next, tolerance); the last beat clips to the
+    bucket end; a silence past the tolerance is a mid-bucket gap (the
+    bucket-end clip is not); same-ms duplicate beats add 0."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    m = 60 * 1000
+    events = spark.createDataFrame([
+        # beats 00:00, 00:10, 01:00 with 15 min tolerance:
+        # 00:00 live 10m (next inside tol), 00:10 live 15m (50m gap
+        # -> tol-clipped, ONE gap), 01:00 live 15m (bucket-end clip
+        # far away -> tol) => uptime 40m, 1 gap
+        Row(event_id=1, user_id=1, ts=d(1, 0), value=0.0),
+        Row(event_id=2, user_id=1, ts=dt.datetime(2024, 1, 1, 0, 10),
+            value=0.0),
+        Row(event_id=3, user_id=1, ts=d(1, 1), value=0.0),
+        # duplicate-ms beat: 0 extra uptime, no gap
+        Row(event_id=4, user_id=1, ts=d(1, 1), value=0.0),
+        # user 2: beat 5 min before bucket end -> clipped to 5m, 0 gaps
+        Row(event_id=5, user_id=2, ts=dt.datetime(2024, 1, 1, 23, 55),
+            value=0.0),
+    ])
+    got = {(r.user_id, r.bucket_ts.day): (r.n_beats, r.uptime_ms, r.n_gaps)
+           for r in heartbeat_uptime(events, tolerance="15 minutes")
+           .collect()}
+    assert got[(1, 1)] == (4, 40 * m, 1)
+    assert got[(2, 1)] == (1, 5 * m, 0)
+
+
+def test_new_hypertable_plan_shapes(spark, sf_dir):
+    """q176/q177/q178 100 TB posture: q176's cross-bucket lag, in-bucket
+    lead and rollup all ride ONE hashpartitioning(user_id) exchange
+    (subset clustering, the counter_rate reuse); q177/q178 keep the
+    q175 shape (one hash exchange + the output sort). No joins, no
+    Python anywhere."""
+    import re
+    from etl_load_spark.queries import QUERIES
+    for name in ("q176_twa_interpolated", "q177_state_durations",
+                 "q178_heartbeat_uptime"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange (hash|range)", plan)) == 2, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # q176's fixed-point quotient stayed integral
+    plan176 = (QUERIES["q176_twa_interpolated"].fn(spark, sf_dir)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert " div " in plan176
+
+
 def test_time_weighted_avg_plan_shape(spark, sf_dir):
     """ONE hash exchange serves the lead window AND the (key, bucket)
     aggregate (identical partition keys); the only other exchange is

@@ -809,6 +809,103 @@ def test_time_weighted_avg_stage(spark, tmp_path):
     assert (r.uid, r.n_samples, r.twa) == (1, 2, 17.5)
 
 
+def test_twa_stage_carry_in_param(spark, tmp_path):
+    """The TIME_WEIGHTED_AVG stage's carryIn parameter selects the
+    q176 interpolated contract: day 2's bucket-start span is weighted
+    with day 1's carried value."""
+    import json as _json
+    rows = [
+        {"eid": 1, "uid": 1, "at": "2024-01-01T12:00:00", "v": 10.0},
+        {"eid": 2, "uid": 1, "at": "2024-01-02T06:00:00", "v": 30.0},
+    ]
+    src = tmp_path / "twa_carry_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def spec(carry):
+        return JobSpec.from_dict({
+            "jobId": f"twa-carry-{carry}",
+            "source": {"type": "FILE_JSON",
+                       "details": {"path": str(src),
+                                   "schema": "eid bigint, uid bigint,"
+                                             " at timestamp, v double"}},
+            "transformation": {"type": "TIME_WEIGHTED_AVG",
+                               "parameters": {"keyColumn": "uid",
+                                              "tsColumn": "at",
+                                              "valueColumn": "v",
+                                              "orderColumn": "eid",
+                                              "carryIn": carry}},
+        })
+
+    carried = {r.bucket_ts.day: r.twa
+               for r in build_plan(spark, spec(True)).collect()}
+    assert carried == {1: 10.0, 2: 25.0}     # (10*6 + 30*18)/24
+    plain = {r.bucket_ts.day: r.twa
+             for r in build_plan(spark, spec(False)).collect()}
+    assert plain == {1: 10.0, 2: 30.0}
+
+
+def test_state_durations_stage(spark, tmp_path):
+    """Declarative STATE_DURATIONS (q177 as product surface): per-state
+    holds/entries route through the spec path with non-default column
+    names."""
+    import json as _json
+    rows = [
+        {"eid": 1, "uid": 1, "st": "up", "at": "2024-01-01T00:00:00"},
+        {"eid": 2, "uid": 1, "st": "down", "at": "2024-01-01T06:00:00"},
+        {"eid": 3, "uid": 1, "st": "up", "at": "2024-01-01T08:00:00"},
+    ]
+    src = tmp_path / "state_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "state-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "eid bigint, uid bigint,"
+                                         " st string, at timestamp"}},
+        "transformation": {"type": "STATE_DURATIONS",
+                           "parameters": {"keyColumn": "uid",
+                                          "tsColumn": "at",
+                                          "stateColumn": "st",
+                                          "orderColumn": "eid"}},
+    })
+    h = 3600 * 1000
+    got = {r.st: (r.held_ms, r.n_entries)
+           for r in build_plan(spark, spec).collect()}
+    assert got == {"up": (22 * h, 2), "down": (2 * h, 1)}
+
+
+def test_heartbeat_uptime_stage(spark, tmp_path):
+    """Declarative HEARTBEAT_UPTIME (q178 as product surface): the
+    tolerance parameter routes through (1 hour here) and gaps/clipping
+    surface in the rollup."""
+    import json as _json
+    rows = [
+        {"eid": 1, "uid": 1, "at": "2024-01-01T00:00:00"},
+        {"eid": 2, "uid": 1, "at": "2024-01-01T00:30:00"},   # 30m live
+        {"eid": 3, "uid": 1, "at": "2024-01-01T05:00:00"},   # gap, then 1h
+    ]
+    src = tmp_path / "beat_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "beat-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "eid bigint, uid bigint,"
+                                         " at timestamp"}},
+        "transformation": {"type": "HEARTBEAT_UPTIME",
+                           "parameters": {"keyColumn": "uid",
+                                          "tsColumn": "at",
+                                          "orderColumn": "eid",
+                                          "tolerance": "1 hour"}},
+    })
+    out = build_plan(spark, spec).collect()
+    assert len(out) == 1
+    r = out[0]
+    m = 60 * 1000
+    # 00:00 live 30m, 00:30 live 60m (tol-clipped, gap), 05:00 live 60m
+    assert (r.n_beats, r.uptime_ms, r.n_gaps) == (3, 150 * m, 1)
+
+
 def test_timeseries_stages_validate_bucket_as_spec_error(spark, tmp_path):
     """ADVICE r9: a malformed/hostile bucket parameter on any of the
     four hypertable stages fails as a clean ValueError, not a SQL
@@ -821,7 +918,8 @@ def test_timeseries_stages_validate_bucket_as_spec_error(spark, tmp_path):
          "value": 1.0, "event_id": 1, "event_type": "x"}))
     schema = ("user_id bigint, ts timestamp, value double,"
               " event_id bigint, event_type string")
-    for stage in ("GAPFILL", "COUNTER_RATE", "OHLC", "TIME_WEIGHTED_AVG"):
+    for stage in ("GAPFILL", "COUNTER_RATE", "OHLC", "TIME_WEIGHTED_AVG",
+                  "STATE_DURATIONS", "HEARTBEAT_UPTIME"):
         spec = JobSpec.from_dict({
             "jobId": f"bucket-{stage.lower()}",
             "source": {"type": "FILE_JSON",
