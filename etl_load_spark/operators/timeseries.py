@@ -219,7 +219,8 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
                  ts_col: str = "ts", value_col: str = "value",
                  order_col: str = "event_id",
                  bucket: str = "1 day",
-                 bucket_seconds: int | None = None) -> DataFrame:
+                 bucket_seconds: int | None = None,
+                 hot_split: str | None = None) -> DataFrame:
     """Monotonic-counter increase/rate with reset detection — the
     Timescale ``counter_agg``/Prometheus ``increase()`` staple, distinct
     from q166's bucket-count deltas: here the DELTA IS SAMPLE-TO-SAMPLE
@@ -248,23 +249,64 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
     sample-to-sample semantics (the sessionization class, q115); the
     bucket aggregate then rides the SAME partitioning (no second
     exchange before it; the window output is already keyed). A hot
-    series serializes only its own samples. Values must be
-    non-negative (counters are)."""
+    series serializes only its own samples — measured at 46 s for 10M
+    samples on ONE series (SCALE.md). Past that cliff, ``hot_split``
+    (an interval string, e.g. '1 day') engages the PARALLEL-PREFIX
+    STITCH: the lag window partitions by (key, time-slice) so each
+    slice sorts in parallel, and the cross-slice deltas are repaired
+    by a boundary pass over the slice-summary relation (per (key,
+    slice) the last sample — one map-side-combinable max_by — lagged
+    per key over |slices| rows, joined back onto each slice's first
+    sample). Costs: the rollup no longer rides the lag partitioning
+    (one extra exchange, but of MAP-SIDE-REDUCED candle-sized
+    partials), in trade for the per-series sort parallelizing
+    |slices|-ways. Results are IDENTICAL (equivalence
+    property-pinned); default off because below the cliff the
+    single-exchange plan wins. Values must be non-negative
+    (counters are)."""
     validate_bucket(bucket)
     if bucket_seconds is None:
         bucket_seconds = bucket_width_seconds(bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
     cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
-    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
-    prev = F.lag(cents).over(w)
+    b = F.window(ts_col, bucket).start.alias("bucket_ts")
+    if hot_split is None:
+        w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+        prev = F.lag(cents).over(w)
+        stepped = e.select(F.col(key_col), b, cents.alias("_c"),
+                           prev.alias("_prev"))
+    else:
+        width_us = validate_bucket(hot_split)
+        # trunc-div slices are contiguous, monotone time ranges — all
+        # the stitch needs (slice 0 straddling the epoch is just wider)
+        sl = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP_LTZ)) "
+                    f"DIV {width_us}")
+        base = e.select(F.col(key_col), b, cents.alias("_c"),
+                        F.col(ts_col).alias("_ts"),
+                        F.col(order_col).alias("_o"), sl.alias("_sl"))
+        wsl = Window.partitionBy(key_col, "_sl").orderBy("_ts", "_o")
+        in_slice_prev = F.lag("_c").over(wsl)
+        # boundary relation: ONE row per non-empty (key, slice) — its
+        # last sample's cents; lag per key gives the PREVIOUS non-empty
+        # slice's last sample (empty slices simply don't appear)
+        bnd = (base.groupBy(key_col, "_sl")
+               .agg(F.max_by("_c", F.struct("_ts", "_o"))
+                    .alias("_last_c")))
+        wk = Window.partitionBy(key_col).orderBy("_sl")
+        bnd = bnd.select(key_col, "_sl",
+                         F.lag("_last_c").over(wk).alias("_carry"))
+        stepped = (base.withColumn("_prev_in", in_slice_prev)
+                   .join(bnd, [key_col, "_sl"], "left")
+                   .select(key_col, "bucket_ts", "_c",
+                           F.coalesce("_prev_in", "_carry").alias("_prev")))
+    prev, c = F.col("_prev"), F.col("_c")
     step = (F.when(prev.isNull(), F.lit(0))
-            .when(cents >= prev, cents - prev)
-            .otherwise(cents))
-    reset = F.when(prev.isNotNull() & (cents < prev), 1).otherwise(0)
-    agg = (e.select(F.col(key_col),
-                    F.window(ts_col, bucket).start.alias("bucket_ts"),
-                    step.alias("_step"), reset.alias("_reset"))
+            .when(c >= prev, c - prev)
+            .otherwise(c))
+    reset = F.when(prev.isNotNull() & (c < prev), 1).otherwise(0)
+    agg = (stepped.select(F.col(key_col), F.col("bucket_ts"),
+                          step.alias("_step"), reset.alias("_reset"))
            .groupBy(key_col, "bucket_ts")
            .agg(F.count(F.lit(1)).alias("n_samples"),
                 F.sum("_reset").alias("n_resets"),

@@ -824,7 +824,10 @@ def _counter_rate_transform(df: DataFrame, p: dict) -> DataFrame:
     orderColumn ('event_id'), bucket ('1 day'), bucketSeconds (the
     rate denominator; defaults to the parsed bucket width, so it
     cannot silently drift from the bucket — set it only to rate
-    against a different horizon)."""
+    against a different horizon), hotSplit (an interval string, e.g.
+    '1 day': engages the parallel-prefix stitch for feeds where one
+    series dwarfs the rest — identical results, the per-series sort
+    parallelizes per time slice)."""
     from etl_load_spark.operators.timeseries import counter_rate
     bs = p.get("bucketSeconds")
     return counter_rate(df, key_col=p.get("keyColumn", "user_id"),
@@ -832,7 +835,8 @@ def _counter_rate_transform(df: DataFrame, p: dict) -> DataFrame:
                         value_col=p.get("valueColumn", "value"),
                         order_col=p.get("orderColumn", "event_id"),
                         bucket=p.get("bucket", "1 day"),
-                        bucket_seconds=int(bs) if bs is not None else None)
+                        bucket_seconds=int(bs) if bs is not None else None,
+                        hot_split=p.get("hotSplit"))
 
 
 def _ohlc_transform(df: DataFrame, p: dict) -> DataFrame:

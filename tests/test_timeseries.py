@@ -428,6 +428,77 @@ def test_sql_twins_derive_denominator_from_bucket(spark):
     assert ok, msg
 
 
+def test_counter_rate_hot_split_equivalence_fixture(spark):
+    """The parallel-prefix stitch (hot_split) must be result-IDENTICAL
+    to the single-window form on the boundary cases that make it
+    subtle: a reset exactly across a slice boundary, empty slices
+    between samples (the carry must reach across them), same-ts ties
+    at a boundary, and a multi-series feed."""
+    from etl_load_spark.operators.timeseries import counter_rate
+    events = spark.createDataFrame([
+        # series 1: rising across slice boundaries, reset lands exactly
+        # on a 6-hour slice edge
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 6), value=25.0),   # slice edge
+        Row(event_id=3, user_id=1, ts=d(1, 12), value=4.0),   # reset @edge
+        Row(event_id=4, user_id=1, ts=d(1, 12), value=4.0),   # same-ts tie
+        # 36h silence: two EMPTY slices; the carry crosses them
+        Row(event_id=5, user_id=1, ts=d(3, 1), value=30.0),
+        Row(event_id=6, user_id=2, ts=d(1, 3), value=7.0),
+    ])
+    plain = sorted(map(tuple, counter_rate(events).collect()))
+    split = sorted(map(tuple, counter_rate(
+        events, hot_split="6 hours").collect()))
+    assert split == plain
+
+
+def test_counter_rate_hot_split_equivalence_property(spark):
+    """Derandomized property: on random feeds (duplicate timestamps,
+    resets, multi-day spans) counter_rate(hot_split=...) equals the
+    canonical single-window counter_rate exactly, for both a
+    coarse and a fine slice width."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import counter_rate
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 2),               # user
+                  st.integers(0, 3 * 86400 - 1),   # offset seconds
+                  st.integers(0, 5000)),           # cents
+        min_size=1, max_size=40)
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    value=c / 100.0)
+                for i, (u, off, c) in enumerate(rows)]
+        df = spark.createDataFrame(data)
+        plain = sorted(map(tuple, counter_rate(df).collect()))
+        for width in ("1 day", "1 hour"):
+            split = sorted(map(tuple, counter_rate(
+                df, hot_split=width).collect()))
+            assert split == plain, width
+
+    check()
+
+
+def test_counter_rate_hot_split_plan_shape(spark, sf_dir):
+    """The stitch stays on the plan floor: no cartesian, no Python, no
+    BNLJ (the boundary join is (key, slice)-keyed, and the feed side
+    reuses the lag window's exchange); the lag window partitions by
+    (key, slice) so a hot series' sort parallelizes."""
+    from etl_load_spark.operators.timeseries import counter_rate
+    from etl_load_spark.session import read_table
+    df = counter_rate(read_table(spark, sf_dir, "events"),
+                      hot_split="1 day")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "_sl" in plan        # the slice key reached the window/join
+
+
 def test_counter_rate_plan_shape(spark, sf_dir):
     """ONE series-keyed exchange serves both the lag window and the
     bucket aggregate (hashpartitioning(user_id) satisfies the
