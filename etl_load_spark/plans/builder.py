@@ -161,7 +161,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "QUOTA_SAMPLE, HARD_NEGATIVES, "
                          "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE, "
                          "OHLC, TIME_WEIGHTED_AVG, STATE_DURATIONS, "
-                         "HEARTBEAT_UPTIME)")
+                         "HEARTBEAT_UPTIME, LTTB)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -913,6 +913,26 @@ def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:
                             tolerance=p.get("tolerance", "15 minutes"))
 
 
+def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative LTTB visual downsampling (operators/timeseries.lttb
+    — q179): per series keep exactly ``resolution`` points (first,
+    last, and per equal-count bucket the largest-triangle point vs the
+    previous selection and the next bucket's centroid); series with
+    ≤ resolution points pass through. Row shape: a subset of
+    (key, ts, order, value). The selection is sequential per series —
+    a grouped Arrow kernel (the one Pandas-backed stage in the
+    hypertable family; the task memory bound is one series' points,
+    pre-slice upstream for unbounded series). Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
+    orderColumn ('event_id'), resolution (12)."""
+    from etl_load_spark.operators.timeseries import lttb
+    return lttb(df, key_col=p.get("keyColumn", "user_id"),
+                ts_col=p.get("tsColumn", "ts"),
+                value_col=p.get("valueColumn", "value"),
+                order_col=p.get("orderColumn", "event_id"),
+                resolution=int(p.get("resolution", 12)))
+
+
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
                               spec: JobSpec) -> DataFrame:
     """Declarative hard-negative mining (operators/similarity.
@@ -974,6 +994,7 @@ _CORPUS_TRANSFORMS = {
     "TIME_WEIGHTED_AVG": _time_weighted_avg_transform,
     "STATE_DURATIONS": _state_durations_transform,
     "HEARTBEAT_UPTIME": _heartbeat_uptime_transform,
+    "LTTB": _lttb_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -1063,4 +1084,9 @@ _BATCH_ONLY_TRANSFORMS = {
                          "applyInPandasWithState) to emit live intervals "
                          "incrementally, or land the stream and roll up "
                          "each landed batch downstream"),
+    "LTTB": ("the largest-triangle selection is sequential over each "
+             "series' complete point set; land the stream, then "
+             "downsample each landed slice downstream (the per-bucket "
+             "rollups — OHLC, TIME_WEIGHTED_AVG — are the incremental "
+             "alternatives)"),
 }

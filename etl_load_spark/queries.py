@@ -6708,6 +6708,36 @@ def _register_heartbeat_oracle() -> None:
 _register_heartbeat_oracle()
 
 
+# --- q179: LTTB visual downsampling ---------------------------------------------
+
+@query("q179_lttb_downsample")  # oracle attached right below
+def q179_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Timescale lttb,
+    Steinarsson): per user keep exactly 12 points — first, last, and
+    per equal-count interior bucket the point forming the largest
+    triangle with the previous selection and the next bucket's
+    centroid — preserving the series' visual shape where averages
+    smear it; series with ≤ 12 points pass through. The selection is
+    inherently SEQUENTIAL per series, so the Spark side is a grouped
+    Arrow kernel (applyInPandas, exact Python-int triangle
+    arithmetic — the magnitudes exceed int64) and the DuckDB oracle
+    UNROLLS the recursion into 10 chained CTEs over the same integer
+    stratification and HUGEINT arithmetic, so the driver certifies
+    the full algorithm, not just row counts. See
+    operators/timeseries.lttb."""
+    from etl_load_spark.operators.timeseries import lttb
+    return lttb(t(spark, sf_dir, "events"), resolution=12)
+
+
+def _register_lttb_oracle() -> None:
+    from etl_load_spark.operators.timeseries import lttb_sql
+    QUERIES["q179_lttb_downsample"].oracle = lttb_sql(
+        "events", resolution=12)
+
+
+_register_lttb_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -901,6 +901,7 @@ def test_global_plan_sweep_all_queries(spark, sf_dir):
         "q127_sim_topk_pq", "q131_sim_lsh_planted", "q133_semantic_dedup",
         "q136_sim_ivf_planted", "q137_sim_pq_planted",
         "q139_bloom_decontaminate", "q152_embedding_quantize",
+        "q179_lttb_downsample",   # sequential per-series LTTB kernel
     }
     bad = []
     for name, q in QUERIES.items():
@@ -969,11 +970,14 @@ def _stage_sweep_specs(tmp_path):
         {"k": 1, "attr": "B", "seq": 10, "op": "U"}))
     ts_feed = tmp_path / "sweep_ts.json"
     ts_feed.write_text("\n".join(_json.dumps(r) for r in [
-        {"user_id": 1, "ts": "2024-01-01T06:00:00", "value": 10.0},
-        {"user_id": 1, "ts": "2024-01-03T06:00:00", "value": 30.0},
-        {"user_id": 2, "ts": "2024-01-02T00:00:00", "value": 5.0},
+        {"event_id": 1, "user_id": 1,
+         "ts": "2024-01-01T06:00:00", "value": 10.0},
+        {"event_id": 2, "user_id": 1,
+         "ts": "2024-01-03T06:00:00", "value": 30.0},
+        {"event_id": 3, "user_id": 2,
+         "ts": "2024-01-02T00:00:00", "value": 5.0},
     ]))
-    ts_schema = "user_id bigint, ts timestamp, value double"
+    ts_schema = "event_id bigint, user_id bigint, ts timestamp, value double"
     df_script = tmp_path / "sweep_df_hook.py"
     df_script.write_text(textwrap.dedent("""
         from pyspark.sql import functions as F
@@ -1059,6 +1063,8 @@ def _stage_sweep_specs(tmp_path):
                                {"orderColumn": "user_id",
                                 "tolerance": "1 hour"},
                                src=ts_feed, schema=ts_schema),
+        "LTTB": js("LTTB", {"resolution": 3},
+                   src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},
@@ -1112,8 +1118,9 @@ def test_global_plan_sweep_all_stages(spark, tmp_path):
     #   SEMANTIC_DEDUP→q133 gram kernel, QUANTIZE_EMBEDDINGS→q152 SQ8,
     #   DECONTAMINATE→q139 bloom bits, PYTHON_SCRIPT:pandas = the Arrow
     #   hook itself (mapInPandas by design)
+    #   LTTB = the sequential per-series selection kernel (q179)
     pandas_ok = {"SEMANTIC_DEDUP", "QUANTIZE_EMBEDDINGS", "DECONTAMINATE",
-                 "PYTHON_SCRIPT:pandas"}
+                 "PYTHON_SCRIPT:pandas", "LTTB"}
     specs = _stage_sweep_specs(tmp_path)
     # completeness: every registry stage AND every spec-dispatched
     # branch of apply_transformation. Discovery is STRUCTURAL (ADVICE

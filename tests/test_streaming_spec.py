@@ -200,6 +200,15 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "applyInPandasWithState" in (r.error or "")
 
+    # LTTB's selection is sequential over the complete series:
+    # land-then-downsample pointer
+    r = run_job(spark, spec("LTTB", {"keyColumn": "doc_id",
+                                     "tsColumn": "ts",
+                                     "valueColumn": "v",
+                                     "orderColumn": "doc_id"}, "lt"))
+    assert r.status == "FAILED"
+    assert "downsample" in (r.error or "")
+
     # the snapshot-needing curation stages refuse with their batch pointer
     r = run_job(spark, spec("DECONTAMINATE", {}, "d"))
     assert r.status == "FAILED" and "batch" in (r.error or "")

@@ -813,6 +813,91 @@ def test_time_weighted_avg_plan_shape(spark, sf_dir):
     assert " div " in plan
 
 
+def test_lttb_semantics(spark):
+    """q179 contract (Steinarsson LTTB): exactly `resolution` points
+    per big series, first/last always kept, the planted extreme in
+    each interior bucket kept (the visual-shape guarantee), small
+    series pass through whole."""
+    from etl_load_spark.operators.timeseries import lttb
+    # one series, 10 points, resolution 4 => 2 interior buckets of 4;
+    # plant one extreme per bucket (1000.0 and 0.0 on a flat 5.0 line)
+    rows = [Row(event_id=i, user_id=1,
+                ts=d(1, 2 * i), value=v)
+            for i, v in enumerate([5.0, 5.0, 1000.0, 5.0,
+                                   5.0, 0.0, 5.0, 5.0, 5.0, 5.0])]
+    rows += [Row(event_id=20, user_id=2, ts=d(1, 1), value=1.0),
+             Row(event_id=21, user_id=2, ts=d(1, 2), value=2.0)]
+    out = lttb(spark.createDataFrame(rows), resolution=4).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 4
+    got_vals = [r.value for r in by_user[1]]
+    assert got_vals[0] == 5.0 and got_vals[-1] == 5.0   # first/last kept
+    assert 1000.0 in got_vals and 0.0 in got_vals       # planted extremes
+    assert [r.value for r in by_user[2]] == [1.0, 2.0]  # pass-through
+    # column surface: unique total order (key, ts, order) + value
+    assert out[0].__fields__ == ["user_id", "ts", "event_id", "value"]
+
+
+def test_lttb_resolution_validation(spark):
+    import pytest as _pytest
+    from etl_load_spark.operators.timeseries import lttb, lttb_sql
+    events = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, ts timestamp, value double")
+    with _pytest.raises(ValueError, match="resolution"):
+        lttb(events, resolution=2)
+    with _pytest.raises(ValueError, match="resolution"):
+        lttb_sql("events", resolution=2)
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        lttb(events, order_col="user_id")
+
+
+def test_lttb_oracle_parity_independent_implementations(spark):
+    """The kernel (sequential Python-int selection) and the oracle
+    (unrolled chained-CTE HUGEINT replay) are INDEPENDENT
+    implementations of the same contract — parity on a fixture with
+    multi-bucket series, a pass-through small series, duplicate
+    timestamps, a NULL-key series and NULL samples is a real
+    cross-check, not a mirrored formula."""
+    import duckdb
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare
+    from etl_load_spark.operators.timeseries import lttb, lttb_sql
+    rows = []
+    for i in range(40):                                   # big series
+        rows.append(Row(event_id=i, user_id=1,
+                        ts=d(1 + i // 8, i % 8),
+                        value=float((i * 37) % 23)))
+    rows += [Row(event_id=100 + j, user_id=2, ts=d(2, j), value=float(j))
+             for j in range(3)]                           # pass-through
+    rows += [Row(event_id=200 + j, user_id=None, ts=d(1 + j // 5, j % 5),
+                 value=float((j * 13) % 7)) for j in range(20)]  # NULL key
+    rows += [Row(event_id=300, user_id=1, ts=d(1, 0), value=None),
+             Row(event_id=301, user_id=1, ts=None, value=1.0)]   # excluded
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double")
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    for res in (3, 5, 12):
+        ok, msg = compare(lttb(df, resolution=res), con,
+                          lttb_sql("events", resolution=res))
+        assert ok, f"resolution={res}: {msg}"
+
+
+def test_lttb_oracle_parity_sf(spark, sf_dir):
+    """Full-table parity at sf_dir scale (the q179 registration)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare, duckdb_connection
+    from etl_load_spark.queries import QUERIES
+    q = QUERIES["q179_lttb_downsample"]
+    ok, msg = compare(q.fn(spark, sf_dir), duckdb_connection(sf_dir),
+                      q.oracle)
+    assert ok, msg
+
+
 def test_plan_shape(spark, sf_dir):
     """100TB posture: pushed ts filter, pruned scans, the ONE
     BroadcastNestedLoopJoin is the 1-row bounds broadcast, no

@@ -906,6 +906,37 @@ def test_heartbeat_uptime_stage(spark, tmp_path):
     assert (r.n_beats, r.uptime_ms, r.n_gaps) == (3, 150 * m, 1)
 
 
+def test_lttb_stage(spark, tmp_path):
+    """Declarative LTTB (q179 as product surface): the downsample
+    routes through the spec path with non-default columns and
+    resolution; the planted extreme survives, the flat filler
+    doesn't."""
+    import json as _json
+    rows = ([{"eid": i, "uid": 1,
+              "at": f"2024-01-01T{2 * i:02d}:00:00", "v": 5.0}
+             for i in range(10)])
+    rows[4]["v"] = 500.0                       # the peak to preserve
+    src = tmp_path / "lttb_feed.json"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    spec = JobSpec.from_dict({
+        "jobId": "lttb-stage",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "eid bigint, uid bigint,"
+                                         " at timestamp, v double"}},
+        "transformation": {"type": "LTTB",
+                           "parameters": {"keyColumn": "uid",
+                                          "tsColumn": "at",
+                                          "valueColumn": "v",
+                                          "orderColumn": "eid",
+                                          "resolution": 4}},
+    })
+    out = build_plan(spark, spec).collect()
+    assert len(out) == 4
+    assert 500.0 in {r.v for r in out}
+    assert {r.eid for r in out} >= {0, 9}      # first/last kept
+
+
 def test_timeseries_stages_validate_bucket_as_spec_error(spark, tmp_path):
     """ADVICE r9: a malformed/hostile bucket parameter on any of the
     four hypertable stages fails as a clean ValueError, not a SQL
