@@ -886,6 +886,30 @@ def test_lttb_oracle_parity_independent_implementations(spark):
         assert ok, f"resolution={res}: {msg}"
 
 
+def test_lttb_exact_path_beyond_int64(spark):
+    """The kernel's vectorized int64 path hands off to exact Python
+    ints when the translated area bound exceeds 2^62 (decade-spanning
+    high-magnitude series). Parity against the HUGEINT oracle on a
+    feed engineered past the bound proves the fallback engages AND
+    stays exact: 2·n3·span·crange ≈ 1e24 here, far beyond int64."""
+    import duckdb
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare
+    from etl_load_spark.operators.timeseries import lttb, lttb_sql
+    rows = [Row(event_id=i, user_id=1,
+                ts=dt.datetime(2014 + i // 4, 1 + (i % 4) * 3, 5),
+                value=float((i * 7919) % 9_000_000_000))
+            for i in range(40)]                     # 10-year span, 9e9 vals
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double")
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    ok, msg = compare(lttb(df, resolution=7), con,
+                      lttb_sql("events", resolution=7))
+    assert ok, msg
+
+
 def test_lttb_oracle_parity_sf(spark, sf_dir):
     """Full-table parity at sf_dir scale (the q179 registration)."""
     import sys
