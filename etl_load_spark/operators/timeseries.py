@@ -367,7 +367,8 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", value_col: str = "value",
                       order_col: str = "event_id",
                       bucket: str = "1 day",
-                      carry_in: bool = False) -> DataFrame:
+                      carry_in: bool = False,
+                      hot_split: str | None = None) -> DataFrame:
     """Time-weighted average — Timescale ``time_weight('LOCF')`` /
     ``average()``: the plain per-bucket mean (q172's ``val``) weights
     every sample equally, so a sensor that reports 100× more often
@@ -408,9 +409,22 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
     and the aggregate too (subset clustering, the counter_rate reuse),
     so the carry costs one extra in-partition sort, zero exchanges —
     but inherits counter_rate's hot-series skew class (one series'
-    full history serializes in one partition) instead of the
-    self-contained form's per-bucket bound."""
+    full history serializes in one partition; measured 48.3 s vs the
+    self-contained form's 22.4 s on 10M-samples-on-one-series,
+    SCALE.md) instead of the self-contained form's per-bucket bound.
+    Past that cliff, ``hot_split`` (an interval string; only
+    meaningful with ``carry_in=True`` — the self-contained form has no
+    per-key window to split) engages the same parallel-prefix stitch
+    counter_rate ships: the cross-bucket lag partitions by (key,
+    time-slice) and a boundary pass carries each previous non-empty
+    slice's last sample; results are identical
+    (equivalence property-pinned)."""
     validate_bucket(bucket)
+    if hot_split is not None and not carry_in:
+        raise ValueError(
+            "hot_split only applies to carry_in=True (the self-contained "
+            "form has no per-key window to split — it is already "
+            "per-bucket-parallel)")
     width_ms = bucket_width_seconds(bucket) * 1000
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
@@ -423,12 +437,41 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
     bucket_start = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
     bucket_end = bucket_start + F.lit(width_ms)
     dt = (F.coalesce(F.lead("_tm").over(w), bucket_end) - F.col("_tm"))
-    if carry_in:
+    if carry_in and hot_split is not None:
+        # the counter_rate parallel-prefix stitch, applied to the ONE
+        # per-key window here (the cross-bucket carry lag): per-slice
+        # lag + a boundary pass carrying the previous non-empty
+        # slice's last sample. The (key, bucket) lead window and the
+        # rollup are already per-bucket-parallel and stay untouched.
+        # Sweet spot: when the slice width EQUALS the bucket width the
+        # slice key IS bucket_ts — both windows and the rollup then
+        # share one (key, bucket_ts) exchange (the planner can't prove
+        # a DIV-epoch slice equal to window().start, so the literal
+        # column is what unlocks the reuse).
+        width_us = validate_bucket(hot_split)
+        if width_us == validate_bucket(bucket):
+            s = s.withColumn("_sl", F.col("bucket_ts"))
+        else:
+            s = s.withColumn(
+                "_sl", F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
+                              f"DIV {width_us}"))
+        wsl = Window.partitionBy(key_col, "_sl").orderBy("_ts", "_o")
+        bnd = (s.groupBy(key_col, "_sl")
+               .agg(F.max_by("_c", F.struct("_ts", "_o"))
+                    .alias("_last_c")))
+        wk_sl = Window.partitionBy(key_col).orderBy("_sl")
+        bnd = bnd.select(key_col, "_sl",
+                         F.lag("_last_c").over(wk_sl).alias("_carry"))
+        s = (s.withColumn("_prev_in", F.lag("_c").over(wsl))
+             .join(bnd, [key_col, "_sl"], "left"))
+        prev_c = F.coalesce(F.col("_prev_in"), F.col("_carry"))
+    elif carry_in:
         wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+        prev_c = F.lag("_c").over(wk)
+    if carry_in:
         # the carried value reaches only each bucket's FIRST sample
         # (in-bucket lag NULL); its weight is the bucket-start gap
         first_in_bucket = F.lag("_c").over(w).isNull()
-        prev_c = F.lag("_c").over(wk)
         carry_c = F.when(first_in_bucket, prev_c)
         carry_dt = (F.when(first_in_bucket & prev_c.isNotNull(),
                            F.col("_tm") - bucket_start)

@@ -868,14 +868,17 @@ def _time_weighted_avg_transform(df: DataFrame, p: dict) -> DataFrame:
     Timescale interpolated_average contract (q176 — the previous
     bucket's value weights the bucket-start span). Parameters:
     keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
-    orderColumn ('event_id'), bucket ('1 day'), carryIn (false)."""
+    orderColumn ('event_id'), bucket ('1 day'), carryIn (false),
+    hotSplit (interval string; with carryIn, parallelizes a dominant
+    series' cross-bucket carry per time slice — identical results)."""
     from etl_load_spark.operators.timeseries import time_weighted_avg
     return time_weighted_avg(df, key_col=p.get("keyColumn", "user_id"),
                              ts_col=p.get("tsColumn", "ts"),
                              value_col=p.get("valueColumn", "value"),
                              order_col=p.get("orderColumn", "event_id"),
                              bucket=p.get("bucket", "1 day"),
-                             carry_in=bool(p.get("carryIn", False)))
+                             carry_in=bool(p.get("carryIn", False)),
+                             hot_split=p.get("hotSplit"))
 
 
 def _state_durations_transform(df: DataFrame, p: dict) -> DataFrame:

@@ -6757,8 +6757,11 @@ _register_lttb_oracle()
 # r6 rows are q17_string_funcs and q19_math_case — the scalar-breadth
 # family members whose direct siblings q124_string_breadth and
 # q125_math_breadth re-greened in r9 (the strongest family-freshness
-# rationale in the r6 set); they lead the round-11 rotation. After
-# this round every other declared query's green row is ≤ round 7.
+# rationale in the r6 set); they join the round-11 rotation behind
+# first rows for q176-q179 (registered post-window-freeze this round;
+# a new query outranks any re-green): r11 = 10 anchors + q176-q179 +
+# q17 + q19 + 34 of the r7-latest re-greens = exactly 50. After this
+# round every other declared query's green row is ≤ round 7.
 # Everything outside the window keeps the identical-methodology local
 # pytest oracle gate (tests/test_entry.py).
 DRIVER_WINDOW: list[str] = [

@@ -720,6 +720,54 @@ def test_twa_carry_in_matches_reference_property(spark):
     check()
 
 
+def test_twa_carry_hot_split_equivalence(spark):
+    """The carry stitch (hot_split on carry_in=True) must be
+    result-identical to the plain per-key lag: boundary cases are a
+    bucket's first sample whose predecessor sits in the SAME slice, in
+    the PREVIOUS slice, and across EMPTY slices; plus the hand fixture
+    and a derandomized random sweep over two slice widths."""
+    import pytest as _pytest
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import time_weighted_avg
+
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 12), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(2, 6), value=30.0),
+        Row(event_id=3, user_id=1, ts=d(4, 18), value=50.0),  # empty day 3
+        Row(event_id=4, user_id=2, ts=d(1, 1), value=7.0),
+    ])
+    plain = sorted(map(tuple, time_weighted_avg(
+        events, carry_in=True).collect()))
+    for width in ("6 hours", "2 days"):
+        split = sorted(map(tuple, time_weighted_avg(
+            events, carry_in=True, hot_split=width).collect()))
+        assert split == plain, width
+    with _pytest.raises(ValueError, match="carry_in"):
+        time_weighted_avg(events, hot_split="1 day")
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 4 * 86400 - 1),
+                  st.integers(0, 5000)),
+        min_size=1, max_size=25)
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    value=c / 100.0)
+                for i, (u, off, c) in enumerate(rows)]
+        df = spark.createDataFrame(data)
+        plain = sorted(map(tuple, time_weighted_avg(
+            df, carry_in=True).collect()))
+        for width in ("1 day", "3 hours"):
+            split = sorted(map(tuple, time_weighted_avg(
+                df, carry_in=True, hot_split=width).collect()))
+            assert split == plain, width
+
+    check()
+
+
 def test_state_durations_semantics(spark):
     """q177 contract (Timescale state_agg/duration_in): holds close on
     the next in-bucket sample (any state), the last extends to bucket
