@@ -278,26 +278,37 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
                            prev.alias("_prev"))
     else:
         width_us = validate_bucket(hot_split)
-        # trunc-div slices are contiguous, monotone time ranges — all
-        # the stitch needs (slice 0 straddling the epoch is just wider)
-        sl = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP_LTZ)) "
-                    f"DIV {width_us}")
         base = e.select(F.col(key_col), b, cents.alias("_c"),
                         F.col(ts_col).alias("_ts"),
-                        F.col(order_col).alias("_o"), sl.alias("_sl"))
-        wsl = Window.partitionBy(key_col, "_sl").orderBy("_ts", "_o")
+                        F.col(order_col).alias("_o"))
+        # trunc-div slices are contiguous, monotone time ranges — all
+        # the stitch needs (slice 0 straddling the epoch is just
+        # wider). Sweet spot: when the slice width EQUALS the bucket
+        # width, slice on the bucket_ts ATTRIBUTE itself — the lag
+        # window, the boundary join and the bucket rollup then all
+        # cluster on the same attributes and share one exchange (an
+        # aliased copy of the same value is a different attribute to
+        # the planner, so only the literal column unlocks the reuse).
+        if width_us == validate_bucket(bucket):
+            sl_cols = [key_col, "bucket_ts"]
+        else:
+            base = base.withColumn(
+                "_sl", F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
+                              f"DIV {width_us}"))
+            sl_cols = [key_col, "_sl"]
+        wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
         in_slice_prev = F.lag("_c").over(wsl)
         # boundary relation: ONE row per non-empty (key, slice) — its
         # last sample's cents; lag per key gives the PREVIOUS non-empty
         # slice's last sample (empty slices simply don't appear)
-        bnd = (base.groupBy(key_col, "_sl")
+        bnd = (base.groupBy(*sl_cols)
                .agg(F.max_by("_c", F.struct("_ts", "_o"))
                     .alias("_last_c")))
-        wk = Window.partitionBy(key_col).orderBy("_sl")
-        bnd = bnd.select(key_col, "_sl",
+        wk = Window.partitionBy(key_col).orderBy(sl_cols[1])
+        bnd = bnd.select(*sl_cols,
                          F.lag("_last_c").over(wk).alias("_carry"))
         stepped = (base.withColumn("_prev_in", in_slice_prev)
-                   .join(bnd, [key_col, "_sl"], "left")
+                   .join(bnd, sl_cols, "left")
                    .select(key_col, "bucket_ts", "_c",
                            F.coalesce("_prev_in", "_carry").alias("_prev")))
     prev, c = F.col("_prev"), F.col("_c")
@@ -443,27 +454,29 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
         # lag + a boundary pass carrying the previous non-empty
         # slice's last sample. The (key, bucket) lead window and the
         # rollup are already per-bucket-parallel and stay untouched.
-        # Sweet spot: when the slice width EQUALS the bucket width the
-        # slice key IS bucket_ts — both windows and the rollup then
-        # share one (key, bucket_ts) exchange (the planner can't prove
-        # a DIV-epoch slice equal to window().start, so the literal
-        # column is what unlocks the reuse).
+        # Sweet spot: when the slice width EQUALS the bucket width,
+        # slice on the bucket_ts ATTRIBUTE itself — the carry lag, the
+        # in-bucket lead window and the rollup then all cluster on the
+        # same attributes and share one exchange (an aliased copy of
+        # the same value is a different attribute to the planner, so
+        # only the literal column unlocks the reuse).
         width_us = validate_bucket(hot_split)
         if width_us == validate_bucket(bucket):
-            s = s.withColumn("_sl", F.col("bucket_ts"))
+            sl_cols = [key_col, "bucket_ts"]
         else:
             s = s.withColumn(
                 "_sl", F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
                               f"DIV {width_us}"))
-        wsl = Window.partitionBy(key_col, "_sl").orderBy("_ts", "_o")
-        bnd = (s.groupBy(key_col, "_sl")
+            sl_cols = [key_col, "_sl"]
+        wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
+        bnd = (s.groupBy(*sl_cols)
                .agg(F.max_by("_c", F.struct("_ts", "_o"))
                     .alias("_last_c")))
-        wk_sl = Window.partitionBy(key_col).orderBy("_sl")
-        bnd = bnd.select(key_col, "_sl",
+        wk_sl = Window.partitionBy(key_col).orderBy(sl_cols[1])
+        bnd = bnd.select(*sl_cols,
                          F.lag("_last_c").over(wk_sl).alias("_carry"))
         s = (s.withColumn("_prev_in", F.lag("_c").over(wsl))
-             .join(bnd, [key_col, "_sl"], "left"))
+             .join(bnd, sl_cols, "left"))
         prev_c = F.coalesce(F.col("_prev_in"), F.col("_carry"))
     elif carry_in:
         wk = Window.partitionBy(key_col).orderBy("_ts", "_o")

@@ -484,19 +484,34 @@ def test_counter_rate_hot_split_equivalence_property(spark):
 
 
 def test_counter_rate_hot_split_plan_shape(spark, sf_dir):
-    """The stitch stays on the plan floor: no cartesian, no Python, no
-    BNLJ (the boundary join is (key, slice)-keyed, and the feed side
-    reuses the lag window's exchange); the lag window partitions by
-    (key, slice) so a hot series' sort parallelizes."""
-    from etl_load_spark.operators.timeseries import counter_rate
+    """The stitch stays on the plan floor (no cartesian, no Python, no
+    BNLJ — the boundary join is slice-keyed and the feed side reuses
+    the lag window's exchange), and the BUCKET-ALIGNED form saves one
+    data exchange over the generic DIV slice: slicing on the bucket_ts
+    attribute itself lets the lag window, the boundary join and the
+    rollup share clustering (an aliased copy of the same value is a
+    different attribute to the planner)."""
+    import re
+    from etl_load_spark.operators.timeseries import (
+        counter_rate, time_weighted_avg,
+    )
     from etl_load_spark.session import read_table
-    df = counter_rate(read_table(spark, sf_dir, "events"),
-                      hot_split="1 day")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "_sl" in plan        # the slice key reached the window/join
+    e = read_table(spark, sf_dir, "events")
+    counts = {}
+    for label, df in [
+            ("cr-aligned", counter_rate(e, hot_split="1 day")),
+            ("cr-generic", counter_rate(e, hot_split="6 hours")),
+            ("twa-aligned", time_weighted_avg(e, carry_in=True,
+                                              hot_split="1 day")),
+            ("twa-generic", time_weighted_avg(e, carry_in=True,
+                                              hot_split="6 hours"))]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, label
+        assert "BroadcastNestedLoopJoin" not in plan, label
+        assert "BatchEvalPython" not in plan, label
+        counts[label] = len(re.findall(r"Exchange (hash|range)", plan))
+    assert counts["cr-aligned"] == counts["cr-generic"] - 1, counts
+    assert counts["twa-aligned"] == counts["twa-generic"] - 1, counts
 
 
 def test_counter_rate_plan_shape(spark, sf_dir):
