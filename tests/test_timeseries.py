@@ -811,6 +811,102 @@ def test_state_durations_semantics(spark):
     assert len(got) == 3
 
 
+def test_state_durations_matches_reference_property(spark):
+    """Derandomized property (the shared-wart rule: the DuckDB twin
+    mirrors the formula, so parity alone can't catch a wart both
+    sides share): random multi-state feeds — duplicate timestamps,
+    NULL states, single-sample buckets — match a pure-Python replay
+    of the state contract exactly."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import state_durations
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1),                  # user
+                  st.integers(0, 2 * 86400 - 1),      # offset seconds
+                  st.one_of(st.none(), st.sampled_from("abc"))),
+        min_size=1, max_size=30)
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    event_type=s)
+                for i, (u, off, s) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "event_id bigint, user_id bigint, ts timestamp,"
+                  " event_type string")
+        got = {(r.user_id, r.bucket_ts.day, r.event_type):
+               (r.held_ms, r.n_entries, r.n_samples)
+               for r in state_durations(df).collect()}
+        by_bucket = {}
+        for r in sorted((x for x in data if x.event_type is not None),
+                        key=lambda x: (x.user_id, x.ts, x.event_id)):
+            day = dt.datetime(r.ts.year, r.ts.month, r.ts.day)
+            by_bucket.setdefault((r.user_id, day), []).append(r)
+        expect = {}
+        for (u, day), srs in by_bucket.items():
+            end_ms = int((day + dt.timedelta(days=1)).timestamp() * 1000)
+            for i, r in enumerate(srs):
+                nxt = (int(srs[i + 1].ts.timestamp() * 1000)
+                       if i + 1 < len(srs) else end_ms)
+                held = nxt - int(r.ts.timestamp() * 1000)
+                entered = (1 if i == 0
+                           or srs[i - 1].event_type != r.event_type
+                           else 0)
+                k = (u, day.day, r.event_type)
+                h, e, n = expect.get(k, (0, 0, 0))
+                expect[k] = (h + held, e + entered, n + 1)
+        assert got == expect
+
+    check()
+
+
+def test_heartbeat_uptime_matches_reference_property(spark):
+    """Derandomized property: random beat feeds — duplicate
+    millisecond beats, gaps straddling the tolerance — match a
+    pure-Python replay of the liveness contract exactly."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1),                  # user
+                  st.integers(0, 2 * 86400 - 1)),     # offset seconds
+        min_size=1, max_size=30)
+    tol_ms = 900 * 1000                               # 15 minutes
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off))
+                for i, (u, off) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "event_id bigint, user_id bigint, ts timestamp")
+        got = {(r.user_id, r.bucket_ts.day):
+               (r.n_beats, r.uptime_ms, r.n_gaps)
+               for r in heartbeat_uptime(
+                   df, tolerance="15 minutes").collect()}
+        by_bucket = {}
+        for r in sorted(data, key=lambda x: (x.user_id, x.ts, x.event_id)):
+            day = dt.datetime(r.ts.year, r.ts.month, r.ts.day)
+            by_bucket.setdefault((r.user_id, day), []).append(
+                int(r.ts.timestamp() * 1000))
+        expect = {}
+        for (u, day), tms in by_bucket.items():
+            end_ms = int((day + dt.timedelta(days=1)).timestamp() * 1000)
+            up = gaps = 0
+            for i, tm in enumerate(tms):
+                nxt = tms[i + 1] if i + 1 < len(tms) else end_ms
+                up += min(nxt - tm, tol_ms)
+                if i + 1 < len(tms) and tms[i + 1] - tm > tol_ms:
+                    gaps += 1
+            expect[(u, day.day)] = (len(tms), up, gaps)
+        assert got == expect
+
+    check()
+
+
 def test_heartbeat_uptime_semantics(spark):
     """q178 contract (Timescale heartbeat_agg/uptime): each beat is
     live for min(gap-to-next, tolerance); the last beat clips to the
