@@ -561,32 +561,50 @@ FROM a ORDER BY {key_col}, bucket_ts
 def state_durations(events: DataFrame, key_col: str = "user_id",
                     ts_col: str = "ts", state_col: str = "event_type",
                     order_col: str = "event_id",
-                    bucket: str = "1 day") -> DataFrame:
+                    bucket: str = "1 day",
+                    carry_in: bool = False) -> DataFrame:
     """Time-in-state rollup — Timescale ``state_agg`` / ``duration_in``:
     per (series, bucket, state) how long the series SAT in each state
     (the LOCF step curve of a categorical value), how many times it
     ENTERED the state, and the sample count. The time-weighted-average
     idea with a categorical value: a state sample holds until the next
     in-bucket sample (any state), the bucket's last sample holds to the
-    bucket end. An entry is a sample whose in-bucket predecessor is a
-    DIFFERENT state (or absent — the bucket's first sample opens its
-    state). Self-contained per bucket like q175's default contract
-    (no carry-in from the previous bucket; the span from bucket start
-    to the first sample belongs to no state).
+    bucket end.
+
+    Two contracts, selected by ``carry_in`` (the q175/q176 pair, on a
+    categorical value):
+
+    - ``carry_in=False`` (default, q177): SELF-CONTAINED per bucket —
+      the span from bucket start to the first sample belongs to no
+      state, and an entry is a sample whose IN-BUCKET predecessor is a
+      different state (or absent: the bucket's first sample opens its
+      state).
+    - ``carry_in=True`` (q180, Timescale ``interpolated_duration_in``):
+      the series' previous state — from ANY earlier bucket, LOCF
+      carries across empty ones — HOLDS from the bucket start to the
+      first sample, charged to the carried state (a (key, bucket,
+      state) row with ``n_samples = 0`` when that state has no sample
+      of its own in the bucket; a zero-width leading span adds
+      nothing). Entries then count TRANSITIONS of the continuous
+      curve: the bucket's first sample is an entry only if it differs
+      from the carried state (or there is none). Only buckets with ≥1
+      sample are emitted (the family rollup convention).
 
     Exactness: pure integer millisecond durations (``unix_millis`` /
     ``epoch_ms`` truncate identically; same-millisecond predecessors
     hold for 0 ms deterministically via the (ts, order_col) ordering)
     — no fixed-point machinery needed, nothing fractional is emitted.
     NULL-ts and NULL-state samples are missed scrapes, excluded up
-    front (the family convention).
+    front (the family convention), so the carried state is the
+    previous RECORDED state.
 
-    100 TB shape: ONE exchange — the lead/lag windows partition by
-    (key, bucket) and the aggregate groups by (key, bucket, state),
-    which the same hashpartitioning satisfies (subset clustering), so
-    partial+final ride the window's exchange; sort cost is bounded by
-    one series' one bucket (the self-contained family bound — a hot
-    series splits across its buckets)."""
+    100 TB shape: ONE exchange either way — the lead/lag windows
+    partition by (key, bucket) and the aggregate groups by (key,
+    bucket, state), which the same hashpartitioning satisfies (subset
+    clustering); with carry-in the extra cross-bucket lag partitions
+    by key alone and rides the same exchange (the q176 reuse), at the
+    price of the per-key skew class. The carry contribution is an
+    in-row 2-element array explode — no join, no second pass."""
     validate_bucket(bucket)
     width_ms = bucket_width_seconds(bucket) * 1000
     e = events.filter(F.col(ts_col).isNotNull()
@@ -597,48 +615,113 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                  tms.alias("_tm"), F.col(order_col).alias("_o"),
                  F.col(ts_col).alias("_ts"))
     w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
-    bucket_end = (F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
-                  + F.lit(width_ms))
+    bucket_start = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
+    bucket_end = bucket_start + F.lit(width_ms)
     dt = F.coalesce(F.lead("_tm").over(w), bucket_end) - F.col("_tm")
     prev_st = F.lag("_st").over(w)
-    entered = F.when(prev_st.isNull() | (prev_st != F.col("_st")), 1) \
-        .otherwise(0)
-    return (s.select(key_col, "bucket_ts", "_st", dt.alias("_dt"),
-                     entered.alias("_en"))
+    if not carry_in:
+        entered = F.when(prev_st.isNull() | (prev_st != F.col("_st")), 1) \
+            .otherwise(0)
+        contribs = s.select(key_col, "bucket_ts", "_st",
+                            dt.alias("_dt"), entered.alias("_en"),
+                            F.lit(1).alias("_is_sample"))
+    else:
+        wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+        # window expressions must materialize BEFORE the explode — a
+        # Generate operator cannot host them
+        f2 = s.select(key_col, "bucket_ts", "_st", "_tm",
+                      dt.alias("_dt"), prev_st.alias("_pin"),
+                      F.lag("_st").over(wk).alias("_pg"),
+                      bucket_start.alias("_bs"))
+        first = F.col("_pin").isNull()
+        prev_g = F.col("_pg")
+        entered = (F.when(first,
+                          F.when(prev_g.isNull()
+                                 | (prev_g != F.col("_st")), 1)
+                          .otherwise(0))
+                   .otherwise(F.when(F.col("_pin") != F.col("_st"), 1)
+                              .otherwise(0)))
+        mk = lambda st, d, en, smp: F.struct(  # noqa: E731
+            st.alias("st"), d.alias("dt"), en.alias("en"),
+            smp.alias("smp"))
+        carry = F.when(first & prev_g.isNotNull()
+                       & (F.col("_tm") > F.col("_bs")),
+                       mk(prev_g, F.col("_tm") - F.col("_bs"),
+                          F.lit(0), F.lit(0)))
+        pair = F.array(mk(F.col("_st"), F.col("_dt"), entered,
+                          F.lit(1)), carry)
+        contribs = (f2.select(key_col, "bucket_ts",
+                              F.explode(pair).alias("_c"))
+                    .filter(F.col("_c").isNotNull())
+                    .select(key_col, "bucket_ts",
+                            F.col("_c.st").alias("_st"),
+                            F.col("_c.dt").alias("_dt"),
+                            F.col("_c.en").alias("_en"),
+                            F.col("_c.smp").alias("_is_sample")))
+    return (contribs
             .groupBy(key_col, "bucket_ts", F.col("_st").alias(state_col))
             .agg(F.sum("_dt").alias("held_ms"),
                  F.sum("_en").alias("n_entries"),
-                 F.count(F.lit(1)).alias("n_samples"))
+                 F.sum("_is_sample").alias("n_samples"))
             .orderBy(key_col, "bucket_ts", state_col))
 
 
 def state_durations_sql(table: str = "events", key_col: str = "user_id",
                         ts_col: str = "ts", state_col: str = "event_type",
                         order_col: str = "event_id",
-                        bucket: str = "1 day") -> str:
+                        bucket: str = "1 day",
+                        carry_in: bool = False) -> str:
     """DuckDB oracle for :func:`state_durations` — same millisecond
     holds (epoch_ms), same in-bucket lead/lag over the same (ts, order)
-    ordering, integral SUMs cast back to BIGINT (the HUGEINT lesson)."""
+    ordering, integral SUMs cast back to BIGINT (the HUGEINT lesson);
+    with ``carry_in`` the carried leading span arrives as a UNION ALL
+    contribution exactly like the Spark side's exploded pair."""
     validate_bucket(bucket)
     width_ms = bucket_width_seconds(bucket) * 1000
     tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    if carry_in:
+        entered = ("CASE WHEN prev_st IS NULL THEN "
+                   "  CASE WHEN prev_g IS NULL OR prev_g <> st "
+                   "       THEN 1 ELSE 0 END "
+                   "ELSE CASE WHEN prev_st <> st THEN 1 ELSE 0 END END")
+        contribs = f"""
+contribs AS (
+  SELECT {key_col}, bucket_ts, st,
+         COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm AS dt,
+         {entered} AS en, 1 AS smp
+  FROM s
+  UNION ALL
+  SELECT {key_col}, bucket_ts, prev_g AS st,
+         tm - epoch_ms(bucket_ts) AS dt, 0 AS en, 0 AS smp
+  FROM s
+  WHERE prev_st IS NULL AND prev_g IS NOT NULL
+    AND tm > epoch_ms(bucket_ts))"""
+    else:
+        contribs = f"""
+contribs AS (
+  SELECT {key_col}, bucket_ts, st,
+         COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm AS dt,
+         CASE WHEN prev_st IS NULL OR prev_st <> st
+              THEN 1 ELSE 0 END AS en, 1 AS smp
+  FROM s)"""
     return f"""
 WITH s AS (
   SELECT {key_col}, {tb} AS bucket_ts, {state_col} AS st,
          epoch_ms({ts_col}) AS tm,
          lead(epoch_ms({ts_col})) OVER wb AS nx,
-         lag({state_col}) OVER wb AS prev_st
+         lag({state_col}) OVER wb AS prev_st,
+         lag({state_col}) OVER wk AS prev_g
   FROM {table}
   WHERE {ts_col} IS NOT NULL AND {state_col} IS NOT NULL
   WINDOW wb AS (PARTITION BY {key_col}, {tb}
-                ORDER BY {ts_col}, {order_col}))
+                ORDER BY {ts_col}, {order_col}),
+         wk AS (PARTITION BY {key_col}
+                ORDER BY {ts_col}, {order_col})),{contribs}
 SELECT {key_col}, bucket_ts, st AS {state_col},
-       CAST(SUM(COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm)
-            AS BIGINT) AS held_ms,
-       CAST(SUM(CASE WHEN prev_st IS NULL OR prev_st <> st
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
-       CAST(COUNT(*) AS BIGINT) AS n_samples
-FROM s GROUP BY 1, 2, 3
+       CAST(SUM(dt) AS BIGINT) AS held_ms,
+       CAST(SUM(en) AS BIGINT) AS n_entries,
+       CAST(SUM(smp) AS BIGINT) AS n_samples
+FROM contribs GROUP BY 1, 2, 3
 ORDER BY {key_col}, bucket_ts, {state_col}
 """
 

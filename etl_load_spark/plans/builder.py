@@ -886,16 +886,20 @@ def _state_durations_transform(df: DataFrame, p: dict) -> DataFrame:
     state_durations — q177): per (key, bucket, state) the
     integer-millisecond hold time (in-bucket LOCF), the entry count
     and the sample count. Row shape CHANGES to (key, bucket_ts,
-    state, held_ms, n_entries, n_samples). Self-contained per bucket.
+    state, held_ms, n_entries, n_samples). Self-contained per bucket
+    by default; ``carryIn: true`` selects the Timescale
+    interpolated_duration_in contract (q180 — the previous recorded
+    state holds from the bucket start to the first sample).
     Parameters: keyColumn ('user_id'), tsColumn ('ts'),
     stateColumn ('event_type'), orderColumn ('event_id'),
-    bucket ('1 day')."""
+    bucket ('1 day'), carryIn (false)."""
     from etl_load_spark.operators.timeseries import state_durations
     return state_durations(df, key_col=p.get("keyColumn", "user_id"),
                            ts_col=p.get("tsColumn", "ts"),
                            state_col=p.get("stateColumn", "event_type"),
                            order_col=p.get("orderColumn", "event_id"),
-                           bucket=p.get("bucket", "1 day"))
+                           bucket=p.get("bucket", "1 day"),
+                           carry_in=bool(p.get("carryIn", False)))
 
 
 def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:

@@ -6738,6 +6738,34 @@ def _register_lttb_oracle() -> None:
 _register_lttb_oracle()
 
 
+# --- q180: time-in-state with cross-bucket carry --------------------------------
+
+@query("q180_state_interpolated")  # oracle attached right below
+def q180_state_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-bucket-carry time-in-state (Timescale
+    interpolated_duration_in) — the q176 carry contract on a
+    CATEGORICAL value: the series' previous recorded state holds from
+    the bucket start to the first sample (charged to the carried
+    state, possibly as an n_samples=0 row), and entries count
+    transitions of the CONTINUOUS state curve (the bucket's first
+    sample is an entry only if it differs from the carried state).
+    Pure integer milliseconds; the carry contribution is an in-row
+    2-element array explode — no join; the cross-bucket lag rides the
+    same key-hashed exchange (the q176 reuse). See
+    operators/timeseries.state_durations."""
+    from etl_load_spark.operators.timeseries import state_durations
+    return state_durations(t(spark, sf_dir, "events"), carry_in=True)
+
+
+def _register_state_interpolated_oracle() -> None:
+    from etl_load_spark.operators.timeseries import state_durations_sql
+    QUERIES["q180_state_interpolated"].oracle = state_durations_sql(
+        "events", carry_in=True)
+
+
+_register_state_interpolated_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
@@ -6758,9 +6786,9 @@ _register_lttb_oracle()
 # family members whose direct siblings q124_string_breadth and
 # q125_math_breadth re-greened in r9 (the strongest family-freshness
 # rationale in the r6 set); they join the round-11 rotation behind
-# first rows for q176-q179 (registered post-window-freeze this round;
-# a new query outranks any re-green): r11 = 10 anchors + q176-q179 +
-# q17 + q19 + 34 of the r7-latest re-greens = exactly 50. After this
+# first rows for q176-q180 (registered post-window-freeze this round;
+# a new query outranks any re-green): r11 = 10 anchors + q176-q180 +
+# q17 + q19 + 33 of the r7-latest re-greens = exactly 50. After this
 # round every other declared query's green row is ≤ round 7.
 # Everything outside the window keeps the identical-methodology local
 # pytest oracle gate (tests/test_entry.py).

@@ -811,6 +811,56 @@ def test_state_durations_semantics(spark):
     assert len(got) == 3
 
 
+def test_state_durations_carry_in_semantics(spark):
+    """q180 contract (Timescale interpolated_duration_in): the
+    previous RECORDED state holds from bucket start to the first
+    sample (an n_samples=0 row when that state has no own sample in
+    the bucket; LOCF crosses empty buckets); the bucket's first sample
+    is an entry only if it differs from the carried state; a series'
+    first-ever bucket falls back to the self-contained span."""
+    from etl_load_spark.operators.timeseries import state_durations
+    h = 3600 * 1000
+    events = spark.createDataFrame([
+        # day 1: a from 18:00 (first-ever bucket: no carry, 6h, entry)
+        Row(event_id=1, user_id=1, event_type="a", ts=d(1, 18), value=0.),
+        # day 2: first sample b at 06:00 -> carried 'a' holds 00-06
+        # (n_samples=0 row), b is an entry (differs from carry)
+        Row(event_id=2, user_id=1, event_type="b", ts=d(2, 6), value=0.),
+        # day 4 (day 3 empty): first sample b at 12:00 -> carried 'b'
+        # holds 00-12 AND the sample is NOT an entry (same state);
+        # b's day-4 held = 12h carry + 12h own, 0 entries
+        Row(event_id=3, user_id=1, event_type="b", ts=d(4, 12), value=0.),
+    ])
+    got = {(r.bucket_ts.day, r.event_type):
+           (r.held_ms, r.n_entries, r.n_samples)
+           for r in state_durations(events, carry_in=True).collect()}
+    assert got[(1, "a")] == (6 * h, 1, 1)
+    assert got[(2, "a")] == (6 * h, 0, 0)      # carried-only row
+    assert got[(2, "b")] == (18 * h, 1, 1)
+    assert got[(4, "b")] == (24 * h, 0, 1)     # carry merges, no entry
+    assert len(got) == 4
+    # the self-contained default is UNCHANGED by the new parameter
+    plain = {(r.bucket_ts.day, r.event_type): (r.held_ms, r.n_entries)
+             for r in state_durations(events).collect()}
+    assert plain == {(1, "a"): (6 * h, 1), (2, "b"): (18 * h, 1),
+                     (4, "b"): (12 * h, 1)}
+
+
+def test_state_durations_carry_plan_shape(spark, sf_dir):
+    """q180 100 TB posture: the cross-bucket lag (key), the in-bucket
+    lead/lag (key, bucket), the explode and the (key, bucket, state)
+    rollup all ride ONE hash exchange (subset clustering); plus the
+    output sort. No joins, no Python."""
+    import re
+    from etl_load_spark.queries import QUERIES
+    df = QUERIES["q180_state_interpolated"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_state_durations_matches_reference_property(spark):
     """Derandomized property (the shared-wart rule: the DuckDB twin
     mirrors the formula, so parity alone can't catch a wart both

@@ -872,6 +872,26 @@ def test_state_durations_stage(spark, tmp_path):
     got = {r.st: (r.held_ms, r.n_entries)
            for r in build_plan(spark, spec).collect()}
     assert got == {"up": (22 * h, 2), "down": (2 * h, 1)}
+    # carryIn selects the q180 interpolated contract through the spec
+    carry_spec = JobSpec.from_dict({
+        "jobId": "state-stage-carry",
+        "source": {"type": "FILE_JSON",
+                   "details": {"path": str(src),
+                               "schema": "eid bigint, uid bigint,"
+                                         " st string, at timestamp"}},
+        "transformation": {"type": "STATE_DURATIONS",
+                           "parameters": {"keyColumn": "uid",
+                                          "tsColumn": "at",
+                                          "stateColumn": "st",
+                                          "orderColumn": "eid",
+                                          "carryIn": True}},
+    })
+    carried = {r.st: (r.held_ms, r.n_entries)
+               for r in build_plan(spark, carry_spec).collect()}
+    # same single-bucket feed: first sample at 00:00 -> no carry span,
+    # identical to the self-contained answer (the contract only
+    # diverges when a bucket starts mid-hold)
+    assert carried == got
 
 
 def test_heartbeat_uptime_stage(spark, tmp_path):
