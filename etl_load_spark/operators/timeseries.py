@@ -729,7 +729,8 @@ ORDER BY {key_col}, bucket_ts, {state_col}
 def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
                      ts_col: str = "ts", order_col: str = "event_id",
                      bucket: str = "1 day",
-                     tolerance: str = "15 minutes") -> DataFrame:
+                     tolerance: str = "15 minutes",
+                     carry_in: bool = False) -> DataFrame:
     """Liveness rollup — Timescale ``heartbeat_agg`` / ``uptime``: each
     heartbeat keeps the series LIVE for ``tolerance``; a next beat
     inside the window extends it, a longer silence is an OUTAGE. Per
@@ -738,18 +739,38 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
     tolerance) with the last beat clipped to least(tolerance,
     bucket_end − beat), and n_gaps = in-bucket silences longer than
     the tolerance (mid-bucket outages; the bucket-end clip is not a
-    gap — the next bucket owns that silence). Self-contained per
-    bucket (no carry-in: a beat near the previous bucket's end does
-    not extend liveness into this one; the family convention, same as
-    q175/state_durations — compose buckets upstream for carry
-    semantics). Same-millisecond duplicate beats contribute 0 ms and
-    no gap. NULL-ts beats are excluded.
+    gap — the next bucket owns that silence).
+
+    Two contracts, selected by ``carry_in`` (completing the q176/q180
+    carry pair on the liveness curve):
+
+    - ``carry_in=False`` (default, q178): SELF-CONTAINED per bucket —
+      a beat near the previous bucket's end does not extend liveness
+      into this one.
+    - ``carry_in=True`` (q181, Timescale ``interpolated_uptime``): the
+      series' previous beat — from any earlier bucket — extends its
+      live window across the boundary, adding
+      ``greatest(0, least(prev_beat + tolerance, first_beat) −
+      bucket_start)`` to the bucket's uptime (never past the first
+      in-bucket beat, so the union stays disjoint; only buckets with
+      ≥1 beat are emitted, the family rollup convention). Gap
+      ACCOUNTING is unchanged — n_gaps stays the count of in-bucket
+      silences, a boundary-crossing outage is not attributed to
+      either bucket (documented divergence knob; Timescale's
+      ``interpolated_downtime`` is the complement).
+
+    Same-millisecond duplicate beats contribute 0 ms and no gap.
+    NULL-ts beats are excluded.
 
     Exactness: pure integer milliseconds, nothing fractional.
 
     100 TB shape: ONE exchange — the lead window partitions by
     (key, bucket) and the aggregate groups by the same keys (the q175
-    reuse); sort cost bounded by one series' one bucket."""
+    reuse); sort cost bounded by one series' one bucket. With carry-in
+    the extra cross-bucket lag partitions by key alone and rides the
+    same exchange (the q176 reuse), at the price of the per-key skew
+    class; the carry is a per-row scalar added to the first beat's
+    live span — no join, no explode."""
     validate_bucket(bucket)
     width_ms = bucket_width_seconds(bucket) * 1000
     tol_us = validate_bucket(tolerance)
@@ -764,11 +785,21 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
     s = e.select(F.col(key_col), b, tms.alias("_tm"),
                  F.col(order_col).alias("_o"), F.col(ts_col).alias("_ts"))
     w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
-    bucket_end = (F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
-                  + F.lit(width_ms))
+    bucket_start = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
+    bucket_end = bucket_start + F.lit(width_ms)
     nx = F.lead("_tm").over(w)
     live = F.least(F.coalesce(nx, bucket_end) - F.col("_tm"),
                    F.lit(tol_ms))
+    if carry_in:
+        wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+        first = F.lag("_tm").over(w).isNull()
+        prev_tm = F.lag("_tm").over(wk)
+        live = live + F.when(
+            first & prev_tm.isNotNull(),
+            F.greatest(
+                F.lit(0),
+                F.least(prev_tm + tol_ms, F.col("_tm")) - bucket_start)
+        ).otherwise(F.lit(0))
     gap = F.when(nx.isNotNull() & (nx - F.col("_tm") > tol_ms), 1) \
         .otherwise(0)
     return (s.select(key_col, "bucket_ts", live.alias("_lv"),
@@ -783,28 +814,45 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
 def heartbeat_uptime_sql(table: str = "events", key_col: str = "user_id",
                          ts_col: str = "ts", order_col: str = "event_id",
                          bucket: str = "1 day",
-                         tolerance: str = "15 minutes") -> str:
+                         tolerance: str = "15 minutes",
+                         carry_in: bool = False) -> str:
     """DuckDB oracle for :func:`heartbeat_uptime` — same millisecond
     clock (epoch_ms), same in-bucket lead, same least() clipping,
-    integral SUMs cast back to BIGINT."""
+    same cross-bucket carry term for ``carry_in``, integral SUMs cast
+    back to BIGINT."""
     validate_bucket(bucket)
     width_ms = bucket_width_seconds(bucket) * 1000
     tol_ms = validate_bucket(tolerance) // 1000
     tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    carry = ""
+    if carry_in:
+        carry = f"""
+           + CASE WHEN lag(tm) OVER wb IS NULL
+                   AND lag(tm) OVER wk IS NOT NULL
+                  THEN greatest(0, least(lag(tm) OVER wk + {tol_ms}, tm)
+                                   - epoch_ms(bucket_ts))
+                  ELSE 0 END"""
     return f"""
-WITH s AS (
+WITH s0 AS (
   SELECT {key_col}, {tb} AS bucket_ts, epoch_ms({ts_col}) AS tm,
-         lead(epoch_ms({ts_col})) OVER (
-             PARTITION BY {key_col}, {tb}
-             ORDER BY {ts_col}, {order_col}) AS nx
+         {ts_col} AS t, {order_col} AS o
   FROM {table}
-  WHERE {ts_col} IS NOT NULL)
+  WHERE {ts_col} IS NOT NULL),
+s AS (
+  SELECT {key_col}, bucket_ts, tm,
+         least(COALESCE(lead(tm) OVER wb,
+                        epoch_ms(bucket_ts) + {width_ms}) - tm,
+               {tol_ms}){carry} AS lv,
+         CASE WHEN lead(tm) OVER wb IS NOT NULL
+               AND lead(tm) OVER wb - tm > {tol_ms}
+              THEN 1 ELSE 0 END AS gp
+  FROM s0
+  WINDOW wb AS (PARTITION BY {key_col}, bucket_ts ORDER BY t, o),
+         wk AS (PARTITION BY {key_col} ORDER BY t, o))
 SELECT {key_col}, bucket_ts,
        CAST(COUNT(*) AS BIGINT) AS n_beats,
-       CAST(SUM(least(COALESCE(nx, epoch_ms(bucket_ts) + {width_ms}) - tm,
-                      {tol_ms})) AS BIGINT) AS uptime_ms,
-       CAST(SUM(CASE WHEN nx IS NOT NULL AND nx - tm > {tol_ms}
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+       CAST(SUM(lv) AS BIGINT) AS uptime_ms,
+       CAST(SUM(gp) AS BIGINT) AS n_gaps
 FROM s GROUP BY 1, 2
 ORDER BY {key_col}, bucket_ts
 """

@@ -909,15 +909,18 @@ def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:
     the uptime (union of tolerance-clipped in-bucket live intervals,
     integer ms) and the mid-bucket outage count. Row shape CHANGES to
     (key, bucket_ts, n_beats, uptime_ms, n_gaps). Self-contained per
-    bucket. Parameters: keyColumn ('user_id'), tsColumn ('ts'),
-    orderColumn ('event_id'), bucket ('1 day'),
-    tolerance ('15 minutes')."""
+    bucket by default; ``carryIn: true`` selects the Timescale
+    interpolated_uptime contract (q181 — the previous beat's tolerance
+    window extends across the bucket boundary). Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), orderColumn ('event_id'),
+    bucket ('1 day'), tolerance ('15 minutes'), carryIn (false)."""
     from etl_load_spark.operators.timeseries import heartbeat_uptime
     return heartbeat_uptime(df, key_col=p.get("keyColumn", "user_id"),
                             ts_col=p.get("tsColumn", "ts"),
                             order_col=p.get("orderColumn", "event_id"),
                             bucket=p.get("bucket", "1 day"),
-                            tolerance=p.get("tolerance", "15 minutes"))
+                            tolerance=p.get("tolerance", "15 minutes"),
+                            carry_in=bool(p.get("carryIn", False)))
 
 
 def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:

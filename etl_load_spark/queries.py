@@ -6766,6 +6766,34 @@ def _register_state_interpolated_oracle() -> None:
 _register_state_interpolated_oracle()
 
 
+# --- q181: heartbeat liveness with cross-bucket carry ----------------------------
+
+@query("q181_heartbeat_interpolated")  # oracle attached right below
+def q181_heartbeat_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-bucket-carry liveness (Timescale interpolated_uptime) —
+    the q176/q180 carry contract on the liveness curve: a beat near
+    the previous bucket's end extends its tolerance window across the
+    boundary, adding greatest(0, least(prev_beat + tol, first_beat) −
+    bucket_start) to the bucket's uptime (never past the first
+    in-bucket beat, so the interval union stays disjoint); gap
+    accounting is unchanged. The carry is a per-row scalar on the
+    first beat — no join, no explode; the cross-bucket lag rides the
+    same key-hashed exchange. See
+    operators/timeseries.heartbeat_uptime."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    return heartbeat_uptime(t(spark, sf_dir, "events"),
+                            tolerance="15 minutes", carry_in=True)
+
+
+def _register_heartbeat_interpolated_oracle() -> None:
+    from etl_load_spark.operators.timeseries import heartbeat_uptime_sql
+    QUERIES["q181_heartbeat_interpolated"].oracle = heartbeat_uptime_sql(
+        "events", tolerance="15 minutes", carry_in=True)
+
+
+_register_heartbeat_interpolated_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
@@ -6786,9 +6814,9 @@ _register_state_interpolated_oracle()
 # family members whose direct siblings q124_string_breadth and
 # q125_math_breadth re-greened in r9 (the strongest family-freshness
 # rationale in the r6 set); they join the round-11 rotation behind
-# first rows for q176-q180 (registered post-window-freeze this round;
-# a new query outranks any re-green): r11 = 10 anchors + q176-q180 +
-# q17 + q19 + 33 of the r7-latest re-greens = exactly 50. After this
+# first rows for q176-q181 (registered post-window-freeze this round;
+# a new query outranks any re-green): r11 = 10 anchors + q176-q181 +
+# q17 + q19 + 32 of the r7-latest re-greens = exactly 50. After this
 # round every other declared query's green row is ≤ round 7.
 # Everything outside the window keeps the identical-methodology local
 # pytest oracle gate (tests/test_entry.py).

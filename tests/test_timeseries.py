@@ -957,6 +957,68 @@ def test_heartbeat_uptime_matches_reference_property(spark):
     check()
 
 
+def test_heartbeat_carry_in_semantics(spark):
+    """q181 contract (Timescale interpolated_uptime): a beat near the
+    previous bucket's end extends liveness into this bucket —
+    [bucket_start, min(prev + tol, first_beat)) — never past the
+    first in-bucket beat (union stays disjoint) and 0 when the
+    previous beat's window died before the boundary; gap accounting
+    unchanged; a series' first-ever bucket has no carry."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    m = 60 * 1000
+    events = spark.createDataFrame([
+        # user 1: beat 23:55 day 1 (15m tol -> 10m crosses into day 2);
+        # day-2 first beat at 00:05 CAPS the carry at 5m
+        Row(event_id=1, user_id=1, ts=dt.datetime(2024, 1, 1, 23, 55),
+            value=0.0),
+        Row(event_id=2, user_id=1, ts=dt.datetime(2024, 1, 2, 0, 5),
+            value=0.0),
+        # user 2: beat 23:55 day 1; day-2 first beat at 01:00 -> carry
+        # is the full residual 10m (window dies at 00:10)
+        Row(event_id=3, user_id=2, ts=dt.datetime(2024, 1, 1, 23, 55),
+            value=0.0),
+        Row(event_id=4, user_id=2, ts=dt.datetime(2024, 1, 2, 1, 0),
+            value=0.0),
+        # user 3: beat at 12:00 day 1 (window long dead by midnight);
+        # day-2 beat gets NO carry
+        Row(event_id=5, user_id=3, ts=d(1, 12), value=0.0),
+        Row(event_id=6, user_id=3, ts=d(2, 12), value=0.0),
+    ])
+    got = {(r.user_id, r.bucket_ts.day): r.uptime_ms
+           for r in heartbeat_uptime(events, tolerance="15 minutes",
+                                     carry_in=True).collect()}
+    assert got[(1, 1)] == 5 * m                   # clipped at midnight
+    assert got[(1, 2)] == 5 * m + 15 * m          # carry 5m + own 15m
+    assert got[(2, 2)] == 10 * m + 15 * m         # full residual carry
+    assert got[(3, 2)] == 15 * m                  # dead window: no carry
+    assert got[(3, 1)] == 15 * m                  # first-ever: no carry
+    # the self-contained default is UNCHANGED by the new parameter
+    plain = {(r.user_id, r.bucket_ts.day): r.uptime_ms
+             for r in heartbeat_uptime(events,
+                                       tolerance="15 minutes").collect()}
+    assert plain[(1, 2)] == 15 * m and plain[(2, 2)] == 15 * m
+
+
+def test_heartbeat_carry_oracle_parity_and_plan(spark, sf_dir):
+    """q181 parity at sf_dir scale plus the one-exchange plan pin (the
+    cross-bucket lag rides the same key-hashed exchange — no join, no
+    explode, no Python)."""
+    import re
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare, duckdb_connection
+    from etl_load_spark.queries import QUERIES
+    q = QUERIES["q181_heartbeat_interpolated"]
+    ok, msg = compare(q.fn(spark, sf_dir), duckdb_connection(sf_dir),
+                      q.oracle)
+    assert ok, msg
+    plan = (q.fn(spark, sf_dir)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_heartbeat_uptime_semantics(spark):
     """q178 contract (Timescale heartbeat_agg/uptime): each beat is
     live for min(gap-to-next, tolerance); the last beat clips to the
