@@ -66,6 +66,10 @@ _UNIT_MICROS = {
     "microsecond": 1,
 }
 
+# Spark encodes day-time intervals as int64 microseconds
+# (DayTimeIntervalType); anything wider overflows its parser/arithmetic.
+_MAX_DAY_TIME_INTERVAL_MICROS = 2**63 - 1
+
 
 def validate_bucket(bucket: str) -> int:
     """Validate a bucket/interval string against the day-time grammar
@@ -92,15 +96,50 @@ def validate_bucket(bucket: str) -> int:
     for num, unit in zip(toks[::2], toks[1::2]):
         u = unit.lower()
         u = u[:-1] if u.endswith("s") and u[:-1] in _UNIT_MICROS else u
-        if not num.isdigit() or u not in _UNIT_MICROS:
+        # isdecimal + isascii, not isdigit: isdigit() admits fullwidth
+        # digits ('１ day') that Spark's interval parser then rejects as
+        # a raw parse error, and superscript digits that crash int()
+        # itself — both the exact failure modes this validator promises
+        # to preclude (ADVICE r10).
+        if not (num.isascii() and num.isdecimal()) or u not in _UNIT_MICROS:
             raise ValueError(
                 f"invalid bucket {bucket!r}: {num + ' ' + unit!r} is not "
-                "'<non-negative int> <week|day|hour|minute|second|"
+                "'<non-negative ASCII int> <week|day|hour|minute|second|"
                 "millisecond|microsecond>'")
         total += int(num) * _UNIT_MICROS[u]
     if total <= 0:
         raise ValueError(f"bucket width must be positive: {bucket!r}")
+    if total > _MAX_DAY_TIME_INTERVAL_MICROS:
+        # Spark stores day-time intervals as int64 microseconds; a wider
+        # bucket validates here but overflows downstream inside
+        # F.expr(f"interval {bucket}") (ADVICE r10) — fail as a spec
+        # error instead.
+        raise ValueError(
+            f"bucket {bucket!r} exceeds Spark's day-time interval "
+            f"maximum ({_MAX_DAY_TIME_INTERVAL_MICROS} microseconds "
+            "= ~106751991 days)")
     return total
+
+
+def require_sub_week_bucket(bucket: str, where: str) -> int:
+    """Validate ``bucket`` AND refuse week-and-coarser grains — for the
+    DuckDB SQL twins only. Spark's ``window()`` is epoch-aligned at
+    every width, but DuckDB's ``time_bucket`` snaps week-and-coarser
+    buckets to a Monday (2024-01-01-class) origin, so a twin built on
+    time_bucket would compare SHIFTED buckets and report spurious (or
+    vacuous) parity (the gapfill_sql documented divergence; ADVICE r10
+    asked that the newer twins carry a guard, not just prose). The
+    Spark-side operators themselves accept any valid width — only the
+    parity oracles are grain-limited."""
+    micros = validate_bucket(bucket)
+    if micros >= _UNIT_MICROS["week"]:
+        raise ValueError(
+            f"{where}: bucket {bucket!r} is >= 1 week — DuckDB "
+            "time_bucket aligns week-and-coarser grains to a Monday "
+            "origin while Spark window() aligns to the epoch; keep "
+            "parity pins to sub-week grains (or give time_bucket an "
+            "explicit epoch origin before trusting this twin)")
+    return micros
 
 
 def gapfill(events: DataFrame, key_col: str = "user_id",
@@ -345,6 +384,7 @@ def counter_rate_sql(table: str = "events", key_col: str = "user_id",
     independent 86400 default here once let a '6 hours' twin silently
     rate against a day (ADVICE r9, the drift class commit a0c9160
     removed on the Spark side)."""
+    require_sub_week_bucket(bucket, "counter_rate_sql")
     if bucket_seconds is None:
         bucket_seconds = bucket_width_seconds(bucket)
     return f"""
@@ -516,7 +556,11 @@ def time_weighted_avg_sql(table: str = "events", key_col: str = "user_id",
     ordering, same cross-bucket lag for the ``carry_in`` contract, same
     fixed-point quotient. ``bucket_seconds`` derives from ``bucket``
     exactly like the Spark side (ADVICE r9: an independent default
-    here is the oracle-side variant of the denominator-drift class)."""
+    here is the oracle-side variant of the denominator-drift class).
+    Week-and-coarser buckets raise (require_sub_week_bucket, ADVICE
+    r10): DuckDB time_bucket's Monday origin vs Spark's epoch origin
+    would shift every bucket and the parity would be spurious."""
+    require_sub_week_bucket(bucket, "time_weighted_avg_sql")
     if bucket_seconds is None:
         bucket_seconds = bucket_width_seconds(bucket)
     width_ms = bucket_seconds * 1000
@@ -562,7 +606,8 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                     ts_col: str = "ts", state_col: str = "event_type",
                     order_col: str = "event_id",
                     bucket: str = "1 day",
-                    carry_in: bool = False) -> DataFrame:
+                    carry_in: bool = False,
+                    hot_split: str | None = None) -> DataFrame:
     """Time-in-state rollup — Timescale ``state_agg`` / ``duration_in``:
     per (series, bucket, state) how long the series SAT in each state
     (the LOCF step curve of a categorical value), how many times it
@@ -604,8 +649,28 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
     clustering); with carry-in the extra cross-bucket lag partitions
     by key alone and rides the same exchange (the q176 reuse), at the
     price of the per-key skew class. The carry contribution is an
-    in-row 2-element array explode — no join, no second pass."""
+    in-row 2-element array explode — no join, no second pass.
+
+    Past the per-key serialization cliff (the q173 class: one series
+    dominating the feed makes the cross-bucket carry lag sort that
+    series on a single task), ``hot_split`` (an interval string,
+    carry_in only — the self-contained form has no per-key window)
+    engages the counter_rate/TWA PARALLEL-PREFIX STITCH on the ONE
+    per-key window here: the carry lag partitions by (key, time-slice)
+    so each slice sorts in parallel, and a boundary pass over the
+    |slices|-row summary relation (per (key, slice) the LAST sample's
+    state — one map-side-combinable max_by — lagged per key) carries
+    the previous non-empty slice's closing state onto each slice's
+    first sample. Results are IDENTICAL (equivalence property-pinned);
+    when the slice width EQUALS the bucket width the in-slice lag IS
+    the in-bucket lag, so the stitch shares the existing (key,
+    bucket_ts) exchange (plan-pinned: aligned = generic − 1)."""
     validate_bucket(bucket)
+    if hot_split is not None and not carry_in:
+        raise ValueError(
+            "hot_split only applies to carry_in=True (the self-contained "
+            "form has no per-key window to split — it is already "
+            "per-bucket-parallel)")
     width_ms = bucket_width_seconds(bucket) * 1000
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(state_col).isNotNull())
@@ -626,12 +691,46 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                             dt.alias("_dt"), entered.alias("_en"),
                             F.lit(1).alias("_is_sample"))
     else:
-        wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+        if hot_split is not None:
+            # the counter_rate/TWA parallel-prefix stitch on the one
+            # per-key window (the cross-bucket carry lag): per-slice
+            # lag + a boundary pass carrying the previous non-empty
+            # slice's LAST state. For a slice-first sample the in-slice
+            # lag is NULL and the boundary carry IS the global
+            # predecessor's state; everywhere else the in-slice lag is
+            # the global lag — so the coalesce equals lag over the
+            # whole series exactly.
+            width_us = validate_bucket(hot_split)
+            if width_us == validate_bucket(bucket):
+                # aligned: the in-slice lag is the in-bucket lag — one
+                # shared (key, bucket_ts) exchange (the literal-column
+                # rule: an aliased copy would be a different attribute)
+                sl_cols = [key_col, "bucket_ts"]
+            else:
+                s = s.withColumn(
+                    "_sl",
+                    F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
+                           f"DIV {width_us}"))
+                sl_cols = [key_col, "_sl"]
+            wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
+            bnd = (s.groupBy(*sl_cols)
+                   .agg(F.max_by("_st", F.struct("_ts", "_o"))
+                        .alias("_last_st")))
+            wk_sl = Window.partitionBy(key_col).orderBy(sl_cols[1])
+            bnd = bnd.select(*sl_cols,
+                             F.lag("_last_st").over(wk_sl)
+                             .alias("_carry"))
+            s = (s.withColumn("_pin_sl", F.lag("_st").over(wsl))
+                 .join(bnd, sl_cols, "left"))
+            pg = F.coalesce(F.col("_pin_sl"), F.col("_carry"))
+        else:
+            wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+            pg = F.lag("_st").over(wk)
         # window expressions must materialize BEFORE the explode — a
         # Generate operator cannot host them
         f2 = s.select(key_col, "bucket_ts", "_st", "_tm",
                       dt.alias("_dt"), prev_st.alias("_pin"),
-                      F.lag("_st").over(wk).alias("_pg"),
+                      pg.alias("_pg"),
                       bucket_start.alias("_bs"))
         first = F.col("_pin").isNull()
         prev_g = F.col("_pg")
@@ -675,8 +774,10 @@ def state_durations_sql(table: str = "events", key_col: str = "user_id",
     holds (epoch_ms), same in-bucket lead/lag over the same (ts, order)
     ordering, integral SUMs cast back to BIGINT (the HUGEINT lesson);
     with ``carry_in`` the carried leading span arrives as a UNION ALL
-    contribution exactly like the Spark side's exploded pair."""
-    validate_bucket(bucket)
+    contribution exactly like the Spark side's exploded pair.
+    Week-and-coarser buckets raise (require_sub_week_bucket, ADVICE
+    r10): time_bucket's Monday origin would shift every bucket."""
+    require_sub_week_bucket(bucket, "state_durations_sql")
     width_ms = bucket_width_seconds(bucket) * 1000
     tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
     if carry_in:
@@ -730,7 +831,8 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
                      ts_col: str = "ts", order_col: str = "event_id",
                      bucket: str = "1 day",
                      tolerance: str = "15 minutes",
-                     carry_in: bool = False) -> DataFrame:
+                     carry_in: bool = False,
+                     hot_split: str | None = None) -> DataFrame:
     """Liveness rollup — Timescale ``heartbeat_agg`` / ``uptime``: each
     heartbeat keeps the series LIVE for ``tolerance``; a next beat
     inside the window extends it, a longer silence is an OUTAGE. Per
@@ -770,8 +872,25 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
     the extra cross-bucket lag partitions by key alone and rides the
     same exchange (the q176 reuse), at the price of the per-key skew
     class; the carry is a per-row scalar added to the first beat's
-    live span — no join, no explode."""
+    live span — no join, no explode.
+
+    Past the per-key serialization cliff (the q173 class), ``hot_split``
+    (an interval string, carry_in only) engages the counter_rate/TWA
+    PARALLEL-PREFIX STITCH on the one per-key window: the carry lag
+    partitions by (key, time-slice) and a boundary pass over the
+    |slices|-row summary (per (key, slice) the last beat's epoch-ms —
+    one map-side-combinable max, since the beat clock is monotone in
+    the (ts, order) total order — lagged per key) carries the previous
+    non-empty slice's last beat onto each slice's first beat. Results
+    are IDENTICAL (equivalence property-pinned); a bucket-aligned
+    slice shares the existing (key, bucket_ts) exchange (plan-pinned:
+    aligned = generic − 1)."""
     validate_bucket(bucket)
+    if hot_split is not None and not carry_in:
+        raise ValueError(
+            "hot_split only applies to carry_in=True (the self-contained "
+            "form has no per-key window to split — it is already "
+            "per-bucket-parallel)")
     width_ms = bucket_width_seconds(bucket) * 1000
     tol_us = validate_bucket(tolerance)
     if tol_us % 1000:
@@ -791,9 +910,35 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
     live = F.least(F.coalesce(nx, bucket_end) - F.col("_tm"),
                    F.lit(tol_ms))
     if carry_in:
-        wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
         first = F.lag("_tm").over(w).isNull()
-        prev_tm = F.lag("_tm").over(wk)
+        if hot_split is not None:
+            # parallel-prefix stitch on the one per-key window: for a
+            # slice-first beat the in-slice lag is NULL and the
+            # boundary carry IS the global predecessor's clock;
+            # everywhere else the in-slice lag equals the global lag.
+            width_us = validate_bucket(hot_split)
+            if width_us == validate_bucket(bucket):
+                sl_cols = [key_col, "bucket_ts"]
+            else:
+                s = s.withColumn(
+                    "_sl",
+                    F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
+                           f"DIV {width_us}"))
+                sl_cols = [key_col, "_sl"]
+            wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
+            # max(_tm) IS the last beat's clock: _tm is monotone in the
+            # (_ts, _o) total order (ms truncation of _ts)
+            bnd = s.groupBy(*sl_cols).agg(F.max("_tm").alias("_last_tm"))
+            wk_sl = Window.partitionBy(key_col).orderBy(sl_cols[1])
+            bnd = bnd.select(*sl_cols,
+                             F.lag("_last_tm").over(wk_sl)
+                             .alias("_carry"))
+            s = (s.withColumn("_pin_sl", F.lag("_tm").over(wsl))
+                 .join(bnd, sl_cols, "left"))
+            prev_tm = F.coalesce(F.col("_pin_sl"), F.col("_carry"))
+        else:
+            wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+            prev_tm = F.lag("_tm").over(wk)
         live = live + F.when(
             first & prev_tm.isNotNull(),
             F.greatest(
@@ -819,8 +964,10 @@ def heartbeat_uptime_sql(table: str = "events", key_col: str = "user_id",
     """DuckDB oracle for :func:`heartbeat_uptime` — same millisecond
     clock (epoch_ms), same in-bucket lead, same least() clipping,
     same cross-bucket carry term for ``carry_in``, integral SUMs cast
-    back to BIGINT."""
-    validate_bucket(bucket)
+    back to BIGINT. Week-and-coarser buckets raise
+    (require_sub_week_bucket, ADVICE r10): time_bucket's Monday origin
+    would shift every bucket."""
+    require_sub_week_bucket(bucket, "heartbeat_uptime_sql")
     width_ms = bucket_width_seconds(bucket) * 1000
     tol_ms = validate_bucket(tolerance) // 1000
     tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
@@ -860,7 +1007,8 @@ ORDER BY {key_col}, bucket_ts
 
 def lttb(events: DataFrame, key_col: str = "user_id",
          ts_col: str = "ts", value_col: str = "value",
-         order_col: str = "event_id", resolution: int = 12) -> DataFrame:
+         order_col: str = "event_id", resolution: int = 12,
+         max_points_per_series: int | None = None) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling — Timescale ``lttb``
     (Steinarsson's visual downsampling algorithm): per series keep
     exactly ``resolution`` points (first, last, and per equal-count
@@ -904,12 +1052,22 @@ def lttb(events: DataFrame, key_col: str = "user_id",
     (2·shuffle partitions) — sized by the same dial as every other
     shuffle; an individual series must still fit, so pre-slice
     unbounded series upstream, e.g. per (series, month), exactly how
-    dashboards consume downsamples). The kernel is O(points) —
+    dashboards consume downsamples — and ``max_points_per_series``
+    turns that contract into a GUARD (VERDICT r10 #4): when set, a
+    series larger than the cap fails with this operator's own error
+    naming the pre-slice fix, inside the kernel before any selection
+    work, instead of a generic executor OOM. The kernel is O(points) —
     vectorized int64 numpy inside a translation-invariant exactness
     bound, exact Python ints past it. Output is ≤ resolution rows per
     series — everything downstream is downsample-sized."""
     if resolution < 3:
         raise ValueError(f"resolution must be >= 3: {resolution}")
+    if max_points_per_series is not None \
+            and max_points_per_series < resolution:
+        raise ValueError(
+            f"max_points_per_series={max_points_per_series} is below "
+            f"resolution={resolution} — every non-pass-through series "
+            "would fail; the cap bounds task memory, not the output")
     cols = (key_col, ts_col, value_col, order_col)
     if len(set(cols)) != 4:
         raise ValueError(
@@ -998,9 +1156,19 @@ def lttb(events: DataFrame, key_col: str = "user_id",
         o_all = pdf[order_col].to_numpy()
         keep: list = []
         grp = pdf.groupby(key_col, dropna=False, sort=False)
-        for idx in grp.indices.values():
+        for gkey, idx in grp.indices.items():
+            n = len(idx)
+            if max_points_per_series is not None \
+                    and n > max_points_per_series:
+                # loud, before any selection work — the alternative is
+                # a generic executor OOM with no operator context
+                raise ValueError(
+                    f"lttb: series {gkey!r} has {n} points, over "
+                    f"max_points_per_series={max_points_per_series} — "
+                    "an individual series must fit one task; pre-slice "
+                    "unbounded series upstream (e.g. downsample per "
+                    "(series, month)) or raise the cap")
             order = idx[np.lexsort((o_all[idx], ts_all[idx]))]
-            n = len(order)
             if n <= resolution:
                 keep.extend(order.tolist())
             else:
@@ -1104,8 +1272,15 @@ def ohlc(events: DataFrame, type_col: str = "event_type",
     is GUARDED, not just documented (VERDICT r9 / ADVICE r9): a negative
     epoch (pre-1970 ts) or negative order id would render a minus sign
     and break lexicographic == chronological SILENTLY, so the key
-    expression raises on either — two comparisons per row inside the
-    partial aggregate, loud-wrong instead of silent-wrong. Both fields
+    expression raises on either — cheap comparisons per row inside the
+    partial aggregate, loud-wrong instead of silent-wrong. A NULL order
+    id raises too (ADVICE r10): with it NULL the negative checks are
+    NULL, the row would fall to the otherwise branch, and format_string
+    renders the id as the literal text 'null' — which sorts after every
+    digit and can silently win open/close, while the DuckDB twin's
+    lpad(NULL) key is NULL and arg_min/arg_max SKIP the row — the exact
+    silent cross-engine divergence class this guard exists to close
+    (ts is already filtered non-null; only the order id can be NULL). Both fields
     are padded to 19 digits, the full non-negative int64 range (the
     first cut padded order ids to 12: an id ≥ 10¹² — plausible at
     100 TB — made Spark's format_string WIDEN the field while DuckDB's
@@ -1126,11 +1301,12 @@ def ohlc(events: DataFrame, type_col: str = "event_type",
     ep = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     oc = F.col(order_col).cast("bigint")
     key = (
-        F.when((ep < 0) | (oc < 0), F.raise_error(F.format_string(
-            "ohlc: ordering key out of domain (epoch_micros=%s, "
-            f"{order_col}=%s): the padded-string open/close key needs "
-            "non-negative (post-1970) timestamps and non-negative "
-            "order ids", ep, oc)))
+        F.when(oc.isNull() | (ep < 0) | (oc < 0),
+               F.raise_error(F.format_string(
+                   "ohlc: ordering key out of domain (epoch_micros=%s, "
+                   f"{order_col}=%s): the padded-string open/close key "
+                   "needs non-negative (post-1970) timestamps and "
+                   "non-negative, NON-NULL order ids", ep, oc)))
         .otherwise(F.format_string("%019d%019d", ep, oc)))
     return (e.groupBy(type_col,
                       F.window(ts_col, bucket).start.alias("bucket_ts"))
@@ -1151,8 +1327,10 @@ def ohlc_sql(table: str = "events", type_col: str = "event_type",
     fields lpad to 19 digits = the full non-negative int64 range
     (DuckDB lpad TRUNCATES past the width — at 12 it disagreed with
     Spark's widening format_string for ids ≥ 10¹², ADVICE r9); the
-    non-negative domain itself is raise-guarded on the Spark side."""
-    validate_bucket(bucket)
+    non-negative domain itself is raise-guarded on the Spark side.
+    Week-and-coarser buckets raise (require_sub_week_bucket, ADVICE
+    r10): time_bucket's Monday origin would shift every bucket."""
+    require_sub_week_bucket(bucket, "ohlc_sql")
     k = (f"lpad(CAST(epoch_us({ts_col}) AS VARCHAR), 19, '0') || "
          f"lpad(CAST({order_col} AS VARCHAR), 19, '0')")
     v = f"CAST({value_col} AS DECIMAL(12,2))"
@@ -1182,14 +1360,16 @@ def gapfill_sql(table: str = "events", key_col: str = "user_id",
     every width, DuckDB's ``time_bucket`` only for sub-week intervals
     (from a week up it snaps to the ISO Monday 2024-01-01-style
     origin) — so this oracle is valid for buckets < 1 week (parity
-    pinned at '1 day' and '6 hours'); for coarser grains give
-    time_bucket an explicit epoch origin before trusting the twin.
+    pinned at '1 day' and '6 hours'); coarser grains now RAISE via
+    require_sub_week_bucket (ADVICE r10 upgraded the prose caveat to a
+    guard across all time_bucket twins); for such grains give
+    time_bucket an explicit epoch origin before trusting a twin.
 
     The grid join is null-safe on the key (IS NOT DISTINCT FROM) to
     match the Spark side's eqNullSafe — the original USING join shared
     the plain-equality wart (ADVICE r9), the shared-wart class parity
     cannot catch."""
-    validate_bucket(bucket)
+    require_sub_week_bucket(bucket, "gapfill_sql")
     return f"""
 WITH actual AS (
   SELECT {key_col},

@@ -892,14 +892,17 @@ def _state_durations_transform(df: DataFrame, p: dict) -> DataFrame:
     state holds from the bucket start to the first sample).
     Parameters: keyColumn ('user_id'), tsColumn ('ts'),
     stateColumn ('event_type'), orderColumn ('event_id'),
-    bucket ('1 day'), carryIn (false)."""
+    bucket ('1 day'), carryIn (false), hotSplit (interval string;
+    with carryIn, parallelizes a dominant series' cross-bucket carry
+    per time slice — identical results)."""
     from etl_load_spark.operators.timeseries import state_durations
     return state_durations(df, key_col=p.get("keyColumn", "user_id"),
                            ts_col=p.get("tsColumn", "ts"),
                            state_col=p.get("stateColumn", "event_type"),
                            order_col=p.get("orderColumn", "event_id"),
                            bucket=p.get("bucket", "1 day"),
-                           carry_in=bool(p.get("carryIn", False)))
+                           carry_in=bool(p.get("carryIn", False)),
+                           hot_split=p.get("hotSplit"))
 
 
 def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:
@@ -913,14 +916,17 @@ def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:
     interpolated_uptime contract (q181 — the previous beat's tolerance
     window extends across the bucket boundary). Parameters:
     keyColumn ('user_id'), tsColumn ('ts'), orderColumn ('event_id'),
-    bucket ('1 day'), tolerance ('15 minutes'), carryIn (false)."""
+    bucket ('1 day'), tolerance ('15 minutes'), carryIn (false),
+    hotSplit (interval string; with carryIn, parallelizes a dominant
+    series' cross-bucket carry per time slice — identical results)."""
     from etl_load_spark.operators.timeseries import heartbeat_uptime
     return heartbeat_uptime(df, key_col=p.get("keyColumn", "user_id"),
                             ts_col=p.get("tsColumn", "ts"),
                             order_col=p.get("orderColumn", "event_id"),
                             bucket=p.get("bucket", "1 day"),
                             tolerance=p.get("tolerance", "15 minutes"),
-                            carry_in=bool(p.get("carryIn", False)))
+                            carry_in=bool(p.get("carryIn", False)),
+                            hot_split=p.get("hotSplit"))
 
 
 def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:
@@ -932,15 +938,19 @@ def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:
     (key, ts, order, value). The selection is sequential per series —
     a grouped Arrow kernel (the one Pandas-backed stage in the
     hypertable family; the task memory bound is one series' points,
-    pre-slice upstream for unbounded series). Parameters:
+    pre-slice upstream for unbounded series — maxPointsPerSeries
+    turns that contract into a loud in-kernel guard). Parameters:
     keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
-    orderColumn ('event_id'), resolution (12)."""
+    orderColumn ('event_id'), resolution (12),
+    maxPointsPerSeries (int, optional)."""
     from etl_load_spark.operators.timeseries import lttb
+    mps = p.get("maxPointsPerSeries")
     return lttb(df, key_col=p.get("keyColumn", "user_id"),
                 ts_col=p.get("tsColumn", "ts"),
                 value_col=p.get("valueColumn", "value"),
                 order_col=p.get("orderColumn", "event_id"),
-                resolution=int(p.get("resolution", 12)))
+                resolution=int(p.get("resolution", 12)),
+                max_points_per_series=None if mps is None else int(mps))
 
 
 def _hard_negatives_transform(df: DataFrame, spark: SparkSession,

@@ -397,6 +397,54 @@ def test_bucket_string_is_validated_not_interpolated(spark):
     assert validate_bucket("1 Second") == 10**6
 
 
+def test_bucket_validator_rejects_non_ascii_digits_and_overflow():
+    """ADVICE r10: isdigit() admitted fullwidth digits ('１ day') that
+    then died INSIDE F.expr's interval parser — the raw-parse failure
+    mode the validator promises to preclude — and superscript digits
+    that crash int() itself; and with no upper bound an astronomically
+    wide bucket validated, then overflowed Spark's int64-microsecond
+    day-time interval downstream. All three now fail as spec
+    ValueErrors."""
+    from etl_load_spark.operators.timeseries import validate_bucket
+    for bad in ["１ day",        # fullwidth ONE: isdigit() True
+                "¹ day",        # superscript one: int() crashes
+                "٠ day"]:       # Arabic-Indic zero: isdecimal True
+        with pytest.raises(ValueError, match="bucket"):
+            validate_bucket(bad)
+    # the cap is exact: the widest representable day-time interval
+    # passes, one day past it fails as a spec error
+    assert validate_bucket("106751991 days") == 106751991 * 86400 * 10**6
+    with pytest.raises(ValueError, match="day-time interval"):
+        validate_bucket("106751992 days")
+    with pytest.raises(ValueError, match="day-time interval"):
+        validate_bucket("9999999999999999999999 hours")
+
+
+def test_sql_twins_raise_on_week_and_coarser_buckets():
+    """ADVICE r10: DuckDB time_bucket snaps week-and-coarser buckets to
+    a Monday origin while Spark window() aligns to the epoch — a twin
+    built on time_bucket at such a grain compares SHIFTED buckets and
+    reports spurious (or vacuous) parity. Every time_bucket twin now
+    raises instead of inheriting gapfill_sql's prose-only caveat."""
+    from etl_load_spark.operators.timeseries import (
+        counter_rate_sql, gapfill_sql, heartbeat_uptime_sql, ohlc_sql,
+        state_durations_sql, time_weighted_avg_sql,
+    )
+    twins = (counter_rate_sql, gapfill_sql, heartbeat_uptime_sql,
+             ohlc_sql, state_durations_sql, time_weighted_avg_sql)
+    for twin in twins:
+        for bad in ("1 week", "7 days", "2 weeks", "1 week 1 hour"):
+            with pytest.raises(ValueError, match="Monday"):
+                twin("events", bucket=bad)
+        # sub-week grains still build
+        assert "time_bucket" in twin("events", bucket="6 hours")
+    # the carry variants ride the same guard
+    for twin in (time_weighted_avg_sql, state_durations_sql,
+                 heartbeat_uptime_sql):
+        with pytest.raises(ValueError, match="Monday"):
+            twin("events", bucket="1 week", carry_in=True)
+
+
 def test_sql_twins_derive_denominator_from_bucket(spark):
     """ADVICE r9 (low): the SQL twins' bucket_seconds now derives from
     the bucket string exactly like the Spark side — a '6 hours' twin
@@ -577,6 +625,18 @@ def test_ohlc_key_domain_raises_not_misorders(spark):
     ])
     with _pytest.raises(Exception, match="non-negative"):
         ohlc(pre_epoch).collect()
+    # ADVICE r10: a NULL order id must raise too — (ep<0)|(oc<0) is NULL
+    # for a NULL id, so the row previously fell to the otherwise branch
+    # where format_string rendered the literal text 'null' (sorts after
+    # every digit, can silently WIN open/close) while the DuckDB twin's
+    # lpad(NULL) key is NULL and arg_min/arg_max SKIP the row — a
+    # silent cross-engine divergence, now a loud failure.
+    null_id = spark.createDataFrame([
+        Row(event_id=2, event_type="x", ts=d(1, 2), value=20.0),
+        Row(event_id=None, event_type="x", ts=d(1, 3), value=99.0),
+    ])
+    with _pytest.raises(Exception, match="NON-NULL"):
+        ohlc(null_id).collect()
 
 
 def test_ohlc_wide_order_id_stays_portable(spark):
@@ -861,6 +921,141 @@ def test_state_durations_carry_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_state_durations_carry_hot_split_equivalence(spark):
+    """VERDICT r10 #3: the carry lag is the q173 per-key serialization
+    class — the parallel-prefix stitch (hot_split) must be
+    result-IDENTICAL to the plain per-key lag. Boundary cases: a
+    bucket's first sample whose predecessor sits in the SAME slice, in
+    the PREVIOUS slice, and across EMPTY slices; a transition exactly
+    at a slice edge; a first sample matching the carried state (no
+    entry); a sample exactly at bucket start (zero-width carry span);
+    plus a derandomized random sweep over two slice widths."""
+    import pytest as _pytest
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import state_durations
+
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 12), event_type="a"),
+        Row(event_id=2, user_id=1, ts=d(2, 0), event_type="a"),   # @start
+        Row(event_id=3, user_id=1, ts=d(2, 6), event_type="b"),   # edge
+        Row(event_id=4, user_id=1, ts=d(2, 6), event_type="c"),   # tie
+        Row(event_id=5, user_id=1, ts=d(4, 18), event_type="c"),  # empty d3
+        Row(event_id=6, user_id=2, ts=d(1, 1), event_type="x"),
+    ])
+    plain = sorted(map(tuple, state_durations(
+        events, carry_in=True).collect()))
+    for width in ("6 hours", "1 day", "2 days"):
+        split = sorted(map(tuple, state_durations(
+            events, carry_in=True, hot_split=width).collect()))
+        assert split == plain, width
+    with _pytest.raises(ValueError, match="carry_in"):
+        state_durations(events, hot_split="1 day")
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 4 * 86400 - 1),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=25)
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    event_type=stt)
+                for i, (u, off, stt) in enumerate(rows)]
+        df = spark.createDataFrame(data)
+        plain = sorted(map(tuple, state_durations(
+            df, carry_in=True).collect()))
+        for width in ("1 day", "3 hours"):
+            split = sorted(map(tuple, state_durations(
+                df, carry_in=True, hot_split=width).collect()))
+            assert split == plain, width
+
+    check()
+
+
+def test_heartbeat_carry_hot_split_equivalence(spark):
+    """VERDICT r10 #3, liveness curve: hot_split on the heartbeat
+    carry lag must be result-identical to the plain per-key lag.
+    Boundary cases: the previous beat in the same slice / previous
+    slice / across empty slices; a beat whose tolerance window is
+    exhausted before the bucket starts (greatest(0,...) clamp);
+    same-millisecond duplicate beats at a slice edge; plus a
+    derandomized random sweep over two slice widths."""
+    import pytest as _pytest
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 23)),
+        Row(event_id=2, user_id=1, ts=d(2, 0)),    # carry reaches 2
+        Row(event_id=3, user_id=1, ts=d(2, 6)),    # slice edge
+        Row(event_id=4, user_id=1, ts=d(2, 6)),    # same-ms duplicate
+        Row(event_id=5, user_id=1, ts=d(5, 1)),    # empty days 3-4:
+        Row(event_id=6, user_id=2, ts=d(1, 2)),    #  clamp to 0
+    ])
+    plain = sorted(map(tuple, heartbeat_uptime(
+        events, carry_in=True, tolerance="2 hours").collect()))
+    for width in ("6 hours", "1 day", "2 days"):
+        split = sorted(map(tuple, heartbeat_uptime(
+            events, carry_in=True, tolerance="2 hours",
+            hot_split=width).collect()))
+        assert split == plain, width
+    with _pytest.raises(ValueError, match="carry_in"):
+        heartbeat_uptime(events, hot_split="1 day")
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 4 * 86400 - 1)),
+        min_size=1, max_size=25)
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off))
+                for i, (u, off) in enumerate(rows)]
+        df = spark.createDataFrame(data)
+        plain = sorted(map(tuple, heartbeat_uptime(
+            df, carry_in=True, tolerance="3 hours").collect()))
+        for width in ("1 day", "3 hours"):
+            split = sorted(map(tuple, heartbeat_uptime(
+                df, carry_in=True, tolerance="3 hours",
+                hot_split=width).collect()))
+            assert split == plain, width
+
+    check()
+
+
+def test_state_heartbeat_hot_split_plan_shape(spark, sf_dir):
+    """The q180/q181 stitches stay on the plan floor and the
+    bucket-aligned form saves exactly one data exchange over the
+    generic DIV slice (the literal-column clustering rule), matching
+    the counter_rate/TWA pins."""
+    import re
+    from etl_load_spark.operators.timeseries import (
+        heartbeat_uptime, state_durations,
+    )
+    from etl_load_spark.session import read_table
+    e = read_table(spark, sf_dir, "events")
+    counts = {}
+    for label, df in [
+            ("sd-aligned", state_durations(e, carry_in=True,
+                                           hot_split="1 day")),
+            ("sd-generic", state_durations(e, carry_in=True,
+                                           hot_split="6 hours")),
+            ("hb-aligned", heartbeat_uptime(e, carry_in=True,
+                                            hot_split="1 day")),
+            ("hb-generic", heartbeat_uptime(e, carry_in=True,
+                                            hot_split="6 hours"))]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, label
+        assert "BroadcastNestedLoopJoin" not in plan, label
+        assert "BatchEvalPython" not in plan, label
+        counts[label] = len(re.findall(r"Exchange (hash|range)", plan))
+    assert counts["sd-aligned"] == counts["sd-generic"] - 1, counts
+    assert counts["hb-aligned"] == counts["hb-generic"] - 1, counts
+
+
 def test_state_durations_matches_reference_property(spark):
     """Derandomized property (the shared-wart rule: the DuckDB twin
     mirrors the formula, so parity alone can't catch a wart both
@@ -1122,6 +1317,35 @@ def test_lttb_resolution_validation(spark):
         lttb_sql("events", resolution=2)
     with _pytest.raises(ValueError, match="DISTINCT"):
         lttb(events, order_col="user_id")
+
+
+def test_lttb_oversized_series_fails_loud_not_oom(spark):
+    """VERDICT r10 #4: the 'pre-slice unbounded series upstream'
+    contract was docstring-only — a series too big for one task died
+    as a generic executor OOM. With max_points_per_series set, an
+    oversized series now fails with lttb's OWN error naming the
+    pre-slice fix, before any selection work; series within the cap
+    are unaffected (identical output with and without the guard),
+    and a cap below the resolution is rejected up front."""
+    import pytest as _pytest
+    from etl_load_spark.operators.timeseries import lttb
+    rows = [Row(event_id=i, user_id=1,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                value=float(i % 7))
+            for i in range(40)]
+    rows += [Row(event_id=100 + i, user_id=2,
+                 ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                 value=1.0) for i in range(5)]
+    events = spark.createDataFrame(rows)
+    with _pytest.raises(Exception, match="pre-slice") as ei:
+        lttb(events, resolution=4, max_points_per_series=30).collect()
+    assert "max_points_per_series=30" in str(ei.value)
+    guarded = sorted(map(tuple, lttb(
+        events, resolution=4, max_points_per_series=40).collect()))
+    plain = sorted(map(tuple, lttb(events, resolution=4).collect()))
+    assert guarded == plain
+    with _pytest.raises(ValueError, match="below"):
+        lttb(events, resolution=12, max_points_per_series=11)
 
 
 def test_lttb_oracle_parity_independent_implementations(spark):
