@@ -6803,23 +6803,29 @@ _register_heartbeat_interpolated_oracle()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
-# Round-10 rotation (VERDICT r9 "Next round" #1): the same 10 family
-# anchors, FIRST rows for q174_ohlc and q175_time_weighted_avg
-# (registered post-window-freeze in round 9 — a brand-new query
-# outranks any re-green, the q171/q172/q173 precedent), and re-greens
-# for 38 of the 40 queries whose latest green driver row is from
-# round 6 (computed from the CORRECTNESS_r0*.json latest-green per
-# query — never a hardcoded list). 10 + 2 + 38 = 50. The 2 deferred
-# r6 rows are q17_string_funcs and q19_math_case — the scalar-breadth
-# family members whose direct siblings q124_string_breadth and
-# q125_math_breadth re-greened in r9 (the strongest family-freshness
-# rationale in the r6 set); they join the round-11 rotation behind
-# first rows for q176-q181 (registered post-window-freeze this round;
-# a new query outranks any re-green): r11 = 10 anchors + q176-q181 +
-# q17 + q19 + 32 of the r7-latest re-greens = exactly 50. After this
-# round every other declared query's green row is ≤ round 7.
-# Everything outside the window keeps the identical-methodology local
-# pytest oracle gate (tests/test_entry.py).
+# Round-11 rotation (VERDICT r10 "Next round" #1): the same 10 family
+# anchors; FIRST rows for q176-q181 (registered post-window-freeze in
+# round 10 — a brand-new query outranks any re-green, the
+# q171/q172-q175 precedent); the two round-6 stragglers
+# q17_string_funcs + q19_math_case deferred from r10 by its written
+# rule; and re-greens for 32 of the 40 queries whose latest green
+# driver row is from round 7 (computed from the CORRECTNESS_r0*.json
+# latest-green per query — never a hardcoded list).
+# 10 + 6 + 2 + 32 = 50. The 8 deferred r7 rows (-> r12) are the ones
+# with the strongest family-freshness rationale, same principle that
+# picked q17/q19 last round:
+#   - q102/q104/q105/q106/q109/q110 — pure join+agg TPC-H relational
+#     compositions whose family has q01/q05 in every window plus
+#     q58/q101/q111 green at r10;
+#   - q72_gapfill_locf — the gapfill/LOCF code path is exercised by
+#     q172_gapfill (r9) and by q176_twa_interpolated's FIRST row in
+#     this very window;
+#   - q92_scd2_merge — the SCD2 apply path is exercised by
+#     q123_cdc_apply (r10) and q159 (r9).
+# After this round every declared query is driver-certified and no
+# green row is older than round 7. Everything outside the window
+# keeps the identical-methodology local pytest oracle gate
+# (tests/test_entry.py).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate
@@ -6832,23 +6838,25 @@ DRIVER_WINDOW: list[str] = [
     "q27_dedup_minhash",        # LSH dedup
     "q30_sim_topk",             # similarity exact baseline
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
-    # --- first rows for the round-9 post-freeze queries ---
-    "q174_ohlc", "q175_time_weighted_avg",
-    # --- re-greens: 38 of the 40 r6-latest queries (q17/q19 -> r11) ---
-    "q02_filter_predicates", "q03_top_revenue", "q07_join_anti",
-    "q08_join_range_equi", "q14_union_distinct", "q18_date_funcs",
-    "q28_dedup_simhash", "q29_ngram_jaccard", "q34_text_langid",
-    "q35_text_fingerprint", "q38_session_windows", "q45_json_roundtrip",
-    "q46_fixed_width", "q49_frame_sample", "q50_salted_join",
-    "q51_asof_join", "q52_map_funcs", "q53_time_bucket",
-    "q54_percentiles", "q56_stream_interval_join", "q57_dedup_clusters",
-    "q58_local_supplier_volume", "q59_token_rarity",
-    "q60_train_test_split", "q95_event_dedup",
-    "q101_sole_returning_supplier", "q111_product_profit",
-    "q112_dedup_edit_distance", "q113_grouping_sets", "q114_tfidf_topk",
-    "q123_cdc_apply", "q126_rolling_hour", "q165_containment_pairs",
-    "q166_trending_windows", "q167_last_touch_attribution",
-    "q168_basket_lift", "q169_priority_sample", "q170_quota_sample",
+    # --- first rows for the round-10 post-freeze queries (6) ---
+    "q176_twa_interpolated", "q177_state_durations",
+    "q178_heartbeat_uptime", "q179_lttb_downsample",
+    "q180_state_interpolated", "q181_heartbeat_interpolated",
+    # --- the two r6 stragglers deferred from round 10 ---
+    "q17_string_funcs", "q19_math_case",
+    # --- re-greens: 32 of the 40 r7-latest queries (8 -> r12) ---
+    "q10_window_rank", "q21_approx_distinct", "q32_embedding_near_dup",
+    "q33_text_stats", "q37_multimodal_features", "q39_sliding_windows",
+    "q41_pivot", "q63_window_ntile", "q66_vocab_topk",
+    "q67_approx_percentile", "q71_sketch_rollup", "q73_funnel",
+    "q74_retention", "q85_pseudonymize", "q86_bigram_topk",
+    "q87_contamination", "q88_feature_moments", "q89_sequence_pack",
+    "q90_curation_funnel", "q94_unpivot", "q99_repetition",
+    "q128_passage_dedup", "q129_quality_rules", "q130_data_mixture",
+    "q131_sim_lsh_planted", "q134_quality_classifier",
+    "q135_xml_roundtrip", "q136_sim_ivf_planted", "q137_sim_pq_planted",
+    "q138_pii_redaction", "q139_bloom_decontaminate",
+    "q171_window_minhash",
 ]
 
 
