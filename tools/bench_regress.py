@@ -102,9 +102,25 @@ def verify(names_arg: str) -> int:
     for name in targets:
         cold = run_once(name)
         steadies = [run_once(name) for _ in range(3)]
-        med = statistics.median(steadies)
         base = pin["steady"][name]
-        still = med > base * thr and med > base + floor
+
+        def gate(m):
+            return m > base * thr and m > base + floor
+
+        med = statistics.median(steadies)
+        if gate(med):
+            # Warmup-tail guard (round 11): a pin is a FULLY-WARMED
+            # bench-steady figure (~340 executions deep in one JVM),
+            # but 3 isolated steadies can still sit on the JIT/codegen
+            # warmup tail for heavy plans (q131: cold 13 s, steadies
+            # 4.1/3.4/4.2 — yet an 8-run session converges to 2.2 s,
+            # UNDER the gate; two such 3-run 'confirmations' were
+            # disproved at depth). Before confirming, extend to 7
+            # steadies and judge the median of the LAST 3 — converged
+            # territory. A real regression stays above the gate there.
+            steadies += [run_once(name) for _ in range(4)]
+            med = statistics.median(steadies[-3:])
+        still = gate(med)
         print(f"{name}: pinned {base:.2f}s | isolated cold {cold:.2f}s "
               f"steady {' '.join(f'{s:.2f}' for s in steadies)} "
               f"(median {med:.2f}s) -> "
