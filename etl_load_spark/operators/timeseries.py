@@ -832,7 +832,8 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
                      bucket: str = "1 day",
                      tolerance: str = "15 minutes",
                      carry_in: bool = False,
-                     hot_split: str | None = None) -> DataFrame:
+                     hot_split: str | None = None,
+                     emit_downtime: bool = False) -> DataFrame:
     """Liveness rollup — Timescale ``heartbeat_agg`` / ``uptime``: each
     heartbeat keeps the series LIVE for ``tolerance``; a next beat
     inside the window extends it, a longer silence is an OUTAGE. Per
@@ -859,7 +860,11 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
       ACCOUNTING is unchanged — n_gaps stays the count of in-bucket
       silences, a boundary-crossing outage is not attributed to
       either bucket (documented divergence knob; Timescale's
-      ``interpolated_downtime`` is the complement).
+      ``interpolated_downtime`` is the complement — shipped as
+      ``emit_downtime``, which appends
+      ``downtime_ms = bucket_width − uptime_ms`` to the rollup, q182:
+      measure-complement exact, so a boundary-crossing outage IS
+      downtime even though it is not an in-bucket gap).
 
     Same-millisecond duplicate beats contribute 0 ms and no gap.
     NULL-ts beats are excluded.
@@ -947,12 +952,22 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
         ).otherwise(F.lit(0))
     gap = F.when(nx.isNotNull() & (nx - F.col("_tm") > tol_ms), 1) \
         .otherwise(0)
+    aggs = [F.count(F.lit(1)).alias("n_beats"),
+            F.sum("_lv").alias("uptime_ms"),
+            F.sum("_gp").alias("n_gaps")]
+    if emit_downtime:
+        # Timescale downtime / interpolated_downtime: the bucket-width
+        # complement of (interpolated_)uptime — derived IN the rollup,
+        # zero extra shuffle; only emitted (>= 1 beat) buckets, the
+        # family convention. This is the documented gap-accounting
+        # divergence knob's complement (see n_gaps above): a
+        # boundary-crossing outage IS downtime here even though it is
+        # not an in-bucket gap.
+        aggs.append((F.lit(width_ms) - F.sum("_lv")).alias("downtime_ms"))
     return (s.select(key_col, "bucket_ts", live.alias("_lv"),
                      gap.alias("_gp"))
             .groupBy(key_col, "bucket_ts")
-            .agg(F.count(F.lit(1)).alias("n_beats"),
-                 F.sum("_lv").alias("uptime_ms"),
-                 F.sum("_gp").alias("n_gaps"))
+            .agg(*aggs)
             .orderBy(key_col, "bucket_ts"))
 
 
@@ -960,13 +975,15 @@ def heartbeat_uptime_sql(table: str = "events", key_col: str = "user_id",
                          ts_col: str = "ts", order_col: str = "event_id",
                          bucket: str = "1 day",
                          tolerance: str = "15 minutes",
-                         carry_in: bool = False) -> str:
+                         carry_in: bool = False,
+                         emit_downtime: bool = False) -> str:
     """DuckDB oracle for :func:`heartbeat_uptime` — same millisecond
     clock (epoch_ms), same in-bucket lead, same least() clipping,
-    same cross-bucket carry term for ``carry_in``, integral SUMs cast
-    back to BIGINT. Week-and-coarser buckets raise
-    (require_sub_week_bucket, ADVICE r10): time_bucket's Monday origin
-    would shift every bucket."""
+    same cross-bucket carry term for ``carry_in``, same width-minus-SUM
+    complement for ``emit_downtime``, integral SUMs cast back to
+    BIGINT. Week-and-coarser buckets raise (require_sub_week_bucket,
+    ADVICE r10): time_bucket's Monday origin would shift every
+    bucket."""
     require_sub_week_bucket(bucket, "heartbeat_uptime_sql")
     width_ms = bucket_width_seconds(bucket) * 1000
     tol_ms = validate_bucket(tolerance) // 1000
@@ -979,6 +996,10 @@ def heartbeat_uptime_sql(table: str = "events", key_col: str = "user_id",
                   THEN greatest(0, least(lag(tm) OVER wk + {tol_ms}, tm)
                                    - epoch_ms(bucket_ts))
                   ELSE 0 END"""
+    downtime = ""
+    if emit_downtime:
+        downtime = (f",\n       CAST({width_ms} - SUM(lv) AS BIGINT) "
+                    "AS downtime_ms")
     return f"""
 WITH s0 AS (
   SELECT {key_col}, {tb} AS bucket_ts, epoch_ms({ts_col}) AS tm,
@@ -999,9 +1020,119 @@ s AS (
 SELECT {key_col}, bucket_ts,
        CAST(COUNT(*) AS BIGINT) AS n_beats,
        CAST(SUM(lv) AS BIGINT) AS uptime_ms,
-       CAST(SUM(gp) AS BIGINT) AS n_gaps
+       CAST(SUM(gp) AS BIGINT) AS n_gaps{downtime}
 FROM s GROUP BY 1, 2
 ORDER BY {key_col}, bucket_ts
+"""
+
+
+def trend(events: DataFrame, key_col: str = "user_id",
+          ts_col: str = "ts", value_col: str = "value",
+          bucket: str = "1 day") -> DataFrame:
+    """Per-(series, bucket) least-squares linear trend — Timescale
+    two-dimensional ``stats_agg`` → ``slope(...)``: the ordinary
+    least-squares slope of value over time within each bucket, in
+    value units per SECOND, carrying exactly 4 decimals. A rising
+    counter's drift, a sensor's warm-up ramp, a latency trend — the
+    bucket-local direction a plain average hides. NULL when the
+    bucket cannot support a fit (a single sample, or every sample on
+    the same millisecond — zero time variance).
+
+    Exactness (the q59/q172 fixed-point discipline — no float sums,
+    no transcendentals, both engines bit-agree): x = millisecond
+    offset from the BUCKET START (slope is translation-invariant, and
+    the small x keeps magnitudes bounded), y = integral cents. With
+    pure integer sums ``num = n·Σxy − Σx·Σy`` (cents·ms) and
+    ``den = n·Σx² − (Σx)²`` (ms², ≥ 0),
+    slope(value/s) = num·10/den, rendered half-up at 4 decimals via
+    sign(num) · (2·|num|·10·10⁴ + den) DIV (2·den) — the sign is
+    split out because the half-up quotient form needs non-negative
+    operands (DuckDB's // floors toward −∞, Spark's DIV truncates:
+    they agree only for non-negatives). Sums ride decimal(38,0) on
+    the Spark side and HUGEINT in the DuckDB twin — both exact; with
+    day-scale buckets and 12,2-decimal values the worst-case
+    n·Σxy stays under 10³⁸ up to ~10⁶ samples per (series, bucket),
+    and past that ANSI decimal overflow fails LOUD, never silently
+    wrong. NULL-ts and NULL-value samples are missed scrapes,
+    excluded up front; a NULL key is a legitimate series (the family
+    groupBy convention).
+
+    100 TB shape: ONE map-side-combinable hash aggregation — five
+    integer sums per (series, bucket), so each map partition ships
+    one 5-tuple per group and the shuffle is trend-sized, never
+    sample-sized; no window, no join (the q174 OHLC shape). Reference
+    behavior: timescale/toolkit stats_agg slope (public semantics)."""
+    validate_bucket(bucket)
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    b = F.window(ts_col, bucket).start.alias("bucket_ts")
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    bstart = F.unix_millis(F.window(ts_col, bucket).start
+                           .cast("timestamp_ltz"))
+    x = (tms - bstart).cast("decimal(19,0)")
+    y = (F.col(value_col).cast("decimal(12,2)") * 100) \
+        .cast("decimal(19,0)")
+    s = e.select(F.col(key_col), b, x.alias("_x"), y.alias("_y"),
+                 (x * y).alias("_xy"), (x * x).alias("_xx"))
+    agg = (s.groupBy(key_col, "bucket_ts")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum("_xy").alias("_sxy"), F.sum("_xx").alias("_sxx")))
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    mag = F.expr("(2 * abs(_num) * 10 * 10000 + _den) DIV (2 * _den)")
+    slope4 = F.when(F.col("_num") < 0, -mag).otherwise(mag)
+    return (agg.select(key_col, "bucket_ts",
+                       F.col("_n").cast("bigint").alias("n_samples"),
+                       num.alias("_num"), den.alias("_den"))
+            .select(key_col, "bucket_ts", "n_samples",
+                    F.when(F.col("_den") > 0,
+                           slope4.cast("double") / 10000.0)
+                    .alias("slope_per_sec"))
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts"))
+
+
+def trend_sql(table: str = "events", key_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "value",
+              bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`trend` — same bucket-origin x, same
+    integral cents y, same five integer sums (HUGEINT — exact like the
+    Spark side's decimal(38,0)), same sign-split half-up quotient
+    (DuckDB // floors, Spark DIV truncates: they agree only on the
+    non-negative magnitudes both sides use). Integral outputs cast
+    back to BIGINT (the HUGEINT pandas lesson). Week-and-coarser
+    buckets raise (require_sub_week_bucket, ADVICE r10)."""
+    require_sub_week_bucket(bucket, "trend_sql")
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts,
+         CAST(epoch_ms({ts_col})
+              - epoch_ms({tb}) AS HUGEINT) AS x,
+         CAST(CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT)
+              AS HUGEINT) AS y
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+a AS (
+  SELECT {key_col}, bucket_ts,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM s GROUP BY 1, 2),
+f AS (
+  SELECT {key_col}, bucket_ts, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM a)
+SELECT {key_col}, bucket_ts, CAST(n AS BIGINT) AS n_samples,
+       CASE WHEN den > 0 THEN
+         CAST(CAST(CASE WHEN num < 0
+              THEN -((2 * (-num) * 10 * 10000 + den) // (2 * den))
+              ELSE ((2 * num * 10 * 10000 + den) // (2 * den)) END
+              AS BIGINT) AS DOUBLE) / 10000.0
+       END AS slope_per_sec
+FROM f
+ORDER BY {key_col} NULLS LAST, bucket_ts
 """
 
 

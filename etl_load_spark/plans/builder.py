@@ -918,7 +918,9 @@ def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:
     keyColumn ('user_id'), tsColumn ('ts'), orderColumn ('event_id'),
     bucket ('1 day'), tolerance ('15 minutes'), carryIn (false),
     hotSplit (interval string; with carryIn, parallelizes a dominant
-    series' cross-bucket carry per time slice — identical results)."""
+    series' cross-bucket carry per time slice — identical results),
+    emitDowntime (false; appends downtime_ms = bucket width − uptime,
+    the Timescale (interpolated_)downtime complement)."""
     from etl_load_spark.operators.timeseries import heartbeat_uptime
     return heartbeat_uptime(df, key_col=p.get("keyColumn", "user_id"),
                             ts_col=p.get("tsColumn", "ts"),
@@ -926,7 +928,26 @@ def _heartbeat_uptime_transform(df: DataFrame, p: dict) -> DataFrame:
                             bucket=p.get("bucket", "1 day"),
                             tolerance=p.get("tolerance", "15 minutes"),
                             carry_in=bool(p.get("carryIn", False)),
-                            hot_split=p.get("hotSplit"))
+                            hot_split=p.get("hotSplit"),
+                            emit_downtime=bool(p.get("emitDowntime",
+                                                     False)))
+
+
+def _trend_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative per-bucket least-squares trend (operators/
+    timeseries.trend — q183): the OLS slope of value over time within
+    each (key, bucket), in value units per second at 4 exact decimals
+    (pure integer sums, sign-split half-up quotient); NULL when the
+    bucket has zero time variance. Row shape CHANGES to (key,
+    bucket_ts, n_samples, slope_per_sec). One map-side-combinable
+    hash aggregate — the shuffle is trend-sized. Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import trend
+    return trend(df, key_col=p.get("keyColumn", "user_id"),
+                 ts_col=p.get("tsColumn", "ts"),
+                 value_col=p.get("valueColumn", "value"),
+                 bucket=p.get("bucket", "1 day"))
 
 
 def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:
@@ -1015,6 +1036,7 @@ _CORPUS_TRANSFORMS = {
     "STATE_DURATIONS": _state_durations_transform,
     "HEARTBEAT_UPTIME": _heartbeat_uptime_transform,
     "LTTB": _lttb_transform,
+    "TREND": _trend_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -1109,4 +1131,9 @@ _BATCH_ONLY_TRANSFORMS = {
              "downsample each landed slice downstream (the per-bucket "
              "rollups — OHLC, TIME_WEIGHTED_AVG — are the incremental "
              "alternatives)"),
+    "TREND": ("the OLS slope finalizes only over a closed bucket's "
+              "complete sample set; run the watermarked incremental "
+              "rollup (streaming.windows.time_bucket_rollup) to land "
+              "per-bucket sums, then fit the slope over each landed "
+              "bucket downstream"),
 }

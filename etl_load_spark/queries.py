@@ -6794,6 +6794,61 @@ def _register_heartbeat_interpolated_oracle() -> None:
 _register_heartbeat_interpolated_oracle()
 
 
+# --- q182: heartbeat downtime complement -----------------------------------------
+
+@query("q182_heartbeat_downtime")  # oracle attached right below
+def q182_heartbeat_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime complement of the carry liveness rollup (Timescale
+    interpolated_downtime = bucket width − interpolated_uptime): the
+    q181 contract plus downtime_ms derived IN the rollup
+    (width − Σ live) — measure-complement exact, zero extra shuffle.
+    This is the r10-documented gap-accounting divergence knob's
+    complement shipped: a boundary-crossing outage IS downtime here
+    even though n_gaps (in-bucket silences only) does not count it.
+    See operators/timeseries.heartbeat_uptime(emit_downtime)."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    return heartbeat_uptime(t(spark, sf_dir, "events"),
+                            tolerance="15 minutes", carry_in=True,
+                            emit_downtime=True)
+
+
+def _register_heartbeat_downtime_oracle() -> None:
+    from etl_load_spark.operators.timeseries import heartbeat_uptime_sql
+    QUERIES["q182_heartbeat_downtime"].oracle = heartbeat_uptime_sql(
+        "events", tolerance="15 minutes", carry_in=True,
+        emit_downtime=True)
+
+
+_register_heartbeat_downtime_oracle()
+
+
+# --- q183: per-bucket least-squares trend ----------------------------------------
+
+@query("q183_trend_slope")  # oracle attached right below
+def q183_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, daily bucket) least-squares linear trend (Timescale
+    2-D stats_agg → slope): the OLS slope of value over time within
+    the bucket, in value units per second at exactly 4 decimals —
+    computed as pure integer sums (x = ms offset from the bucket
+    start, y = cents; decimal(38,0) on the Spark side, HUGEINT in the
+    twin) with the sign-split half-up quotient, so both engines
+    bit-agree; NULL when the bucket has zero time variance (one
+    sample, or all samples on one millisecond). ONE map-side-
+    combinable hash aggregate — five integer sums per group, the
+    shuffle is trend-sized, never sample-sized (the q174 OHLC shape).
+    See operators/timeseries.trend."""
+    from etl_load_spark.operators.timeseries import trend
+    return trend(t(spark, sf_dir, "events"))
+
+
+def _register_trend_oracle() -> None:
+    from etl_load_spark.operators.timeseries import trend_sql
+    QUERIES["q183_trend_slope"].oracle = trend_sql("events")
+
+
+_register_trend_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —
@@ -6825,7 +6880,13 @@ _register_heartbeat_interpolated_oracle()
 # After this round every declared query is driver-certified and no
 # green row is older than round 7. Everything outside the window
 # keeps the identical-methodology local pytest oracle gate
-# (tests/test_entry.py).
+# (tests/test_entry.py). Round-12 rotation: first rows for
+# q182_heartbeat_downtime and q183_trend_slope (registered
+# post-window-freeze this round, oracle-green locally at all three SF
+# tiers, pinned at registration — a new query outranks any re-green,
+# the standing precedent), then the 8 deferred r7 rows above, then
+# the oldest remaining rows computed from the CORRECTNESS_r0*.json
+# files (never a hardcoded list).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate

@@ -1065,6 +1065,8 @@ def _stage_sweep_specs(tmp_path):
                                src=ts_feed, schema=ts_schema),
         "LTTB": js("LTTB", {"resolution": 3},
                    src=ts_feed, schema=ts_schema),
+        "TREND": js("TREND", {"bucket": "1 day"},
+                    src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},

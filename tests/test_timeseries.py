@@ -1056,6 +1056,117 @@ def test_state_heartbeat_hot_split_plan_shape(spark, sf_dir):
     assert counts["hb-aligned"] == counts["hb-generic"] - 1, counts
 
 
+def test_trend_semantics(spark):
+    """Hand fixture pinning the OLS slope contract: a rising 3-sample
+    bucket (hand-computed num/den → 0.0002 value/s half-up), a falling
+    pair (−20 over 4 h = −0.0013889 → −0.0014 half-up), a single
+    sample and a same-millisecond pair (zero time variance → NULL),
+    and a NULL-key series (legitimate group)."""
+    from etl_load_spark.operators.timeseries import trend
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 5), value=20.0),
+        Row(event_id=3, user_id=1, ts=d(1, 9), value=15.5),
+        Row(event_id=4, user_id=1, ts=d(2, 3), value=100.0),
+        Row(event_id=5, user_id=2, ts=d(1, 2), value=5.0),
+        Row(event_id=6, user_id=2, ts=d(1, 2), value=7.0),
+        Row(event_id=7, user_id=3, ts=d(1, 4), value=30.0),
+        Row(event_id=8, user_id=3, ts=d(1, 8), value=10.0),
+        Row(event_id=9, user_id=None, ts=d(1, 1), value=1.0),
+        Row(event_id=10, user_id=None, ts=d(1, 7), value=2.0),
+        Row(event_id=11, user_id=4, ts=None, value=9.0),     # excluded
+        Row(event_id=12, user_id=4, ts=d(1, 3), value=None),  # excluded
+    ])
+    got = {(r.user_id, r.bucket_ts.day): (r.n_samples, r.slope_per_sec)
+           for r in trend(events).collect()}
+    # hand-computed: num = 3·Σxy − Σx·Σy = 2.376e10 cents·ms,
+    # den = 3·Σxx − Σx² = 1.243728e15 ms² → ·10/den = 1.9104e-4 value/s
+    assert got[(1, 1)] == (3, 0.0002)
+    assert got[(1, 2)] == (1, None)          # single sample
+    assert got[(2, 1)] == (2, None)          # same-ms pair, den = 0
+    assert got[(3, 1)] == (2, -0.0014)       # −20 value / 4 h, half-up
+    assert got[(None, 1)] == (2, 0.0)        # 1 value / 6 h → 0.0000
+    assert (4, 1) not in got                 # both samples excluded
+
+
+def test_trend_matches_reference_property(spark):
+    """Derandomized property (the shared-wart rule): random feeds —
+    duplicate timestamps, vertical pairs, negative drifts, NULL keys —
+    match a pure-Python integer replay of the sign-split half-up
+    quotient exactly (Python ints are a third implementation next to
+    Spark decimal(38,0) and DuckDB HUGEINT)."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import trend
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1),                  # user
+                  st.integers(0, 2 * 86400 - 1),      # offset seconds
+                  st.integers(-5000, 5000)),          # cents
+        min_size=1, max_size=30)
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    value=c / 100.0)
+                for i, (u, off, c) in enumerate(rows)]
+        df = spark.createDataFrame(data)
+        got = {(r.user_id, r.bucket_ts.day): (r.n_samples, r.slope_per_sec)
+               for r in trend(df).collect()}
+        by_bucket = {}
+        for r in data:
+            day = dt.datetime(r.ts.year, r.ts.month, r.ts.day)
+            by_bucket.setdefault((r.user_id, day), []).append(r)
+        expect = {}
+        for (u, day), srs in by_bucket.items():
+            b0 = int(day.timestamp() * 1000)
+            xs = [int(r.ts.timestamp() * 1000) - b0 for r in srs]
+            ys = [round(r.value * 100) for r in srs]
+            n = len(srs)
+            num = n * sum(x * y for x, y in zip(xs, ys)) \
+                - sum(xs) * sum(ys)
+            den = n * sum(x * x for x in xs) - sum(xs) ** 2
+            if den > 0:
+                mag = (2 * abs(num) * 10 * 10000 + den) // (2 * den)
+                slope = (mag if num >= 0 else -mag) / 10000.0
+            else:
+                slope = None
+            expect[(u, day.day)] = (n, slope)
+        assert got == expect
+
+    check()
+
+
+def test_heartbeat_downtime_complement(spark):
+    """q182: downtime_ms is the exact bucket-width complement of the
+    carry uptime on every emitted row, and the default (no
+    emit_downtime) schema is UNCHANGED by the new parameter; the
+    boundary-crossing outage that n_gaps does NOT count IS downtime
+    (the documented divergence knob's complement)."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 23)),
+        Row(event_id=2, user_id=1, ts=d(2, 12)),  # boundary outage
+        Row(event_id=3, user_id=2, ts=d(1, 1)),
+    ])
+    rows = heartbeat_uptime(events, carry_in=True, tolerance="2 hours",
+                            emit_downtime=True).collect()
+    day_ms = 86400 * 1000
+    assert all(r.uptime_ms + r.downtime_ms == day_ms for r in rows)
+    got = {(r.user_id, r.bucket_ts.day): r for r in rows}
+    # user 1, day 2: the 23:00→12:00 silence crosses the boundary —
+    # n_gaps stays 0 (not an in-bucket gap) but downtime covers the
+    # dead 01:00→12:00 stretch: uptime = 1 h carried from the day-1
+    # 23:00 beat (clipped at 01:00) + the noon beat's 2 h window
+    r = got[(1, 2)]
+    assert (r.n_gaps, r.uptime_ms) == (0, 3 * 3600 * 1000)
+    assert r.downtime_ms == day_ms - 3 * 3600 * 1000
+    plain = heartbeat_uptime(events, carry_in=True, tolerance="2 hours")
+    assert [f.name for f in plain.schema.fields] == [
+        "user_id", "bucket_ts", "n_beats", "uptime_ms", "n_gaps"]
+
+
 def test_state_durations_matches_reference_property(spark):
     """Derandomized property (the shared-wart rule: the DuckDB twin
     mirrors the formula, so parity alone can't catch a wart both
@@ -1263,6 +1374,31 @@ def test_new_hypertable_plan_shapes(spark, sf_dir):
     plan176 = (QUERIES["q176_twa_interpolated"].fn(spark, sf_dir)
                ._jdf.queryExecution().executedPlan().toString())
     assert " div " in plan176
+
+
+def test_trend_and_downtime_plan_shapes(spark, sf_dir):
+    """q183 100 TB posture: ONE map-side-combinable hash aggregate
+    (partial_count/partial_sum visible below the exchange — the
+    shuffle ships five integer sums per (key, bucket), never samples)
+    plus the output sort; no window, no join, no Python. q182 keeps
+    q181's one-exchange-plus-sort shape — the downtime complement is
+    derived in the same rollup, zero extra exchanges."""
+    import re
+    from etl_load_spark.queries import QUERIES
+    for name in ("q182_heartbeat_downtime", "q183_trend_slope"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange (hash|range)", plan)) == 2, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan183 = (QUERIES["q183_trend_slope"].fn(spark, sf_dir)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_" in plan183     # map-side combine before the shuffle
+    assert "Window" not in plan183
+    # the fixed-point quotient stayed integral (no float division
+    # upstream of the single final cast)
+    assert " div " in plan183.lower() or " DIV " in plan183
 
 
 def test_time_weighted_avg_plan_shape(spark, sf_dir):
