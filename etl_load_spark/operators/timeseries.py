@@ -1026,6 +1026,198 @@ ORDER BY {key_col}, bucket_ts
 """
 
 
+def instant_rate(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 order_col: str = "event_id",
+                 bucket: str = "1 day") -> DataFrame:
+    """Instant rate — Prometheus ``irate()``: per (series, bucket) the
+    rate between the LAST TWO samples, in value units per second at
+    exactly 4 decimals. Where counter_rate (q173) averages every
+    sample-to-sample step across the bucket, irate reacts to the
+    freshest movement only — the standard choice for volatile,
+    fast-moving counters. Prometheus reset semantics on the final
+    step: value dropping means counter reset, the increase is the new
+    value itself. NULL when the bucket has fewer than two samples or
+    the last two share a millisecond (zero time delta). Values must
+    be non-negative (counters are; the fixed-point quotient is the
+    unsigned half-up form — resets make the increase non-negative by
+    construction).
+
+    Exactness: integral cents over integer millisecond deltas, the
+    q59 half-up quotient — rate(value/s) = inc·10/Δms rendered as
+    (2·inc·10·10⁴ + Δms) DIV (2·Δms); both engines bit-agree. NULL-ts
+    and NULL-value samples are missed scrapes, excluded up front; a
+    NULL key is a legitimate series.
+
+    100 TB shape: ONE exchange — the in-bucket lag window partitions
+    by (key, bucket) and the rollup groups by the same keys (the q175
+    subset-clustering reuse); the last-two pick is a
+    map-side-combinable max_by over the windowed rows, so the shuffle
+    after the window is rollup-sized. Reference behavior: Prometheus
+    irate() (public semantics)."""
+    validate_bucket(bucket)
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    b = F.window(ts_col, bucket).start.alias("bucket_ts")
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    s = e.select(F.col(key_col), b, cents.alias("_c"), tms.alias("_tm"),
+                 F.col(order_col).alias("_o"), F.col(ts_col).alias("_ts"))
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
+    last = (s.select(key_col, "bucket_ts", "_ts", "_o", "_c", "_tm",
+                     F.lag("_c").over(w).alias("_pc"),
+                     F.lag("_tm").over(w).alias("_ptm"))
+            .groupBy(key_col, "bucket_ts")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.max_by(F.struct("_c", "_pc", "_tm", "_ptm"),
+                          F.struct("_ts", "_o")).alias("_l")))
+    c, pc = F.col("_l._c"), F.col("_l._pc")
+    dms = F.col("_l._tm") - F.col("_l._ptm")
+    inc = F.when(c >= pc, c - pc).otherwise(c)
+    rate4 = F.expr("(2 * _inc * 10 * 10000 + _dms) DIV (2 * _dms)")
+    return (last.select(key_col, "bucket_ts", "n_samples",
+                        inc.alias("_inc"), dms.alias("_dms"))
+            .select(key_col, "bucket_ts", "n_samples",
+                    F.when(F.col("_dms") > 0,
+                           rate4.cast("double") / 10000.0)
+                    .alias("irate_per_sec"))
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts"))
+
+
+def instant_rate_sql(table: str = "events", key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     order_col: str = "event_id",
+                     bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`instant_rate` — same in-bucket lag over
+    the same (ts, order) ordering, the last row picked by
+    row_number() DESC instead of max_by (an independent mechanism for
+    the same total order), same reset rule, same unsigned half-up
+    quotient. Week-and-coarser buckets raise (require_sub_week_bucket,
+    ADVICE r10)."""
+    require_sub_week_bucket(bucket, "instant_rate_sql")
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts,
+         CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         epoch_ms({ts_col}) AS tm, {ts_col} AS t, {order_col} AS o
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+r AS (
+  SELECT {key_col}, bucket_ts, c, tm,
+         lag(c) OVER wb AS pc, lag(tm) OVER wb AS ptm,
+         CAST(COUNT(*) OVER (PARTITION BY {key_col}, bucket_ts)
+              AS BIGINT) AS n_samples,
+         row_number() OVER (PARTITION BY {key_col}, bucket_ts
+                            ORDER BY t DESC, o DESC) AS rn
+  FROM s
+  WINDOW wb AS (PARTITION BY {key_col}, bucket_ts ORDER BY t, o))
+SELECT {key_col}, bucket_ts, n_samples,
+       CASE WHEN tm - ptm > 0 THEN
+         CAST((2 * (CASE WHEN c >= pc THEN c - pc ELSE c END) * 10
+               * 10000 + (tm - ptm)) // (2 * (tm - ptm)) AS DOUBLE)
+         / 10000.0
+       END AS irate_per_sec
+FROM r WHERE rn = 1
+ORDER BY {key_col} NULLS LAST, bucket_ts
+"""
+
+
+def value_histogram(events: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    bucket: str = "1 day", lo: float = 0.0,
+                    hi: float = 100.0, nbins: int = 10) -> DataFrame:
+    """Per-(series, bucket) value histogram — Timescale ``histogram()``:
+    ``nbins`` equal-width interior bins over [lo, hi) plus an
+    underflow bin 0 (value < lo) and an overflow bin nbins+1
+    (value ≥ hi), one output row per NON-EMPTY (series, bucket, bin)
+    with its sample count (the relational long form — a dense array
+    per row would fight column pruning and the oracle; downstream
+    pivots are one groupBy away).
+
+    Exactness: binning runs on integral cents —
+    ``bin = (v_c − lo_c)·nbins DIV (hi_c − lo_c) + 1`` for in-range
+    values, where truncating integer division on non-negative
+    operands IS floor on both engines; lo/hi quantize to cents via
+    decimal(12,2) exactly like the values, so edges land exactly
+    (a sample AT an interior edge belongs to the higher bin, AT hi to
+    overflow — the standard half-open convention). Counts are exact
+    integers. NULL-ts/NULL-value samples are missed scrapes, excluded;
+    a NULL key is a legitimate series.
+
+    100 TB shape: ONE map-side-combinable hash aggregation on (key,
+    bucket, bin) — the shuffle is histogram-sized (≤ nbins+2 rows per
+    series-bucket per map partition), never sample-sized; no window,
+    no join (the q174 OHLC shape). Reference behavior:
+    timescale/toolkit histogram + Prometheus le-bucket convention
+    (public semantics)."""
+    validate_bucket(bucket)
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1: {nbins}")
+    from decimal import Decimal
+    lo_c = int(Decimal(str(lo)).quantize(Decimal("0.01")) * 100)
+    hi_c = int(Decimal(str(hi)).quantize(Decimal("0.01")) * 100)
+    if hi_c <= lo_c:
+        raise ValueError(
+            f"histogram range is empty: lo={lo} hi={hi} (hi must exceed "
+            "lo by at least one cent)")
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    b = F.window(ts_col, bucket).start.alias("bucket_ts")
+    v = F.col("_c")
+    # (v−lo)·nbins stays far inside int64 (|v| ≤ 10¹² cents), and
+    # truncating DIV == floor here (non-negative operands)
+    bin_ = (F.when(v < lo_c, F.lit(0))
+            .when(v >= hi_c, F.lit(nbins + 1))
+            .otherwise(F.expr(f"((_c - {lo_c}) * {nbins}) "
+                              f"DIV ({hi_c} - {lo_c}) + 1")))
+    return (e.select(F.col(key_col), b, cents.alias("_c"))
+            .select(key_col, "bucket_ts",
+                    bin_.cast("bigint").alias("bin"))
+            .groupBy(key_col, "bucket_ts", "bin")
+            .agg(F.count(F.lit(1)).alias("n_samples"))
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts",
+                     "bin"))
+
+
+def value_histogram_sql(table: str = "events", key_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        bucket: str = "1 day", lo: float = 0.0,
+                        hi: float = 100.0, nbins: int = 10) -> str:
+    """DuckDB oracle for :func:`value_histogram` — same cents
+    quantization, same integer floor binning (// on non-negative
+    operands), same under/overflow bins, integral COUNT cast to
+    BIGINT. Week-and-coarser buckets raise (require_sub_week_bucket,
+    ADVICE r10)."""
+    require_sub_week_bucket(bucket, "value_histogram_sql")
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1: {nbins}")
+    from decimal import Decimal
+    lo_c = int(Decimal(str(lo)).quantize(Decimal("0.01")) * 100)
+    hi_c = int(Decimal(str(hi)).quantize(Decimal("0.01")) * 100)
+    if hi_c <= lo_c:
+        raise ValueError(
+            f"histogram range is empty: lo={lo} hi={hi} (hi must exceed "
+            "lo by at least one cent)")
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts,
+         CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL)
+SELECT {key_col}, bucket_ts,
+       CAST(CASE WHEN c < {lo_c} THEN 0
+                 WHEN c >= {hi_c} THEN {nbins + 1}
+                 ELSE ((c - {lo_c}) * {nbins}) // ({hi_c} - {lo_c}) + 1
+            END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM s GROUP BY 1, 2, 3
+ORDER BY {key_col} NULLS LAST, bucket_ts, bin
+"""
+
+
 def trend(events: DataFrame, key_col: str = "user_id",
           ts_col: str = "ts", value_col: str = "value",
           bucket: str = "1 day") -> DataFrame:

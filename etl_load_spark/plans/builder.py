@@ -950,6 +950,44 @@ def _trend_transform(df: DataFrame, p: dict) -> DataFrame:
                  bucket=p.get("bucket", "1 day"))
 
 
+def _instant_rate_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative instant rate (operators/timeseries.instant_rate —
+    q184, Prometheus irate): per (key, bucket) the rate between the
+    bucket's LAST TWO samples in value/second at 4 exact decimals,
+    Prometheus reset rule on the final step; NULL under two samples or
+    a zero time delta. Row shape CHANGES to (key, bucket_ts,
+    n_samples, irate_per_sec). One exchange — lag window and max_by
+    rollup share (key, bucket). Parameters: keyColumn ('user_id'),
+    tsColumn ('ts'), valueColumn ('value'), orderColumn ('event_id'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import instant_rate
+    return instant_rate(df, key_col=p.get("keyColumn", "user_id"),
+                        ts_col=p.get("tsColumn", "ts"),
+                        value_col=p.get("valueColumn", "value"),
+                        order_col=p.get("orderColumn", "event_id"),
+                        bucket=p.get("bucket", "1 day"))
+
+
+def _value_histogram_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative per-bucket value histogram (operators/timeseries.
+    value_histogram — q185, Timescale histogram()): nbins equal
+    cent-exact bins over [lo, hi) plus underflow bin 0 and overflow
+    bin nbins+1, one row per non-empty (key, bucket, bin) with its
+    count. Row shape CHANGES to (key, bucket_ts, bin, n_samples). One
+    map-side-combinable hash aggregate — the shuffle is
+    histogram-sized. Parameters: keyColumn ('user_id'), tsColumn
+    ('ts'), valueColumn ('value'), bucket ('1 day'), lo (0.0),
+    hi (100.0), nbins (10)."""
+    from etl_load_spark.operators.timeseries import value_histogram
+    return value_histogram(df, key_col=p.get("keyColumn", "user_id"),
+                           ts_col=p.get("tsColumn", "ts"),
+                           value_col=p.get("valueColumn", "value"),
+                           bucket=p.get("bucket", "1 day"),
+                           lo=float(p.get("lo", 0.0)),
+                           hi=float(p.get("hi", 100.0)),
+                           nbins=int(p.get("nbins", 10)))
+
+
 def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:
     """Declarative LTTB visual downsampling (operators/timeseries.lttb
     — q179): per series keep exactly ``resolution`` points (first,
@@ -1037,6 +1075,8 @@ _CORPUS_TRANSFORMS = {
     "HEARTBEAT_UPTIME": _heartbeat_uptime_transform,
     "LTTB": _lttb_transform,
     "TREND": _trend_transform,
+    "INSTANT_RATE": _instant_rate_transform,
+    "VALUE_HISTOGRAM": _value_histogram_transform,
 }
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -1136,4 +1176,15 @@ _BATCH_ONLY_TRANSFORMS = {
               "rollup (streaming.windows.time_bucket_rollup) to land "
               "per-bucket sums, then fit the slope over each landed "
               "bucket downstream"),
+    "INSTANT_RATE": ("the last-two-samples pick finalizes only when "
+                     "the bucket closes; keep the last two samples per "
+                     "series in keyed state (streaming.stateful, "
+                     "applyInPandasWithState) to emit the running "
+                     "irate, or land the stream and roll up each "
+                     "landed batch downstream"),
+    "VALUE_HISTOGRAM": ("per-bin counts ARE incrementable — run the "
+                        "watermarked incremental rollup "
+                        "(streaming.windows.time_bucket_rollup) keyed "
+                        "by (series, bucket, bin) to land bin counts "
+                        "as the stream progresses"),
 }

@@ -6849,6 +6849,59 @@ def _register_trend_oracle() -> None:
 _register_trend_oracle()
 
 
+# --- q184: instant rate (Prometheus irate) ---------------------------------------
+
+@query("q184_instant_rate")  # oracle attached right below
+def q184_instant_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant rate (Prometheus irate): per (user, daily bucket) the
+    rate between the LAST TWO samples in value/second at 4 exact
+    decimals, with the Prometheus reset rule on the final step (value
+    dropping ⇒ the increase is the new value); NULL under two samples
+    or a zero time delta. Where q173 averages the whole bucket, irate
+    reacts to the freshest movement. ONE exchange — the in-bucket lag
+    window and the max_by rollup share (user, bucket) clustering; the
+    oracle picks the last row by row_number() DESC, an independent
+    mechanism for the same total order. See
+    operators/timeseries.instant_rate."""
+    from etl_load_spark.operators.timeseries import instant_rate
+    return instant_rate(t(spark, sf_dir, "events"))
+
+
+def _register_instant_rate_oracle() -> None:
+    from etl_load_spark.operators.timeseries import instant_rate_sql
+    QUERIES["q184_instant_rate"].oracle = instant_rate_sql("events")
+
+
+_register_instant_rate_oracle()
+
+
+# --- q185: per-bucket value histogram --------------------------------------------
+
+@query("q185_value_histogram")  # oracle attached right below
+def q185_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, daily bucket) value histogram (Timescale
+    histogram() / the Prometheus le-bucket convention): 10 equal
+    cent-exact bins over [0, 500) plus underflow bin 0 and overflow
+    bin 11, one row per non-empty (user, bucket, bin) with its count
+    — the relational long form. Binning is integer floor division on
+    cents, so edges land exactly on both engines. ONE
+    map-side-combinable hash aggregate: the shuffle is
+    histogram-sized, never sample-sized. See
+    operators/timeseries.value_histogram."""
+    from etl_load_spark.operators.timeseries import value_histogram
+    return value_histogram(t(spark, sf_dir, "events"),
+                           lo=0.0, hi=500.0, nbins=10)
+
+
+def _register_value_histogram_oracle() -> None:
+    from etl_load_spark.operators.timeseries import value_histogram_sql
+    QUERIES["q185_value_histogram"].oracle = value_histogram_sql(
+        "events", lo=0.0, hi=500.0, nbins=10)
+
+
+_register_value_histogram_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -1067,6 +1067,11 @@ def _stage_sweep_specs(tmp_path):
                    src=ts_feed, schema=ts_schema),
         "TREND": js("TREND", {"bucket": "1 day"},
                     src=ts_feed, schema=ts_schema),
+        "INSTANT_RATE": js("INSTANT_RATE", {"orderColumn": "user_id"},
+                           src=ts_feed, schema=ts_schema),
+        "VALUE_HISTOGRAM": js("VALUE_HISTOGRAM",
+                              {"lo": 0.0, "hi": 50.0, "nbins": 5},
+                              src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},

@@ -373,8 +373,9 @@ def test_bucket_string_is_validated_not_interpolated(spark):
     an expression injection."""
     import pytest as _pytest
     from etl_load_spark.operators.timeseries import (
-        bucket_width_seconds, counter_rate, gapfill, gapfill_sql, ohlc,
-        time_weighted_avg, validate_bucket,
+        bucket_width_seconds, counter_rate, gapfill, gapfill_sql,
+        instant_rate, ohlc, time_weighted_avg, trend, validate_bucket,
+        value_histogram,
     )
     events = spark.createDataFrame(
         [], "event_id bigint, event_type string, user_id bigint,"
@@ -384,7 +385,8 @@ def test_bucket_string_is_validated_not_interpolated(spark):
                 "-1 day", "1.5 hours", "0 seconds"]:
         with _pytest.raises(ValueError, match="bucket"):
             validate_bucket(bad)
-        for op in (gapfill, counter_rate, time_weighted_avg, ohlc):
+        for op in (gapfill, counter_rate, time_weighted_avg, ohlc,
+                   trend, instant_rate, value_histogram):
             with _pytest.raises(ValueError, match="bucket"):
                 op(events, bucket=bad)
         with _pytest.raises(ValueError, match="bucket"):
@@ -1138,6 +1140,114 @@ def test_trend_matches_reference_property(spark):
     check()
 
 
+def test_instant_rate_semantics(spark):
+    """Hand fixture pinning the irate contract: only the LAST TWO
+    samples matter (earlier movement ignored), the Prometheus reset
+    rule on the final step (drop ⇒ increase = new value), NULL under
+    two samples and on a zero final time delta, NULL-key series
+    legitimate."""
+    from etl_load_spark.operators.timeseries import instant_rate
+    events = spark.createDataFrame([
+        # user 1: noisy early movement, final step +9 over 1 h
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=90.0),
+        Row(event_id=3, user_id=1, ts=d(1, 5), value=21.0),
+        Row(event_id=4, user_id=1, ts=d(1, 6), value=30.0),
+        # user 2: reset on the final step (30 -> 4)
+        Row(event_id=5, user_id=2, ts=d(1, 3), value=30.0),
+        Row(event_id=6, user_id=2, ts=d(1, 4), value=4.0),
+        # user 3: single sample
+        Row(event_id=7, user_id=3, ts=d(1, 2), value=7.0),
+        # user 4: last two share a millisecond
+        Row(event_id=8, user_id=4, ts=d(1, 1), value=1.0),
+        Row(event_id=9, user_id=4, ts=d(1, 2), value=2.0),
+        Row(event_id=10, user_id=4, ts=d(1, 2), value=3.0),
+        Row(event_id=11, user_id=None, ts=d(1, 1), value=0.0),
+        Row(event_id=12, user_id=None, ts=d(1, 3), value=72.0),
+    ])
+    got = {(r.user_id, r.bucket_ts.day): (r.n_samples, r.irate_per_sec)
+           for r in instant_rate(events).collect()}
+    assert got[(1, 1)] == (4, 0.0025)        # 9 / 3600 s
+    assert got[(2, 1)] == (2, 0.0011)        # reset: 4 / 3600 s, half-up
+    assert got[(3, 1)] == (1, None)
+    assert got[(4, 1)] == (3, None)          # zero final delta
+    assert got[(None, 1)] == (2, 0.01)       # 72 / 7200 s
+
+
+def test_instant_rate_matches_reference_property(spark):
+    """Derandomized property: random feeds (duplicate timestamps,
+    resets, two users) match a pure-Python integer replay of the
+    last-two pick + unsigned half-up quotient exactly."""
+    from hypothesis import given, settings, strategies as st
+    from etl_load_spark.operators.timeseries import instant_rate
+
+    samples = st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 2 * 86400 - 1),
+                  st.integers(0, 5000)),
+        min_size=1, max_size=30)
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(samples)
+    def check(rows):
+        data = [Row(event_id=i, user_id=u,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+                    value=c / 100.0)
+                for i, (u, off, c) in enumerate(rows)]
+        df = spark.createDataFrame(data)
+        got = {(r.user_id, r.bucket_ts.day):
+               (r.n_samples, r.irate_per_sec)
+               for r in instant_rate(df).collect()}
+        by_bucket = {}
+        for r in sorted(data, key=lambda x: (x.user_id, x.ts,
+                                             x.event_id)):
+            day = dt.datetime(r.ts.year, r.ts.month, r.ts.day)
+            by_bucket.setdefault((r.user_id, day), []).append(r)
+        expect = {}
+        for (u, day), srs in by_bucket.items():
+            n = len(srs)
+            rate = None
+            if n >= 2:
+                c = round(srs[-1].value * 100)
+                pc = round(srs[-2].value * 100)
+                dms = int(srs[-1].ts.timestamp() * 1000) \
+                    - int(srs[-2].ts.timestamp() * 1000)
+                if dms > 0:
+                    inc = c - pc if c >= pc else c
+                    rate = ((2 * inc * 10 * 10000 + dms)
+                            // (2 * dms)) / 10000.0
+            expect[(u, day.day)] = (n, rate)
+        assert got == expect
+
+    check()
+
+
+def test_value_histogram_semantics(spark):
+    """Hand fixture pinning the binning contract: cent-exact edges
+    (a sample AT an interior edge goes to the higher bin, AT hi to
+    overflow), underflow/overflow bins, only non-empty bins emitted,
+    NULL-key series legitimate, parameter validation."""
+    import pytest as _pytest
+    from etl_load_spark.operators.timeseries import value_histogram
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=-0.01),  # underflow
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=0.0),    # bin 1
+        Row(event_id=3, user_id=1, ts=d(1, 3), value=9.99),   # bin 1
+        Row(event_id=4, user_id=1, ts=d(1, 4), value=10.0),   # edge: bin 2
+        Row(event_id=5, user_id=1, ts=d(1, 5), value=99.99),  # bin 10
+        Row(event_id=6, user_id=1, ts=d(1, 6), value=100.0),  # overflow
+        Row(event_id=7, user_id=None, ts=d(1, 1), value=55.0),  # bin 6
+    ])
+    got = {(r.user_id, r.bucket_ts.day, r.bin): r.n_samples
+           for r in value_histogram(events, lo=0.0, hi=100.0,
+                                    nbins=10).collect()}
+    assert got == {(1, 1, 0): 1, (1, 1, 1): 2, (1, 1, 2): 1,
+                   (1, 1, 10): 1, (1, 1, 11): 1, (None, 1, 6): 1}
+    with _pytest.raises(ValueError, match="nbins"):
+        value_histogram(events, nbins=0)
+    with _pytest.raises(ValueError, match="range is empty"):
+        value_histogram(events, lo=5.0, hi=5.0)
+
+
 def test_heartbeat_downtime_complement(spark):
     """q182: downtime_ms is the exact bucket-width complement of the
     carry uptime on every emitted row, and the default (no
@@ -1399,6 +1509,27 @@ def test_trend_and_downtime_plan_shapes(spark, sf_dir):
     # the fixed-point quotient stayed integral (no float division
     # upstream of the single final cast)
     assert " div " in plan183.lower() or " DIV " in plan183
+
+
+def test_instant_rate_and_histogram_plan_shapes(spark, sf_dir):
+    """q184 keeps the q175 one-exchange shape (in-bucket lag window and
+    max_by rollup share (key, bucket) clustering) plus the output
+    sort; q185 is the q174/q183 shape — ONE map-side-combinable hash
+    aggregate (no window at all), histogram-sized shuffle. No joins,
+    no Python."""
+    import re
+    from etl_load_spark.queries import QUERIES
+    for name in ("q184_instant_rate", "q185_value_histogram"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange (hash|range)", plan)) == 2, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan185 = (QUERIES["q185_value_histogram"].fn(spark, sf_dir)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan185
+    assert "partial_count" in plan185    # map-side combine
 
 
 def test_time_weighted_avg_plan_shape(spark, sf_dir):
