@@ -1151,6 +1151,23 @@ def value_histogram(events: DataFrame, key_col: str = "user_id",
     no join (the q174 OHLC shape). Reference behavior:
     timescale/toolkit histogram + Prometheus le-bucket convention
     (public semantics)."""
+    return value_histogram_rollup(events, key_col, ts_col, value_col,
+                                  bucket, lo, hi, nbins) \
+        .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts", "bin")
+
+
+def value_histogram_rollup(events: DataFrame, key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           value_col: str = "value",
+                           bucket: str = "1 day", lo: float = 0.0,
+                           hi: float = 100.0,
+                           nbins: int = 10) -> DataFrame:
+    """The :func:`value_histogram` aggregation WITHOUT the output sort
+    — one COUNT per watermark-evictable (key, window, bin) group, so
+    this form runs UNCHANGED as a Structured Streaming incremental
+    rollup (streaming.windows.streaming_value_histogram; equivalence
+    pinned in tests/test_streaming.py). Batch callers want
+    :func:`value_histogram`."""
     validate_bucket(bucket)
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1: {nbins}")
@@ -1176,9 +1193,7 @@ def value_histogram(events: DataFrame, key_col: str = "user_id",
             .select(key_col, "bucket_ts",
                     bin_.cast("bigint").alias("bin"))
             .groupBy(key_col, "bucket_ts", "bin")
-            .agg(F.count(F.lit(1)).alias("n_samples"))
-            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts",
-                     "bin"))
+            .agg(F.count(F.lit(1)).alias("n_samples")))
 
 
 def value_histogram_sql(table: str = "events", key_col: str = "user_id",
@@ -1254,6 +1269,19 @@ def trend(events: DataFrame, key_col: str = "user_id",
     one 5-tuple per group and the shuffle is trend-sized, never
     sample-sized; no window, no join (the q174 OHLC shape). Reference
     behavior: timescale/toolkit stats_agg slope (public semantics)."""
+    return trend_rollup(events, key_col, ts_col, value_col, bucket) \
+        .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts")
+
+
+def trend_rollup(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 bucket: str = "1 day") -> DataFrame:
+    """The :func:`trend` aggregation WITHOUT the output sort — five
+    declarative integer sums over one watermark-evictable window
+    group, so this form runs UNCHANGED as a Structured Streaming
+    incremental rollup (streaming.windows.streaming_trend; equivalence
+    pinned in tests/test_streaming.py). Batch callers want
+    :func:`trend`."""
     validate_bucket(bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
@@ -1280,8 +1308,7 @@ def trend(events: DataFrame, key_col: str = "user_id",
             .select(key_col, "bucket_ts", "n_samples",
                     F.when(F.col("_den") > 0,
                            slope4.cast("double") / 10000.0)
-                    .alias("slope_per_sec"))
-            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts"))
+                    .alias("slope_per_sec")))
 
 
 def trend_sql(table: str = "events", key_col: str = "user_id",
@@ -1617,6 +1644,22 @@ def ohlc(events: DataFrame, type_col: str = "event_type",
     (series, bucket) and the shuffle is candle-sized, never
     sample-sized; no window, no join. The string key exists only inside
     the partial aggregate (never shuffled per sample)."""
+    return ohlc_rollup(events, type_col, ts_col, value_col, order_col,
+                       bucket) \
+        .orderBy(F.col(type_col).asc_nulls_last(), "bucket_ts")
+
+
+def ohlc_rollup(events: DataFrame, type_col: str = "event_type",
+                ts_col: str = "ts", value_col: str = "value",
+                order_col: str = "event_id",
+                bucket: str = "1 day") -> DataFrame:
+    """The :func:`ohlc` aggregation WITHOUT the output sort — every
+    expression is a declarative aggregate over one watermark-evictable
+    window group, so this form runs UNCHANGED as a Structured
+    Streaming incremental rollup (streaming.windows.streaming_ohlc
+    wraps it with the watermark; equivalence pinned in
+    tests/test_streaming.py). Batch callers want :func:`ohlc` (adds
+    the deterministic output order); streams cannot sort."""
     validate_bucket(bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
@@ -1637,8 +1680,7 @@ def ohlc(events: DataFrame, type_col: str = "event_type",
                  F.max(v).cast("double").alias("high"),
                  F.min(v).cast("double").alias("low"),
                  F.max_by(v, key).cast("double").alias("close"),
-                 F.count(F.lit(1)).alias("n_events"))
-            .orderBy(F.col(type_col).asc_nulls_last(), "bucket_ts"))
+                 F.count(F.lit(1)).alias("n_events")))
 
 
 def ohlc_sql(table: str = "events", type_col: str = "event_type",

@@ -1141,11 +1141,12 @@ _BATCH_ONLY_TRANSFORMS = {
                      "applyInPandasWithState) to emit deltas "
                      "incrementally, or land the stream and roll up "
                      "each landed batch downstream"),
-    "OHLC": ("a candle's open/close finalize only when its bucket's "
-             "feed is complete; run the watermarked incremental rollup "
-             "(streaming.windows.time_bucket_rollup) to land per-bucket "
-             "aggregates, then finalize open/close over each landed "
-             "bucket downstream"),
+    "OHLC": ("the batch stage sorts its output, which a stream cannot; "
+             "use streaming.windows.streaming_ohlc — the identical "
+             "candlestick aggregate with a watermark (min_by/max_by "
+             "are declarative, so the candle finalizes in-state and "
+             "emits when its window closes; equivalence pinned in "
+             "tests/test_streaming.py)"),
     "TIME_WEIGHTED_AVG": ("hold-time weights need each (series, bucket)'s "
                           "complete ordered samples — the last sample's "
                           "weight extends to the bucket end, which only a "
@@ -1171,20 +1172,21 @@ _BATCH_ONLY_TRANSFORMS = {
              "downsample each landed slice downstream (the per-bucket "
              "rollups — OHLC, TIME_WEIGHTED_AVG — are the incremental "
              "alternatives)"),
-    "TREND": ("the OLS slope finalizes only over a closed bucket's "
-              "complete sample set; run the watermarked incremental "
-              "rollup (streaming.windows.time_bucket_rollup) to land "
-              "per-bucket sums, then fit the slope over each landed "
-              "bucket downstream"),
+    "TREND": ("the batch stage sorts its output, which a stream cannot; "
+              "use streaming.windows.streaming_trend — the identical "
+              "five-integer-sum aggregate with a watermark (the slope "
+              "renders per emitted row; equivalence pinned in "
+              "tests/test_streaming.py)"),
     "INSTANT_RATE": ("the last-two-samples pick finalizes only when "
                      "the bucket closes; keep the last two samples per "
                      "series in keyed state (streaming.stateful, "
                      "applyInPandasWithState) to emit the running "
                      "irate, or land the stream and roll up each "
                      "landed batch downstream"),
-    "VALUE_HISTOGRAM": ("per-bin counts ARE incrementable — run the "
-                        "watermarked incremental rollup "
-                        "(streaming.windows.time_bucket_rollup) keyed "
-                        "by (series, bucket, bin) to land bin counts "
-                        "as the stream progresses"),
+    "VALUE_HISTOGRAM": ("the batch stage sorts its output, which a "
+                        "stream cannot; use streaming.windows."
+                        "streaming_value_histogram — the identical "
+                        "per-(key, window, bin) COUNT with a watermark "
+                        "(equivalence pinned in "
+                        "tests/test_streaming.py)"),
 }

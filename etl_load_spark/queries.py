@@ -6933,13 +6933,14 @@ _register_value_histogram_oracle()
 # After this round every declared query is driver-certified and no
 # green row is older than round 7. Everything outside the window
 # keeps the identical-methodology local pytest oracle gate
-# (tests/test_entry.py). Round-12 rotation: first rows for
-# q182_heartbeat_downtime and q183_trend_slope (registered
-# post-window-freeze this round, oracle-green locally at all three SF
-# tiers, pinned at registration — a new query outranks any re-green,
-# the standing precedent), then the 8 deferred r7 rows above, then
-# the oldest remaining rows computed from the CORRECTNESS_r0*.json
-# files (never a hardcoded list).
+# (tests/test_entry.py). Round-12 rotation: first rows for the four
+# round-11 post-freeze queries — q182_heartbeat_downtime,
+# q183_trend_slope, q184_instant_rate, q185_value_histogram (each
+# oracle-green locally at all three SF tiers, pinned at registration
+# — a new query outranks any re-green, the standing precedent), then
+# the 8 deferred r7 rows above, then the oldest remaining rows
+# computed from the CORRECTNESS_r0*.json files (never a hardcoded
+# list).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate

@@ -221,6 +221,62 @@ def time_bucket_rollup(events: DataFrame, bucket: str = "15 minutes",
                  .alias("total_value")))
 
 
+def streaming_ohlc(events: DataFrame, type_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value",
+                   order_col: str = "event_id", bucket: str = "1 day",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Incremental candlestick rollup — operators/timeseries.ohlc_rollup
+    with a watermark: min_by/max_by/min/max/count are all declarative
+    aggregates over one watermark-evictable window group, so the BATCH
+    aggregation runs unchanged as a stream (the r10 batch-only note's
+    'finalize open/close downstream' recipe turned into shipped code —
+    no downstream pass needed, the aggregate IS streamable). Append
+    mode emits each candle once, when its window closes past the
+    watermark; update mode emits evolving candles. State: one candle
+    per open (type, window) — candle-sized, watermark-bounded."""
+    from etl_load_spark.operators.timeseries import ohlc_rollup
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return ohlc_rollup(src, type_col, ts_col, value_col, order_col,
+                       bucket)
+
+
+def streaming_trend(events: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    bucket: str = "1 day",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Incremental per-bucket OLS trend — operators/timeseries.
+    trend_rollup with a watermark: five integer sums per (key, window)
+    group, all map-side-combinable and watermark-evictable; the
+    fixed-point slope renders per emitted row. State: one 5-tuple per
+    open (key, window)."""
+    from etl_load_spark.operators.timeseries import trend_rollup
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return trend_rollup(src, key_col, ts_col, value_col, bucket)
+
+
+def streaming_value_histogram(events: DataFrame,
+                              key_col: str = "user_id",
+                              ts_col: str = "ts",
+                              value_col: str = "value",
+                              bucket: str = "1 day", lo: float = 0.0,
+                              hi: float = 100.0, nbins: int = 10,
+                              watermark: str = "30 minutes") -> DataFrame:
+    """Incremental per-bucket value histogram — operators/timeseries.
+    value_histogram_rollup with a watermark: one COUNT per (key,
+    window, bin) group (bin = integer floor division on cents,
+    computed map-side). State: ≤ nbins+2 counters per open (key,
+    window)."""
+    from etl_load_spark.operators.timeseries import (
+        value_histogram_rollup,
+    )
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return value_histogram_rollup(src, key_col, ts_col, value_col,
+                                  bucket, lo, hi, nbins)
+
+
 def materialize_rollup(rollup_stream: DataFrame, path: str,
                        checkpoint: str, partition_col: str = "bucket_start"):
     """Incrementally materialize a streaming rollup to a partitioned

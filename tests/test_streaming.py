@@ -49,6 +49,48 @@ def test_session_stream_equals_batch(batch_events, stream_events):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_ohlc_stream_equals_batch(batch_events, stream_events):
+    """The q174 candlestick rollup run INCREMENTALLY (streaming_ohlc,
+    watermark + availableNow) equals the batch operator exactly —
+    min_by/max_by over the guarded padded key are declarative
+    aggregates, so the same plan streams (round 11: the r10 batch-only
+    'finalize downstream' recipe, shipped)."""
+    from etl_load_spark.operators.timeseries import ohlc
+    from etl_load_spark.streaming.windows import streaming_ohlc
+    batch = ohlc(batch_events)
+    stream = run_available_now(streaming_ohlc(stream_events))
+    cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
+            "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_trend_stream_equals_batch(batch_events, stream_events):
+    """q183's five-integer-sum OLS trend streams unchanged
+    (streaming_trend): the fixed-point slope per emitted row equals
+    the batch operator bit-for-bit."""
+    from etl_load_spark.operators.timeseries import trend
+    from etl_load_spark.streaming.windows import streaming_trend
+    batch = trend(batch_events)
+    stream = run_available_now(streaming_trend(stream_events))
+    cols = ["user_id", "bucket_ts", "n_samples", "slope_per_sec"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_value_histogram_stream_equals_batch(batch_events, stream_events):
+    """q185's per-bin counts stream unchanged
+    (streaming_value_histogram) — bin assignment is map-side integer
+    arithmetic, the state is nbins+2 counters per open (key, window)."""
+    from etl_load_spark.operators.timeseries import value_histogram
+    from etl_load_spark.streaming.windows import (
+        streaming_value_histogram,
+    )
+    batch = value_histogram(batch_events, lo=0.0, hi=500.0, nbins=10)
+    stream = run_available_now(streaming_value_histogram(
+        stream_events, lo=0.0, hi=500.0, nbins=10))
+    cols = ["user_id", "bucket_ts", "bin", "n_samples"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_session_matches_gaps_and_islands_sql(spark, batch_events):
     """session_window == classic SQL sessionization (lag + cumulative gap
     count) — the portable formulation a DuckDB oracle can run."""

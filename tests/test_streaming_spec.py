@@ -168,13 +168,14 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "applyInPandasWithState" in (r.error or "")
 
-    # OHLC's open/close finalize only on a closed bucket: refuses with
-    # the incremental-rollup pointer
+    # OHLC's batch stage sorts its output: refuses with the shipped
+    # streaming-twin pointer (round 11 — streaming_ohlc IS the same
+    # aggregate, equivalence-pinned in tests/test_streaming.py)
     r = run_job(spark, spec("OHLC", {"typeColumn": "source",
                                      "tsColumn": "ts", "valueColumn": "v",
                                      "orderColumn": "doc_id"}, "oh"))
     assert r.status == "FAILED"
-    assert "time_bucket_rollup" in (r.error or "")
+    assert "streaming_ohlc" in (r.error or "")
 
     # TIME_WEIGHTED_AVG's last-sample weight extends to bucket end:
     # refuses with the keyed-state pointer
