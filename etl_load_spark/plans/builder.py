@@ -161,7 +161,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "QUOTA_SAMPLE, HARD_NEGATIVES, "
                          "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE, "
                          "OHLC, TIME_WEIGHTED_AVG, STATE_DURATIONS, "
-                         "HEARTBEAT_UPTIME, LTTB)")
+                         "HEARTBEAT_UPTIME, LTTB, TREND, INSTANT_RATE, "
+                         "VALUE_HISTOGRAM)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util

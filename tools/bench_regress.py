@@ -21,6 +21,14 @@ Usage:
         $SPARK_GRAFT_SF_DIR — and print pin vs isolated. A flag is real
         only if the isolated steady median still exceeds the gate;
         exit 1 then, 0 when all flags are disproved contention spikes.
+        Round-11 hardening: when the 3-run median trips the gate, the
+        run auto-extends to 7 steadies and judges the median of the
+        LAST 3 (pins are fully-warmed bench figures; 3 isolated
+        steadies can sit on the JIT warmup tail — q131 "confirmed"
+        twice that way, disproved at depth). Any surviving
+        confirmation triggers a CONTROL batch of unflagged pins: a
+        ~1.0 control median says look deeper, an inflated one says the
+        box drifted and the confirmations are suspect.
 
 New queries (registered after the pin) are listed informationally and
 added to the pin on --repin; they never fail the gate by absence.
@@ -129,6 +137,35 @@ def verify(names_arg: str) -> int:
             confirmed.append(name)
     print(f"bench_regress: --verify {len(confirmed)} confirmed / "
           f"{len(targets)} re-measured (threshold {thr}x + {floor}s floor)")
+    if confirmed:
+        # Box-factor control (round 11): before believing a confirmed
+        # flag, measure a CONTROL batch of UNFLAGGED pinned queries of
+        # the same vintage. Controls at ~1.0 with flags confirmed means
+        # the flags deserve a deeper look (convergence runs, plan
+        # diffs); controls inflated alongside the flags means the BOX
+        # drifted and every "confirmation" is suspect. The r10-drift
+        # adjudication ran exactly this and the 0.95 control median was
+        # the decisive evidence.
+        controls = [n for n in pinned
+                    if n not in targets and 0.25 <= pin["steady"][n] <= 4]
+        controls = controls[:: max(1, len(controls) // 6)][:6]
+        ratios = []
+        for name in controls:
+            run_once(name)  # cold
+            med = statistics.median(run_once(name) for _ in range(3))
+            ratios.append(med / pin["steady"][name])
+            print(f"control {name}: {med:.2f}s vs pin "
+                  f"{pin['steady'][name]:.2f}s = {ratios[-1]:.2f}x")
+        if ratios:
+            box = statistics.median(ratios)
+            print(f"bench_regress: control box factor {box:.2f} over "
+                  f"{len(ratios)} unflagged pins — "
+                  + ("controls are inflated too: treat the confirmations "
+                     "as BOX DRIFT, not code regressions"
+                     if box > 1.25 else
+                     "controls are at pin: the confirmations warrant a "
+                     "deeper look (longer convergence run, plan diff "
+                     "vs the pinned round)"))
     return 1 if confirmed else 0
 
 
