@@ -121,24 +121,43 @@ def validate_bucket(bucket: str) -> int:
     return total
 
 
+# DuckDB time_bucket's default origin for day-time widths is
+# 2000-01-03 00:00:00 (a Monday); Spark's window() origin is the epoch
+# (1970-01-01, a Thursday). The origin gap is 10,959 days =
+# 946,857,600 s. The two engines produce IDENTICAL buckets exactly
+# when the width divides this gap — verified empirically: '36 hours',
+# '90 minutes', '3 days' agree; '2 days', '4 days', '5 hours',
+# '7 hours' and every week-multiple are shifted.
+_DUCKDB_ORIGIN_GAP_MICROS = 10959 * 86400 * 10**6
+
+
 def require_sub_week_bucket(bucket: str, where: str) -> int:
-    """Validate ``bucket`` AND refuse week-and-coarser grains — for the
-    DuckDB SQL twins only. Spark's ``window()`` is epoch-aligned at
-    every width, but DuckDB's ``time_bucket`` snaps week-and-coarser
-    buckets to a Monday (2024-01-01-class) origin, so a twin built on
-    time_bucket would compare SHIFTED buckets and report spurious (or
-    vacuous) parity (the gapfill_sql documented divergence; ADVICE r10
-    asked that the newer twins carry a guard, not just prose). The
-    Spark-side operators themselves accept any valid width — only the
-    parity oracles are grain-limited."""
+    """Validate ``bucket`` AND refuse widths whose DuckDB
+    ``time_bucket`` alignment differs from Spark's — for the SQL twins
+    only. Spark's ``window()`` is EPOCH-aligned; DuckDB's
+    ``time_bucket`` anchors at its Monday 2000-01-03 origin, so the
+    engines agree exactly when the width DIVIDES the 10,959-day origin
+    gap (every divisor of a day qualifies — '1 day', '6 hours' — and
+    so do '36 hours' and '3 days'; '2 days', '5 hours' and every
+    week-or-coarser grain are silently SHIFTED, which would make the
+    twin compare different buckets and report spurious or vacuous
+    parity). ADVICE r10 asked for a guard on week-and-coarser grains;
+    round 11 found and closed the finer-grained hole ('2 days' passes
+    a plain sub-week check but still diverges — the divisibility test
+    is the exact condition). The Spark-side operators themselves
+    accept any valid width — only the parity oracles are limited."""
     micros = validate_bucket(bucket)
-    if micros >= _UNIT_MICROS["week"]:
+    if _DUCKDB_ORIGIN_GAP_MICROS % micros:
         raise ValueError(
-            f"{where}: bucket {bucket!r} is >= 1 week — DuckDB "
-            "time_bucket aligns week-and-coarser grains to a Monday "
-            "origin while Spark window() aligns to the epoch; keep "
-            "parity pins to sub-week grains (or give time_bucket an "
-            "explicit epoch origin before trusting this twin)")
+            f"{where}: bucket {bucket!r} does not divide the 10,959-day "
+            "gap between DuckDB time_bucket's Monday 2000-01-03 origin "
+            "and Spark window()'s epoch origin — the engines would "
+            "bucket on SHIFTED boundaries and the parity would be "
+            "spurious (week-and-coarser grains and widths like "
+            "'2 days'/'5 hours' are in this class; day-divisors, "
+            "'36 hours' and '3 days' are safe). Keep parity pins to "
+            "gap-dividing grains, or give time_bucket an explicit "
+            "epoch origin before trusting this twin")
     return micros
 
 

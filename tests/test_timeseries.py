@@ -435,16 +435,51 @@ def test_sql_twins_raise_on_week_and_coarser_buckets():
     twins = (counter_rate_sql, gapfill_sql, heartbeat_uptime_sql,
              ohlc_sql, state_durations_sql, time_weighted_avg_sql)
     for twin in twins:
-        for bad in ("1 week", "7 days", "2 weeks", "1 week 1 hour"):
+        # round 11 closed the finer hole too: the exact condition is
+        # that the width DIVIDES the 10,959-day origin gap — '2 days'
+        # and '5 hours' pass a naive sub-week check but still bucket
+        # on shifted boundaries (verified against both engines)
+        for bad in ("1 week", "7 days", "2 weeks", "1 week 1 hour",
+                    "2 days", "4 days", "5 hours", "7 hours"):
             with pytest.raises(ValueError, match="Monday"):
                 twin("events", bucket=bad)
-        # sub-week grains still build
-        assert "time_bucket" in twin("events", bucket="6 hours")
+        # gap-dividing grains still build ('3 days' and '36 hours'
+        # agree across engines despite being multi-day)
+        for ok in ("6 hours", "1 day", "3 days", "36 hours",
+                   "90 minutes"):
+            assert "time_bucket" in twin("events", bucket=ok)
     # the carry variants ride the same guard
     for twin in (time_weighted_avg_sql, state_durations_sql,
                  heartbeat_uptime_sql):
         with pytest.raises(ValueError, match="Monday"):
             twin("events", bucket="1 week", carry_in=True)
+
+
+def test_gap_dividing_multiday_bucket_parity(spark):
+    """The round-11 guard condition is EXACT, not conservative: a
+    multi-day width that divides the 10,959-day origin gap ('3 days',
+    '36 hours') must produce identical buckets on both engines —
+    pinned with live parity on a fixture spanning several buckets
+    (if DuckDB ever changes its default origin, this fails loud)."""
+    import duckdb
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare
+    from etl_load_spark.operators.timeseries import (
+        counter_rate, counter_rate_sql,
+    )
+    events = spark.createDataFrame([
+        Row(event_id=i, user_id=1 + i % 2,
+            ts=dt.datetime(2024, 1, 1) + dt.timedelta(hours=11 * i),
+            value=float((i * 7) % 50))
+        for i in range(20)
+    ])
+    con = duckdb.connect()
+    con.register("events", events.toPandas())
+    for bucket in ("3 days", "36 hours"):
+        ok, msg = compare(counter_rate(events, bucket=bucket), con,
+                          counter_rate_sql("events", bucket=bucket))
+        assert ok, f"{bucket}: {msg}"
 
 
 def test_sql_twins_derive_denominator_from_bucket(spark):
