@@ -138,6 +138,15 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                 "snapshot downstream")
         return _hard_negatives_transform(df, spark, spec)
     if tr.type.upper() in _CORPUS_TRANSFORMS:
+        if df.isStreaming and tr.type.upper() in _STREAMING_TWINS:
+            # pure-aggregate rollups stream as their watermark twins
+            # (round 11): the identical aggregation minus the batch
+            # output sort, state bounded by the watermark. With a
+            # file destination use streaming.output_mode=update — the
+            # sink materializes via the continuous-aggregate upsert
+            # (dynamic partition overwrite per micro-batch).
+            return _STREAMING_TWINS[tr.type.upper()](df,
+                                                     tr.parameters or {})
         if df.isStreaming and tr.type.upper() in _BATCH_ONLY_TRANSFORMS:
             # multi-stage stateful plans are not expressible as ONE
             # streaming query. Fail with the right pointer instead of
@@ -1080,6 +1089,52 @@ _CORPUS_TRANSFORMS = {
     "VALUE_HISTOGRAM": _value_histogram_transform,
 }
 
+
+def _streaming_ohlc_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_ohlc
+    return streaming_ohlc(df, type_col=p.get("typeColumn", "event_type"),
+                          ts_col=p.get("tsColumn", "ts"),
+                          value_col=p.get("valueColumn", "value"),
+                          order_col=p.get("orderColumn", "event_id"),
+                          bucket=p.get("bucket", "1 day"),
+                          watermark=p.get("watermark", "30 minutes"))
+
+
+def _streaming_trend_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_trend
+    return streaming_trend(df, key_col=p.get("keyColumn", "user_id"),
+                           ts_col=p.get("tsColumn", "ts"),
+                           value_col=p.get("valueColumn", "value"),
+                           bucket=p.get("bucket", "1 day"),
+                           watermark=p.get("watermark", "30 minutes"))
+
+
+def _streaming_value_histogram_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import (
+        streaming_value_histogram,
+    )
+    return streaming_value_histogram(
+        df, key_col=p.get("keyColumn", "user_id"),
+        ts_col=p.get("tsColumn", "ts"),
+        value_col=p.get("valueColumn", "value"),
+        bucket=p.get("bucket", "1 day"), lo=float(p.get("lo", 0.0)),
+        hi=float(p.get("hi", 100.0)), nbins=int(p.get("nbins", 10)),
+        watermark=p.get("watermark", "30 minutes"))
+
+
+#: pure-aggregate rollup stages whose STREAMING form is the identical
+#: aggregation with a watermark (streaming/windows.py twins; round 11).
+#: On a streaming job these dispatch INSTEAD of the batch transform —
+#: same parameters plus `watermark` ('30 minutes'); the batch output
+#: sort is dropped (streams cannot sort), and a file destination
+#: materializes via the update-mode continuous-aggregate upsert
+#: (sources/writers.write_stream_sink).
+_STREAMING_TWINS = {
+    "OHLC": _streaming_ohlc_twin,
+    "TREND": _streaming_trend_twin,
+    "VALUE_HISTOGRAM": _streaming_value_histogram_twin,
+}
+
 #: stages whose plan needs multiple stateful stages — impossible as ONE
 #: streaming query; each error names the streaming-native alternative
 _BATCH_ONLY_TRANSFORMS = {
@@ -1142,12 +1197,6 @@ _BATCH_ONLY_TRANSFORMS = {
                      "applyInPandasWithState) to emit deltas "
                      "incrementally, or land the stream and roll up "
                      "each landed batch downstream"),
-    "OHLC": ("the batch stage sorts its output, which a stream cannot; "
-             "use streaming.windows.streaming_ohlc — the identical "
-             "candlestick aggregate with a watermark (min_by/max_by "
-             "are declarative, so the candle finalizes in-state and "
-             "emits when its window closes; equivalence pinned in "
-             "tests/test_streaming.py)"),
     "TIME_WEIGHTED_AVG": ("hold-time weights need each (series, bucket)'s "
                           "complete ordered samples — the last sample's "
                           "weight extends to the bucket end, which only a "
@@ -1173,21 +1222,10 @@ _BATCH_ONLY_TRANSFORMS = {
              "downsample each landed slice downstream (the per-bucket "
              "rollups — OHLC, TIME_WEIGHTED_AVG — are the incremental "
              "alternatives)"),
-    "TREND": ("the batch stage sorts its output, which a stream cannot; "
-              "use streaming.windows.streaming_trend — the identical "
-              "five-integer-sum aggregate with a watermark (the slope "
-              "renders per emitted row; equivalence pinned in "
-              "tests/test_streaming.py)"),
     "INSTANT_RATE": ("the last-two-samples pick finalizes only when "
                      "the bucket closes; keep the last two samples per "
                      "series in keyed state (streaming.stateful, "
                      "applyInPandasWithState) to emit the running "
                      "irate, or land the stream and roll up each "
                      "landed batch downstream"),
-    "VALUE_HISTOGRAM": ("the batch stage sorts its output, which a "
-                        "stream cannot; use streaming.windows."
-                        "streaming_value_histogram — the identical "
-                        "per-(key, window, bin) COUNT with a watermark "
-                        "(equivalence pinned in "
-                        "tests/test_streaming.py)"),
 }

@@ -335,9 +335,47 @@ def write_stream_sink(df: DataFrame, type_name: str, d: dict,
     if t not in _STREAM_SINK_FORMATS:
         raise ValueError(f"destination type {type_name!r} does not support "
                          f"streaming (known: {sorted(_STREAM_SINK_FORMATS)})")
-    w = (df.writeStream.format(_STREAM_SINK_FORMATS[t])
-         .outputMode(streaming.get("output_mode",
-                                   streaming.get("outputMode", "append")))
+    mode = streaming.get("output_mode",
+                         streaming.get("outputMode", "append"))
+    fmt = _STREAM_SINK_FORMATS[t]
+    if mode == "update" and fmt in ("parquet", "orc"):
+        # File sinks are append-only in Spark; update-mode aggregates
+        # (the streaming rollup stages — OHLC/TREND/VALUE_HISTOGRAM)
+        # materialize via the continuous-aggregate upsert instead:
+        # each micro-batch dynamically overwrites ONLY the bucket
+        # partitions it touched (streaming.windows.materialize_rollup,
+        # the q53 pattern — late-updated windows replace their
+        # partition atomically). Partition column = the first
+        # partition_by entry, default bucket_ts.
+        part = (d.get("partition_by") or ["bucket_ts"])[0]
+        if part not in df.columns:
+            raise ValueError(
+                f"update-mode streaming write to {t} needs the rollup's "
+                f"bucket column to partition the materialization — "
+                f"{part!r} is not in the plan's columns {df.columns}; "
+                "set destination.details.partition_by to the bucket "
+                "column")
+
+        def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            (batch_df.write.mode("overwrite")
+             .format(fmt)
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(part)
+             .save(d["path"]))
+
+        w = (df.writeStream.outputMode("update")
+             .option("checkpointLocation", streaming["checkpoint"])
+             .foreachBatch(upsert))
+        trigger = streaming.get("trigger", "availableNow")
+        if trigger == "availableNow":
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime=trigger)
+        return w.start()
+    w = (df.writeStream.format(fmt)
+         .outputMode(mode)
          .option("checkpointLocation", streaming["checkpoint"]))
     trigger = streaming.get("trigger", "availableNow")
     if trigger == "availableNow":

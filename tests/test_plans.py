@@ -1165,7 +1165,8 @@ def test_global_plan_sweep_all_stages(spark, tmp_path):
                 elif (isinstance(op, (ast.In, ast.NotIn))
                       and isinstance(cmp_, ast.Name)
                       and cmp_.id in ("_CORPUS_TRANSFORMS",
-                                      "_BATCH_ONLY_TRANSFORMS")):
+                                      "_BATCH_ONLY_TRANSFORMS",
+                                      "_STREAMING_TWINS")):
                     pass    # registry membership — swept structurally
                 else:
                     undiscoverable.append(ast.unparse(node))

@@ -168,14 +168,6 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "applyInPandasWithState" in (r.error or "")
 
-    # OHLC's batch stage sorts its output: refuses with the shipped
-    # streaming-twin pointer (round 11 — streaming_ohlc IS the same
-    # aggregate, equivalence-pinned in tests/test_streaming.py)
-    r = run_job(spark, spec("OHLC", {"typeColumn": "source",
-                                     "tsColumn": "ts", "valueColumn": "v",
-                                     "orderColumn": "doc_id"}, "oh"))
-    assert r.status == "FAILED"
-    assert "streaming_ohlc" in (r.error or "")
 
     # TIME_WEIGHTED_AVG's last-sample weight extends to bucket end:
     # refuses with the keyed-state pointer
@@ -295,3 +287,62 @@ def test_streaming_markup_strip_runs(spark, tmp_path):
     got = {x.doc_id: x.clean_text for x in
            spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1: "Hello world", 2: "plain"}
+
+
+def test_streaming_rollup_stages_materialize_continuous_aggregate(
+        spark, tmp_path):
+    """Round 11: the pure-aggregate rollup stages (OHLC, TREND,
+    VALUE_HISTOGRAM) run on STREAMING jobs via their watermark twins,
+    and a parquet destination with streaming.output_mode=update
+    materializes through the continuous-aggregate upsert (dynamic
+    partition overwrite per micro-batch, partitioned by the bucket
+    column). The materialized table must equal the batch operator."""
+    import datetime as dt
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    from etl_load_spark.operators.timeseries import (
+        ohlc, trend, value_histogram,
+    )
+    rows = [(i, "t%d" % (i % 2), 1 + i % 3,
+             dt.datetime(2024, 1, 1 + i % 4, i % 24, 0, 0),
+             float((i * 13) % 90))
+            for i in range(48)]
+    feed = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, user_id bigint,"
+              " ts timestamp, value double")
+    feed.write.parquet(str(tmp_path / "in"))
+
+    def spec(tr_type, params, out):
+        return JobSpec.from_dict({
+            "jobId": f"stream-{tr_type.lower()}",
+            "source": {"type": "PARQUET",
+                       "details": {"path": str(tmp_path / "in"),
+                                   "schema": ("event_id bigint, event_type"
+                                              " string, user_id bigint,"
+                                              " ts timestamp,"
+                                              " value double")}},
+            "transformation": {"type": tr_type, "parameters": params},
+            "destination": {"type": "PARQUET",
+                            "details": {"path": str(tmp_path / out),
+                                        "partition_by": ["bucket_ts"]}},
+            "streaming": {"checkpoint": str(tmp_path / f"chk_{out}"),
+                          "output_mode": "update"},
+        })
+
+    cases = [
+        ("OHLC", {}, "oh", ohlc(feed),
+         ["event_type", "bucket_ts", "open", "high", "low", "close",
+          "n_events"]),
+        ("TREND", {}, "tr", trend(feed),
+         ["user_id", "bucket_ts", "n_samples", "slope_per_sec"]),
+        ("VALUE_HISTOGRAM", {"lo": 0.0, "hi": 90.0, "nbins": 9}, "vh",
+         value_histogram(feed, lo=0.0, hi=90.0, nbins=9),
+         ["user_id", "bucket_ts", "bin", "n_samples"]),
+    ]
+    for tr_type, params, out, batch, cols in cases:
+        r = run_job(spark, spec(tr_type, params, out))
+        assert r.status == "COMPLETED", (tr_type, r.error)
+        got = spark.read.parquet(str(tmp_path / out))
+        srt = lambda df: sorted(  # noqa: E731
+            tuple(x[c] for c in cols) for x in df.collect())
+        assert srt(got) == srt(batch), tr_type
