@@ -144,8 +144,10 @@ def require_sub_week_bucket(bucket: str, where: str) -> int:
     parity). ADVICE r10 asked for a guard on week-and-coarser grains;
     round 11 found and closed the finer-grained hole ('2 days' passes
     a plain sub-week check but still diverges — the divisibility test
-    is the exact condition). The Spark-side operators themselves
-    accept any valid width — only the parity oracles are limited."""
+    is the exact condition; the function keeps its historical r10 name
+    so every twin's call site reads unchanged). The Spark-side
+    operators themselves accept any valid width — only the parity
+    oracles are limited."""
     micros = validate_bucket(bucket)
     if _DUCKDB_ORIGIN_GAP_MICROS % micros:
         raise ValueError(
