@@ -1135,6 +1135,28 @@ _STREAMING_TWINS = {
     "VALUE_HISTOGRAM": _streaming_value_histogram_twin,
 }
 
+
+def streaming_merge_keys(spec) -> list[str] | None:
+    """The FULL group key of a streaming rollup stage's output — what the
+    update-mode continuous-aggregate upsert merges micro-batches on
+    (sources/writers.rollup_upsert_writer). Update mode emits only the
+    groups changed per batch, so the sink must know the key to avoid
+    deleting sibling groups in a touched bucket partition. Returns None
+    for non-rollup specs (a raw update-mode SQL aggregate declares
+    destination.details.merge_keys itself)."""
+    tr = getattr(spec, "transformation", None)
+    if tr is None or not tr.type:
+        return None
+    t = tr.type.upper()
+    p = tr.parameters or {}
+    if t == "OHLC":
+        return [p.get("typeColumn", "event_type"), "bucket_ts"]
+    if t == "TREND":
+        return [p.get("keyColumn", "user_id"), "bucket_ts"]
+    if t == "VALUE_HISTOGRAM":
+        return [p.get("keyColumn", "user_id"), "bucket_ts", "bin"]
+    return None
+
 #: stages whose plan needs multiple stateful stages — impossible as ONE
 #: streaming query; each error names the streaming-native alternative
 _BATCH_ONLY_TRANSFORMS = {

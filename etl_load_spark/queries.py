@@ -6911,34 +6911,31 @@ _register_value_histogram_oracle()
 # window, fast queries first within a family in case the cap is time-based.
 # Everything past the window keeps its local pytest oracle gate.
 
-# Round-11 rotation (VERDICT r10 "Next round" #1): the same 10 family
-# anchors; FIRST rows for q176-q181 (registered post-window-freeze in
-# round 10 — a brand-new query outranks any re-green, the
-# q171/q172-q175 precedent); the two round-6 stragglers
-# q17_string_funcs + q19_math_case deferred from r10 by its written
-# rule; and re-greens for 32 of the 40 queries whose latest green
-# driver row is from round 7 (computed from the CORRECTNESS_r0*.json
-# latest-green per query — never a hardcoded list).
-# 10 + 6 + 2 + 32 = 50. The 8 deferred r7 rows (-> r12) are the ones
-# with the strongest family-freshness rationale, same principle that
-# picked q17/q19 last round:
-#   - q102/q104/q105/q106/q109/q110 — pure join+agg TPC-H relational
-#     compositions whose family has q01/q05 in every window plus
-#     q58/q101/q111 green at r10;
-#   - q72_gapfill_locf — the gapfill/LOCF code path is exercised by
-#     q172_gapfill (r9) and by q176_twa_interpolated's FIRST row in
-#     this very window;
-#   - q92_scd2_merge — the SCD2 apply path is exercised by
-#     q123_cdc_apply (r10) and q159 (r9).
+# Round-12 rotation (VERDICT r11 "Next round" #1): the same 10 family
+# anchors; FIRST rows for q182-q185 (registered post-window-freeze in
+# round 11 — a brand-new query outranks any re-green, the standing
+# q171/q172-q181 precedent); the 8 r7 rows deferred from round 11 by
+# its written rule (q72/q92/q102/q104/q105/q106/q109/q110); and
+# re-greens for 28 of the 40 queries whose latest green driver row is
+# from round 8 (computed from the CORRECTNESS_r0*.json latest-green
+# per query — never a hardcoded list).
+# 10 + 4 + 8 + 28 = 50. The 12 deferred r8 rows (-> r13) are the ones
+# with the strongest family-freshness rationale, the same principle
+# that picked the r7 deferrals last round:
+#   - q81/q82/q83/q84/q96/q97/q98/q103/q107/q108 — pure join+agg
+#     TPC-H relational compositions whose family has q01/q05 in every
+#     window plus the six r7 TPC-H re-greens (q102/q104/q105/q106/
+#     q109/q110) inside THIS window and q58/q101/q111 green at r10;
+#   - q40_grouping_sets — the grouping-sets path is exercised by
+#     q113_grouping_sets (r10) and q12_rollup/q13_cube (r9);
+#   - q69_union_by_name — the set-op family has q14_union_distinct
+#     (r10) and q15_intersect/q16_except_all (r9).
 # After this round every declared query is driver-certified and no
-# green row is older than round 7. Everything outside the window
+# green row is older than round 8. Everything outside the window
 # keeps the identical-methodology local pytest oracle gate
-# (tests/test_entry.py). Round-12 rotation: first rows for the four
-# round-11 post-freeze queries — q182_heartbeat_downtime,
-# q183_trend_slope, q184_instant_rate, q185_value_histogram (each
-# oracle-green locally at all three SF tiers, pinned at registration
-# — a new query outranks any re-green, the standing precedent), then
-# the 8 deferred r7 rows above, then the oldest remaining rows
+# (tests/test_entry.py). Round-13 rotation: any queries registered
+# post-freeze this round first (a new query outranks any re-green),
+# then the 12 deferred r8 rows above, then the oldest remaining rows
 # computed from the CORRECTNESS_r0*.json files (never a hardcoded
 # list).
 DRIVER_WINDOW: list[str] = [
@@ -6953,25 +6950,27 @@ DRIVER_WINDOW: list[str] = [
     "q27_dedup_minhash",        # LSH dedup
     "q30_sim_topk",             # similarity exact baseline
     "q133_semantic_dedup",      # SemDeDup (salt-blocked grouped kernel)
-    # --- first rows for the round-10 post-freeze queries (6) ---
-    "q176_twa_interpolated", "q177_state_durations",
-    "q178_heartbeat_uptime", "q179_lttb_downsample",
-    "q180_state_interpolated", "q181_heartbeat_interpolated",
-    # --- the two r6 stragglers deferred from round 10 ---
-    "q17_string_funcs", "q19_math_case",
-    # --- re-greens: 32 of the 40 r7-latest queries (8 -> r12) ---
-    "q10_window_rank", "q21_approx_distinct", "q32_embedding_near_dup",
-    "q33_text_stats", "q37_multimodal_features", "q39_sliding_windows",
-    "q41_pivot", "q63_window_ntile", "q66_vocab_topk",
-    "q67_approx_percentile", "q71_sketch_rollup", "q73_funnel",
-    "q74_retention", "q85_pseudonymize", "q86_bigram_topk",
-    "q87_contamination", "q88_feature_moments", "q89_sequence_pack",
-    "q90_curation_funnel", "q94_unpivot", "q99_repetition",
-    "q128_passage_dedup", "q129_quality_rules", "q130_data_mixture",
-    "q131_sim_lsh_planted", "q134_quality_classifier",
-    "q135_xml_roundtrip", "q136_sim_ivf_planted", "q137_sim_pq_planted",
-    "q138_pii_redaction", "q139_bloom_decontaminate",
-    "q171_window_minhash",
+    # --- first rows for the round-11 post-freeze queries (4) ---
+    "q182_heartbeat_downtime", "q183_trend_slope",
+    "q184_instant_rate", "q185_value_histogram",
+    # --- the eight r7 rows deferred from round 11 ---
+    "q72_gapfill_locf", "q92_scd2_merge",
+    "q102_nation_trade_volume", "q104_market_share",
+    "q105_returned_items", "q106_shipping_delay_priority",
+    "q109_small_quantity_revenue", "q110_large_volume_orders",
+    # --- re-greens: 28 of the 40 r8-latest queries (12 -> r13) ---
+    "q42_array_explode", "q43_array_agg", "q61_correlated_subquery",
+    "q62_full_outer_join", "q64_media_resize",
+    "q65_stream_static_enrich", "q70_stream_interval_left",
+    "q75_weighted_sample", "q76_json_shred_roundtrip", "q77_histogram",
+    "q78_pivot_multi_agg", "q79_array_set_ops",
+    "q80_regexp_extract_all", "q93_window_distribution",
+    "q100_audio_chunks", "q115_sessionize", "q116_date_spine",
+    "q117_mad_outliers", "q118_argmax_customer",
+    "q122_shuffle_hash_join", "q132_forecast_revenue",
+    "q140_cluster_balance", "q141_source_divergence",
+    "q142_repeated_spans", "q143_image_near_dup", "q144_chunk_overlap",
+    "q145_span_dedup", "q146_lm_surprisal",
 ]
 
 

@@ -362,8 +362,10 @@ def _load_streaming(spark: SparkSession, spec: JobSpec,
     else:
         df = build_mapping_plan(df, spec, False)
     df = apply_transformation(df, spark, spec)
+    from etl_load_spark.plans.builder import streaming_merge_keys
     q = write_stream_sink(df, spec.destination.type, spec.destination.details,
-                          spec.streaming, spec.job_id)
+                          spec.streaming, spec.job_id,
+                          merge_keys=streaming_merge_keys(spec))
     try:
         if spec.streaming.get("trigger", "availableNow") == "availableNow":
             q.awaitTermination()

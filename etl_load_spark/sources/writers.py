@@ -315,6 +315,75 @@ def write_mongodb(df: DataFrame, d: dict) -> dict:
     return _finish(obs)
 
 
+def rollup_upsert_writer(path: str, fmt: str, partition_col: str,
+                         key_cols: list[str]):
+    """Build the foreachBatch upsert for update-mode streaming rollups.
+
+    Update mode emits ONLY the (group-key) rows changed in each
+    micro-batch, so a naive dynamic partition overwrite would delete
+    every sibling group previously materialized in the same
+    ``partition_col`` partition (other event_types in an OHLC bucket,
+    other user_ids in a TREND bucket) on any multi-batch run. The
+    upsert therefore merges each batch with the CURRENT contents of the
+    partitions it touches, keyed on the rollup's full group key
+    (``key_cols`` — batch rows win), before overwriting those
+    partitions.
+
+    Scale posture: per micro-batch this reads back only the touched
+    (open) bucket partitions — bounded by the watermark horizon, never
+    the full materialization — and the anti-join's build side is the
+    batch's distinct key set (micro-batch-sized, broadcastable). The
+    merged slice is localCheckpoint'ed so no lazy read of ``path``
+    survives into the overwrite of the same path.
+
+    NULL handling: group keys join null-safely (NULL event_type is a
+    legitimate rollup group — the q71 eqNullSafe lesson) and a NULL
+    partition value (hive __HIVE_DEFAULT_PARTITION__) is matched with
+    an explicit isNull branch, never isin(None).
+    """
+    if partition_col not in key_cols:
+        raise ValueError(
+            f"rollup upsert: partition column {partition_col!r} must be "
+            f"part of the group key {key_cols} — a group that can move "
+            "between partitions cannot be upserted by partition overwrite")
+
+    from functools import reduce
+
+    from pyspark.errors import AnalysisException
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        out = batch_df
+        try:
+            existing = spark.read.format(fmt).load(path)
+        except AnalysisException:
+            existing = None  # first batch: nothing materialized yet
+        if existing is not None:
+            touched = [r[0] for r in
+                       batch_df.select(partition_col).distinct().collect()]
+            non_null = [t for t in touched if t is not None]
+            pcol = F.col(partition_col)
+            pred = pcol.isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(touched):
+                pred = pred | pcol.isNull()
+            batch_keys = batch_df.select(*key_cols).distinct()
+            cond = reduce(lambda a, b: a & b,
+                          [existing[k].eqNullSafe(batch_keys[k])
+                           for k in key_cols])
+            kept = existing.where(pred).join(
+                F.broadcast(batch_keys), cond, "left_anti")
+            out = batch_df.unionByName(kept).localCheckpoint()
+        (out.write.mode("overwrite")
+         .format(fmt)
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(partition_col)
+         .save(path))
+
+    return upsert
+
+
 _STREAM_SINK_FORMATS = {"PARQUET": "parquet", "FILE_PARQUET": "parquet",
                         "ORC": "orc", "FILE_ORC": "orc",
                         "CSV": "csv", "FILE_CSV": "csv",
@@ -323,13 +392,18 @@ _STREAM_SINK_FORMATS = {"PARQUET": "parquet", "FILE_PARQUET": "parquet",
 
 
 def write_stream_sink(df: DataFrame, type_name: str, d: dict,
-                      streaming: dict, job_id: str):
+                      streaming: dict, job_id: str,
+                      merge_keys: list[str] | None = None):
     """Start a streaming write of the planned DataFrame (SURVEY §7 step 7).
 
     Returns the StreamingQuery; the caller owns awaitTermination. Trigger
     defaults to AvailableNow (process everything present, then stop — the
     incremental-batch form the driver and tests use); a processing-time
     string ("30 seconds") runs continuous micro-batches.
+
+    ``merge_keys``: the full group key of an update-mode rollup — required
+    for update-mode file materialization (the runner derives it from the
+    rollup stage; a raw SQL aggregate sets destination.details.merge_keys).
     """
     t = type_name.upper()
     if t not in _STREAM_SINK_FORMATS:
@@ -342,11 +416,13 @@ def write_stream_sink(df: DataFrame, type_name: str, d: dict,
         # File sinks are append-only in Spark; update-mode aggregates
         # (the streaming rollup stages — OHLC/TREND/VALUE_HISTOGRAM)
         # materialize via the continuous-aggregate upsert instead:
-        # each micro-batch dynamically overwrites ONLY the bucket
-        # partitions it touched (streaming.windows.materialize_rollup,
-        # the q53 pattern — late-updated windows replace their
-        # partition atomically). Partition column = the first
-        # partition_by entry, default bucket_ts.
+        # each micro-batch merges with the current contents of the
+        # bucket partitions it touched (keyed on the rollup's FULL
+        # group key — update mode emits only the changed groups, so a
+        # bare partition overwrite would delete sibling groups written
+        # by earlier micro-batches) and overwrites those partitions
+        # atomically (rollup_upsert_writer). Partition column = the
+        # first partition_by entry, default bucket_ts.
         part = (d.get("partition_by") or ["bucket_ts"])[0]
         if part not in df.columns:
             raise ValueError(
@@ -355,15 +431,21 @@ def write_stream_sink(df: DataFrame, type_name: str, d: dict,
                 f"{part!r} is not in the plan's columns {df.columns}; "
                 "set destination.details.partition_by to the bucket "
                 "column")
-
-        def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            (batch_df.write.mode("overwrite")
-             .format(fmt)
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy(part)
-             .save(d["path"]))
+        keys = d.get("merge_keys") or merge_keys
+        if not keys:
+            raise ValueError(
+                f"update-mode streaming write to {t} needs the rollup's "
+                "full group-key columns to merge micro-batches (update "
+                "mode emits only the groups changed per batch; without "
+                "the key, sibling groups in a touched partition would "
+                "be deleted) — set destination.details.merge_keys, e.g. "
+                "['event_type', 'bucket_ts']")
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"update-mode merge_keys {missing} not in the plan's "
+                f"columns {df.columns}")
+        upsert = rollup_upsert_writer(d["path"], fmt, part, list(keys))
 
         w = (df.writeStream.outputMode("update")
              .option("checkpointLocation", streaming["checkpoint"])

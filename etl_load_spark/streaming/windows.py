@@ -278,25 +278,36 @@ def streaming_value_histogram(events: DataFrame,
 
 
 def materialize_rollup(rollup_stream: DataFrame, path: str,
-                       checkpoint: str, partition_col: str = "bucket_start"):
+                       checkpoint: str, partition_col: str = "bucket_start",
+                       key_cols: list[str] | None = None):
     """Incrementally materialize a streaming rollup to a partitioned
-    parquet table: update-mode micro-batches upsert by overwriting ONLY
-    the partitions present in each batch (dynamic partition overwrite).
+    parquet table: update-mode micro-batches MERGE with the current
+    contents of the partitions they touch, keyed on the rollup's full
+    group key (``key_cols``, batch rows win), then overwrite those
+    partitions (dynamic partition overwrite).
+
+    ``key_cols`` is required and must include ``partition_col``: update
+    mode emits only the groups changed per micro-batch, so overwriting
+    a touched partition with the batch rows alone would delete its
+    sibling groups (other event_types in the same bucket) on any
+    multi-batch run — sources/writers.rollup_upsert_writer owns the
+    merge.
 
     This is the continuous-aggregate maintenance pattern SCALE.md
     describes for q53: at 100 TB the bucket column partitions the
-    materialization, each micro-batch touches the few open buckets, and
-    re-emitted (late-updated) windows replace their partition atomically.
-    Returns the StreamingQuery (AvailableNow-compatible).
+    materialization, each micro-batch touches (and reads back) only the
+    few open buckets, and re-emitted (late-updated) groups replace their
+    prior versions atomically. Returns the StreamingQuery
+    (AvailableNow-compatible).
     """
-    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        (batch_df.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy(partition_col)
-         .parquet(path))
-
+    if not key_cols:
+        raise ValueError(
+            "materialize_rollup needs the rollup's full group-key "
+            "columns (key_cols) to merge micro-batches — e.g. "
+            "['bucket_start', 'event_type'] for time_bucket_rollup")
+    from etl_load_spark.sources.writers import rollup_upsert_writer
+    upsert = rollup_upsert_writer(path, "parquet", partition_col,
+                                  list(key_cols))
     return (rollup_stream.writeStream
             .outputMode("update")
             .option("checkpointLocation", checkpoint)

@@ -222,7 +222,8 @@ def test_materialized_rollup_equals_batch(spark, batch_events, sf_dir, tmp_path)
     stream = open_event_stream(spark, sf_dir)
     q = materialize_rollup(time_bucket_rollup(stream),
                            path=str(tmp_path / "rollup"),
-                           checkpoint=str(tmp_path / "ckpt"))
+                           checkpoint=str(tmp_path / "ckpt"),
+                           key_cols=["bucket_start", "event_type"])
     q.awaitTermination(300)
     got = spark.read.parquet(str(tmp_path / "rollup"))
     want = time_bucket_rollup(batch_events)
@@ -248,7 +249,8 @@ def test_streaming_rollup_then_batch_gapfill_pipeline(spark, batch_events,
     stream = open_event_stream(spark, sf_dir)
     q = materialize_rollup(time_bucket_rollup(stream),
                            path=str(tmp_path / "rollup"),
-                           checkpoint=str(tmp_path / "ckpt"))
+                           checkpoint=str(tmp_path / "ckpt"),
+                           key_cols=["bucket_start", "event_type"])
     q.awaitTermination(300)
     landed = spark.read.parquet(str(tmp_path / "rollup"))
 

@@ -346,3 +346,91 @@ def test_streaming_rollup_stages_materialize_continuous_aggregate(
         srt = lambda df: sorted(  # noqa: E731
             tuple(x[c] for c in cols) for x in df.collect())
         assert srt(got) == srt(batch), tr_type
+
+
+def test_streaming_rollup_upsert_survives_multiple_micro_batches(
+        spark, tmp_path):
+    """ADVICE r11 (high): update mode emits only the groups changed per
+    micro-batch, so the continuous-aggregate upsert must MERGE each
+    batch with the partitions it touches — a bare dynamic partition
+    overwrite deletes sibling groups written by earlier batches. Feed
+    three files through maxFilesPerTrigger=1 (three micro-batches) into
+    one shared day bucket: file 1 holds event_type 'a', file 2 holds
+    ONLY 'b' (so the 'a' candle is NOT re-emitted in batch 2 — the bare
+    overwrite deletes it), file 3 updates 'a' again (the re-emitted
+    candle must REPLACE the stale 'a' row and keep the 'b' sibling).
+    The final table must equal the batch OHLC over everything."""
+    import datetime as dt
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    from etl_load_spark.operators.timeseries import ohlc
+
+    day = dt.datetime(2024, 3, 1)
+    f1 = [(1, "a", 1, day.replace(hour=1), 10.0),
+          (2, "a", 1, day.replace(hour=2), 20.0)]
+    f2 = [(3, "b", 1, day.replace(hour=3), 30.0)]
+    f3 = [(4, "a", 1, day.replace(hour=4), 40.0)]   # late 'a' update
+    schema = ("event_id bigint, event_type string, user_id bigint,"
+              " ts timestamp, value double")
+    spark.createDataFrame(f1, schema).coalesce(1) \
+         .write.parquet(str(tmp_path / "in"))
+    spark.createDataFrame(f2, schema).coalesce(1) \
+         .write.mode("append").parquet(str(tmp_path / "in"))
+    spark.createDataFrame(f3, schema).coalesce(1) \
+         .write.mode("append").parquet(str(tmp_path / "in"))
+    r = run_job(spark, JobSpec.from_dict({
+        "jobId": "stream-ohlc-multibatch",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(tmp_path / "in"),
+                               "schema": schema,
+                               "max_files_per_trigger": 1}},
+        "transformation": {"type": "OHLC", "parameters": {}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out"),
+                                    "partition_by": ["bucket_ts"]}},
+        "streaming": {"checkpoint": str(tmp_path / "chk"),
+                      "output_mode": "update"},
+    }))
+    assert r.status == "COMPLETED", r.error
+    batch = ohlc(spark.createDataFrame(f1 + f2 + f3, schema))
+    cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
+            "n_events"]
+    srt = lambda df: sorted(  # noqa: E731
+        tuple(x[c] for c in cols) for x in df.collect())
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert srt(got) == srt(batch)
+    # both event types present in the shared bucket — the sibling-group
+    # deletion regression collapses this to one
+    assert got.select("event_type").distinct().count() == 2
+
+
+def test_update_mode_file_sink_without_merge_keys_raises(spark, tmp_path):
+    """A raw update-mode aggregate (no rollup stage → no derivable group
+    key) must refuse the file materialization loudly, naming
+    destination.details.merge_keys — not silently drop sibling groups."""
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    spark.createDataFrame(
+        [(1, "a", 1.0, __import__("datetime").datetime(2024, 1, 1))],
+        "event_id bigint, event_type string, value double, ts timestamp",
+    ).write.parquet(str(tmp_path / "in"))
+    r = run_job(spark, JobSpec.from_dict({
+        "jobId": "stream-raw-update",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(tmp_path / "in"),
+                               "schema": ("event_id bigint, event_type "
+                                          "string, value double, "
+                                          "ts timestamp")}},
+        "query": ("SELECT event_type, window(ts, '1 day').start AS "
+                  "bucket_ts, count(*) AS n FROM src "
+                  "GROUP BY event_type, window(ts, '1 day')"),
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out"),
+                                    "partition_by": ["bucket_ts"]}},
+        "streaming": {"checkpoint": str(tmp_path / "chk"),
+                      "output_mode": "update",
+                      "watermark": {"column": "ts",
+                                    "delay": "30 minutes"}},
+    }))
+    assert r.status == "FAILED"
+    assert "merge_keys" in (r.error or "")
