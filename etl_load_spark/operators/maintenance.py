@@ -120,6 +120,11 @@ def compact_files(spark: SparkSession, path: str, target_file_mb: int = 128,
         os.rename(backup, path)  # restore on failure
         raise
     shutil.rmtree(backup)
+    # the swap replaced every part file under the same path — drop the
+    # session's cached file listing or the next reader of this path
+    # (VALIDATE_LOAD's readback, downstream jobs in the same session)
+    # fails FAILED_READ_FILE.FILE_NOT_EXIST on the pre-compaction parts
+    spark.catalog.refreshByPath(path)
     files_after, _ = _dir_stats(path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": total_bytes, "rows": rows,

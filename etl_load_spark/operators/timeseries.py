@@ -338,7 +338,16 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
                            prev.alias("_prev"))
     else:
         width_us = validate_bucket(hot_split)
-        base = e.select(F.col(key_col), b, cents.alias("_c"),
+        # the key rides inside a one-field struct: struct equality is
+        # null-safe under a PLAIN equi-join, so a NULL-key series (one
+        # partition to Window.partitionBy, hence carried by the plain
+        # path) keeps its cross-slice carry through the boundary join —
+        # an eqNullSafe condition would fix the same bug but its
+        # rewritten join keys (coalesce/isnull pairs) no longer match
+        # the window's partitioning and cost an extra full exchange
+        # (ADVICE r11).
+        base = e.select(F.struct(F.col(key_col)).alias("_k"), b,
+                        cents.alias("_c"),
                         F.col(ts_col).alias("_ts"),
                         F.col(order_col).alias("_o"))
         # trunc-div slices are contiguous, monotone time ranges — all
@@ -350,12 +359,12 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
         # aliased copy of the same value is a different attribute to
         # the planner, so only the literal column unlocks the reuse).
         if width_us == validate_bucket(bucket):
-            sl_cols = [key_col, "bucket_ts"]
+            sl_cols = ["_k", "bucket_ts"]
         else:
             base = base.withColumn(
                 "_sl", F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
                               f"DIV {width_us}"))
-            sl_cols = [key_col, "_sl"]
+            sl_cols = ["_k", "_sl"]
         wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
         in_slice_prev = F.lag("_c").over(wsl)
         # boundary relation: ONE row per non-empty (key, slice) — its
@@ -364,27 +373,30 @@ def counter_rate(events: DataFrame, key_col: str = "user_id",
         bnd = (base.groupBy(*sl_cols)
                .agg(F.max_by("_c", F.struct("_ts", "_o"))
                     .alias("_last_c")))
-        wk = Window.partitionBy(key_col).orderBy(sl_cols[1])
+        wk = Window.partitionBy("_k").orderBy(sl_cols[1])
         bnd = bnd.select(*sl_cols,
                          F.lag("_last_c").over(wk).alias("_carry"))
         stepped = (base.withColumn("_prev_in", in_slice_prev)
                    .join(bnd, sl_cols, "left")
-                   .select(key_col, "bucket_ts", "_c",
+                   .select("_k", "bucket_ts", "_c",
                            F.coalesce("_prev_in", "_carry").alias("_prev")))
+    kcol = key_col if hot_split is None else "_k"
     prev, c = F.col("_prev"), F.col("_c")
     step = (F.when(prev.isNull(), F.lit(0))
             .when(c >= prev, c - prev)
             .otherwise(c))
     reset = F.when(prev.isNotNull() & (c < prev), 1).otherwise(0)
-    agg = (stepped.select(F.col(key_col), F.col("bucket_ts"),
+    agg = (stepped.select(F.col(kcol), F.col("bucket_ts"),
                           step.alias("_step"), reset.alias("_reset"))
-           .groupBy(key_col, "bucket_ts")
+           .groupBy(kcol, "bucket_ts")
            .agg(F.count(F.lit(1)).alias("n_samples"),
                 F.sum("_reset").alias("n_resets"),
                 F.sum("_step").alias("_inc")))
+    out_key = F.col(key_col) if hot_split is None \
+        else F.col("_k").getField(key_col).alias(key_col)
     rate4 = F.expr(f"(2 * _inc * 100 + {bucket_seconds}) "
                    f"DIV (2 * {bucket_seconds})")
-    return (agg.select(key_col, "bucket_ts", "n_samples", "n_resets",
+    return (agg.select(out_key, "bucket_ts", "n_samples", "n_resets",
                        (F.col("_inc").cast("double") / 100.0)
                        .alias("increase"),
                        (rate4.cast("double") / 10000.0)
@@ -503,9 +515,17 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
     cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
     b = F.window(ts_col, bucket).start.alias("bucket_ts")
     tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
-    s = e.select(F.col(key_col), b, cents.alias("_c"), tms.alias("_tm"),
+    hot = carry_in and hot_split is not None
+    # hot mode wraps the key in a one-field struct: struct equality is
+    # null-safe under a PLAIN equi-join, so a NULL-key series keeps its
+    # cross-slice carry through the boundary join without the extra
+    # exchange an eqNullSafe condition's rewritten keys would cost
+    # (ADVICE r11; see counter_rate).
+    kcol = "_k" if hot else key_col
+    kexpr = F.struct(F.col(key_col)).alias("_k") if hot else F.col(key_col)
+    s = e.select(kexpr, b, cents.alias("_c"), tms.alias("_tm"),
                  F.col(order_col).alias("_o"), F.col(ts_col).alias("_ts"))
-    w = (Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o"))
+    w = (Window.partitionBy(kcol, "bucket_ts").orderBy("_ts", "_o"))
     bucket_start = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
     bucket_end = bucket_start + F.lit(width_ms)
     dt = (F.coalesce(F.lead("_tm").over(w), bucket_end) - F.col("_tm"))
@@ -523,24 +543,24 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
         # only the literal column unlocks the reuse).
         width_us = validate_bucket(hot_split)
         if width_us == validate_bucket(bucket):
-            sl_cols = [key_col, "bucket_ts"]
+            sl_cols = [kcol, "bucket_ts"]
         else:
             s = s.withColumn(
                 "_sl", F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
                               f"DIV {width_us}"))
-            sl_cols = [key_col, "_sl"]
+            sl_cols = [kcol, "_sl"]
         wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
         bnd = (s.groupBy(*sl_cols)
                .agg(F.max_by("_c", F.struct("_ts", "_o"))
                     .alias("_last_c")))
-        wk_sl = Window.partitionBy(key_col).orderBy(sl_cols[1])
+        wk_sl = Window.partitionBy(kcol).orderBy(sl_cols[1])
         bnd = bnd.select(*sl_cols,
                          F.lag("_last_c").over(wk_sl).alias("_carry"))
         s = (s.withColumn("_prev_in", F.lag("_c").over(wsl))
              .join(bnd, sl_cols, "left"))
         prev_c = F.coalesce(F.col("_prev_in"), F.col("_carry"))
     elif carry_in:
-        wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+        wk = Window.partitionBy(kcol).orderBy("_ts", "_o")
         prev_c = F.lag("_c").over(wk)
     if carry_in:
         # the carried value reaches only each bucket's FIRST sample
@@ -552,16 +572,18 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
                     .otherwise(F.lit(0)))
     else:
         carry_c, carry_dt = F.lit(None).cast("bigint"), F.lit(0)
-    agg = (s.select(key_col, "bucket_ts", "_c", dt.alias("_dt"),
+    agg = (s.select(kcol, "bucket_ts", "_c", dt.alias("_dt"),
                     carry_c.alias("_cc"), carry_dt.alias("_cdt"))
-           .groupBy(key_col, "bucket_ts")
+           .groupBy(kcol, "bucket_ts")
            .agg(F.count(F.lit(1)).alias("n_samples"),
                 (F.sum(F.col("_c") * F.col("_dt"))
                  + F.coalesce(F.sum(F.col("_cc") * F.col("_cdt")),
                               F.lit(0))).alias("_num"),
                 (F.sum("_dt") + F.sum("_cdt")).alias("_den")))
+    out_key = F.col(key_col) if not hot \
+        else F.col("_k").getField(key_col).alias(key_col)
     twa4 = F.expr("(200 * _num + _den) DIV (2 * _den)")
-    return (agg.select(key_col, "bucket_ts", "n_samples",
+    return (agg.select(out_key, "bucket_ts", "n_samples",
                        (twa4.cast("double") / 10000.0).alias("twa"))
             .orderBy(key_col, "bucket_ts"))
 
@@ -697,10 +719,18 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                       & F.col(state_col).isNotNull())
     b = F.window(ts_col, bucket).start.alias("bucket_ts")
     tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
-    s = e.select(F.col(key_col), b, F.col(state_col).alias("_st"),
+    hot = carry_in and hot_split is not None
+    # hot mode wraps the key in a one-field struct: struct equality is
+    # null-safe under a PLAIN equi-join, so a NULL-key series keeps its
+    # cross-slice carry through the boundary join without the extra
+    # exchange an eqNullSafe condition's rewritten keys would cost
+    # (ADVICE r11; see counter_rate).
+    kcol = "_k" if hot else key_col
+    kexpr = F.struct(F.col(key_col)).alias("_k") if hot else F.col(key_col)
+    s = e.select(kexpr, b, F.col(state_col).alias("_st"),
                  tms.alias("_tm"), F.col(order_col).alias("_o"),
                  F.col(ts_col).alias("_ts"))
-    w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
+    w = Window.partitionBy(kcol, "bucket_ts").orderBy("_ts", "_o")
     bucket_start = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
     bucket_end = bucket_start + F.lit(width_ms)
     dt = F.coalesce(F.lead("_tm").over(w), bucket_end) - F.col("_tm")
@@ -726,18 +756,18 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                 # aligned: the in-slice lag is the in-bucket lag — one
                 # shared (key, bucket_ts) exchange (the literal-column
                 # rule: an aliased copy would be a different attribute)
-                sl_cols = [key_col, "bucket_ts"]
+                sl_cols = [kcol, "bucket_ts"]
             else:
                 s = s.withColumn(
                     "_sl",
                     F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
                            f"DIV {width_us}"))
-                sl_cols = [key_col, "_sl"]
+                sl_cols = [kcol, "_sl"]
             wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
             bnd = (s.groupBy(*sl_cols)
                    .agg(F.max_by("_st", F.struct("_ts", "_o"))
                         .alias("_last_st")))
-            wk_sl = Window.partitionBy(key_col).orderBy(sl_cols[1])
+            wk_sl = Window.partitionBy(kcol).orderBy(sl_cols[1])
             bnd = bnd.select(*sl_cols,
                              F.lag("_last_st").over(wk_sl)
                              .alias("_carry"))
@@ -745,11 +775,11 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                  .join(bnd, sl_cols, "left"))
             pg = F.coalesce(F.col("_pin_sl"), F.col("_carry"))
         else:
-            wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+            wk = Window.partitionBy(kcol).orderBy("_ts", "_o")
             pg = F.lag("_st").over(wk)
         # window expressions must materialize BEFORE the explode — a
         # Generate operator cannot host them
-        f2 = s.select(key_col, "bucket_ts", "_st", "_tm",
+        f2 = s.select(kcol, "bucket_ts", "_st", "_tm",
                       dt.alias("_dt"), prev_st.alias("_pin"),
                       pg.alias("_pg"),
                       bucket_start.alias("_bs"))
@@ -770,19 +800,23 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                           F.lit(0), F.lit(0)))
         pair = F.array(mk(F.col("_st"), F.col("_dt"), entered,
                           F.lit(1)), carry)
-        contribs = (f2.select(key_col, "bucket_ts",
+        contribs = (f2.select(kcol, "bucket_ts",
                               F.explode(pair).alias("_c"))
                     .filter(F.col("_c").isNotNull())
-                    .select(key_col, "bucket_ts",
+                    .select(kcol, "bucket_ts",
                             F.col("_c.st").alias("_st"),
                             F.col("_c.dt").alias("_dt"),
                             F.col("_c.en").alias("_en"),
                             F.col("_c.smp").alias("_is_sample")))
+    out_key = F.col(key_col) if not hot \
+        else F.col("_k").getField(key_col).alias(key_col)
     return (contribs
-            .groupBy(key_col, "bucket_ts", F.col("_st").alias(state_col))
+            .groupBy(kcol, "bucket_ts", F.col("_st").alias(state_col))
             .agg(F.sum("_dt").alias("held_ms"),
                  F.sum("_en").alias("n_entries"),
                  F.sum("_is_sample").alias("n_samples"))
+            .select(out_key, "bucket_ts", state_col, "held_ms",
+                    "n_entries", "n_samples")
             .orderBy(key_col, "bucket_ts", state_col))
 
 
@@ -927,9 +961,17 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
     e = events.filter(F.col(ts_col).isNotNull())
     b = F.window(ts_col, bucket).start.alias("bucket_ts")
     tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
-    s = e.select(F.col(key_col), b, tms.alias("_tm"),
+    hot = carry_in and hot_split is not None
+    # hot mode wraps the key in a one-field struct: struct equality is
+    # null-safe under a PLAIN equi-join, so a NULL-key series keeps its
+    # cross-slice carry through the boundary join without the extra
+    # exchange an eqNullSafe condition's rewritten keys would cost
+    # (ADVICE r11; see counter_rate).
+    kcol = "_k" if hot else key_col
+    kexpr = F.struct(F.col(key_col)).alias("_k") if hot else F.col(key_col)
+    s = e.select(kexpr, b, tms.alias("_tm"),
                  F.col(order_col).alias("_o"), F.col(ts_col).alias("_ts"))
-    w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
+    w = Window.partitionBy(kcol, "bucket_ts").orderBy("_ts", "_o")
     bucket_start = F.unix_millis(F.col("bucket_ts").cast("timestamp_ltz"))
     bucket_end = bucket_start + F.lit(width_ms)
     nx = F.lead("_tm").over(w)
@@ -944,18 +986,18 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
             # everywhere else the in-slice lag equals the global lag.
             width_us = validate_bucket(hot_split)
             if width_us == validate_bucket(bucket):
-                sl_cols = [key_col, "bucket_ts"]
+                sl_cols = [kcol, "bucket_ts"]
             else:
                 s = s.withColumn(
                     "_sl",
                     F.expr("unix_micros(CAST(_ts AS TIMESTAMP_LTZ)) "
                            f"DIV {width_us}"))
-                sl_cols = [key_col, "_sl"]
+                sl_cols = [kcol, "_sl"]
             wsl = Window.partitionBy(*sl_cols).orderBy("_ts", "_o")
             # max(_tm) IS the last beat's clock: _tm is monotone in the
             # (_ts, _o) total order (ms truncation of _ts)
             bnd = s.groupBy(*sl_cols).agg(F.max("_tm").alias("_last_tm"))
-            wk_sl = Window.partitionBy(key_col).orderBy(sl_cols[1])
+            wk_sl = Window.partitionBy(kcol).orderBy(sl_cols[1])
             bnd = bnd.select(*sl_cols,
                              F.lag("_last_tm").over(wk_sl)
                              .alias("_carry"))
@@ -963,7 +1005,7 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
                  .join(bnd, sl_cols, "left"))
             prev_tm = F.coalesce(F.col("_pin_sl"), F.col("_carry"))
         else:
-            wk = Window.partitionBy(key_col).orderBy("_ts", "_o")
+            wk = Window.partitionBy(kcol).orderBy("_ts", "_o")
             prev_tm = F.lag("_tm").over(wk)
         live = live + F.when(
             first & prev_tm.isNotNull(),
@@ -985,10 +1027,15 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
         # boundary-crossing outage IS downtime here even though it is
         # not an in-bucket gap.
         aggs.append((F.lit(width_ms) - F.sum("_lv")).alias("downtime_ms"))
-    return (s.select(key_col, "bucket_ts", live.alias("_lv"),
+    out_key = F.col(key_col) if not hot \
+        else F.col("_k").getField(key_col).alias(key_col)
+    return (s.select(kcol, "bucket_ts", live.alias("_lv"),
                      gap.alias("_gp"))
-            .groupBy(key_col, "bucket_ts")
+            .groupBy(kcol, "bucket_ts")
             .agg(*aggs)
+            .select(out_key, "bucket_ts", "n_beats", "uptime_ms",
+                    "n_gaps",
+                    *(["downtime_ms"] if emit_downtime else []))
             .orderBy(key_col, "bucket_ts"))
 
 
@@ -1062,7 +1109,11 @@ def instant_rate(events: DataFrame, key_col: str = "user_id",
     the last two share a millisecond (zero time delta). Values must
     be non-negative (counters are; the fixed-point quotient is the
     unsigned half-up form — resets make the increase non-negative by
-    construction).
+    construction). A negative value RAISES on both engines (the ohlc
+    raise_error pattern, ADVICE r11): with a negative increase the
+    half-up form is invalid and Spark's truncating DIV disagrees with
+    DuckDB's flooring // — the exact divergence the sibling trend
+    operator sign-splits to avoid.
 
     Exactness: integral cents over integer millisecond deltas, the
     q59 half-up quotient — rate(value/s) = inc·10/Δms rendered as
@@ -1079,7 +1130,14 @@ def instant_rate(events: DataFrame, key_col: str = "user_id",
     validate_bucket(bucket)
     e = events.filter(F.col(ts_col).isNotNull()
                       & F.col(value_col).isNotNull())
-    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    raw_cents = (F.col(value_col).cast("decimal(12,2)") * 100) \
+        .cast("bigint")
+    cents = (F.when(raw_cents < 0,
+                    F.raise_error(F.format_string(
+                        "instant_rate: negative counter value (%s "
+                        "cents): irate's unsigned half-up quotient "
+                        "needs non-negative counters", raw_cents)))
+             .otherwise(raw_cents))
     b = F.window(ts_col, bucket).start.alias("bucket_ts")
     tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
     s = e.select(F.col(key_col), b, cents.alias("_c"), tms.alias("_tm"),
@@ -1114,13 +1172,21 @@ def instant_rate_sql(table: str = "events", key_col: str = "user_id",
     row_number() DESC instead of max_by (an independent mechanism for
     the same total order), same reset rule, same unsigned half-up
     quotient. Week-and-coarser buckets raise (require_sub_week_bucket,
-    ADVICE r10)."""
+    ADVICE r10); a negative counter value raises via error() exactly
+    like the Spark side's raise_error guard (ADVICE r11 — the loud
+    twin of the same precondition)."""
     require_sub_week_bucket(bucket, "instant_rate_sql")
     tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    cents = f"CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT)"
     return f"""
 WITH s AS (
   SELECT {key_col}, {tb} AS bucket_ts,
-         CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         CASE WHEN {cents} < 0
+              THEN error('instant_rate: negative counter value ('
+                         || {cents} || ' cents): irate''s unsigned '
+                         || 'half-up quotient needs non-negative '
+                         || 'counters')
+              ELSE {cents} END AS c,
          epoch_ms({ts_col}) AS tm, {ts_col} AS t, {order_col} AS o
   FROM {table}
   WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),

@@ -114,6 +114,11 @@ def run_job(spark: SparkSession, spec: JobSpec,
                 result.step_log[-1] = (f"COMPACT_DESTINATION:"
                                        f"{m['files_before']}->"
                                        f"{m['files_after']}")
+                if getattr(result, "_output_is_readback", False):
+                    # a sink-readback DataFrame captured the PRE-compaction
+                    # file listing; re-read so a later VALIDATE_LOAD scans
+                    # the swapped files instead of failing FILE_NOT_EXIST
+                    result._output_df = read_source(spark, spec.destination)
             elif s in ("NOTIFY_SUCCESS", "NOTIFY_FAILURE"):
                 pass  # emitted in the finally-style epilogue below
             else:
@@ -227,6 +232,7 @@ def _load(spark: SparkSession, spec: JobSpec, result: JobResult) -> None:
     result.records_read += result.records_written
     if readback:
         result._output_df = read_source(spark, spec.destination)
+        result._output_is_readback = True
     if inc:
         # advance the mark only AFTER the write committed (a failed write
         # leaves the old mark → the next run re-ingests the batch); the
@@ -383,3 +389,4 @@ def _load_streaming(spark: SparkSession, spec: JobSpec,
         # back (file/table sinks only — exactly the sinks with a committed
         # on-disk state to validate)
         result._output_df = read_source(spark, spec.destination)
+        result._output_is_readback = True

@@ -268,4 +268,17 @@ def read_stream_source(spark: SparkSession, type_name: str, d: dict) -> DataFram
     else:
         from etl_load_spark.sources.registry import _READERS
         reader = reader.schema(_READERS[t](spark, d).schema)
-    return reader.load(d["path"])
+    path = d["path"]
+    import os
+    if os.path.isfile(path):
+        # the file-stream source needs a DIRECTORY ('basePath' must be a
+        # directory); expose a single-file table through a symlinked temp
+        # dir, no data copy (the streaming.windows.open_event_stream
+        # pattern — and like there, link the FILE, never a directory:
+        # the source does not recurse into a linked subdirectory)
+        import tempfile
+        stream_dir = tempfile.mkdtemp(prefix="etl_stream_src_")
+        os.symlink(path, os.path.join(stream_dir,
+                                      os.path.basename(path)))
+        path = stream_dir
+    return reader.load(path)

@@ -404,6 +404,65 @@ def test_streaming_rollup_upsert_survives_multiple_micro_batches(
     assert got.select("event_type").distinct().count() == 2
 
 
+def test_continuous_rollup_maintained_across_job_runs(spark, tmp_path):
+    """VERDICT r11 #4: a job spec maintains a downsampled hypertable
+    END-TO-END — the TREND rollup streams through the update-mode
+    upsert, COMPACT_DESTINATION keeps the table's file count healthy,
+    and RE-RUNNING the same spec after new data lands processes ONLY
+    the new files (checkpoint-incremental) while the materialization
+    stays equal to the batch rollup over everything ingested so far."""
+    import datetime as dt
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    from etl_load_spark.operators.timeseries import trend
+
+    schema = ("event_id bigint, user_id bigint, ts timestamp,"
+              " value double")
+    day = dt.datetime(2024, 5, 1)
+    r1 = [(i, i % 3, day + dt.timedelta(hours=i), float(i * 7 % 50))
+          for i in range(24)]
+    r2 = [(100 + i, i % 3, day + dt.timedelta(days=1, hours=i),
+           float(i * 11 % 50)) for i in range(12)]
+    spark.createDataFrame(r1, schema).coalesce(1) \
+         .write.parquet(str(tmp_path / "in"))
+
+    spec = {
+        "jobId": "trend-hypertable",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(tmp_path / "in"),
+                               "schema": schema}},
+        "transformation": {"type": "TREND", "parameters": {}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out"),
+                                    "partition_by": ["bucket_ts"],
+                                    "compact_target_mb": 64}},
+        "streaming": {"checkpoint": str(tmp_path / "chk"),
+                      "output_mode": "update"},
+        "steps": ["VALIDATE_SOURCE", "LOAD", "COMPACT_DESTINATION",
+                  "VALIDATE_LOAD"],
+        "expectations": [{"check": "not_null", "column": "bucket_ts"}],
+    }
+    cols = ["user_id", "bucket_ts", "n_samples", "slope_per_sec"]
+    srt = lambda df: sorted(  # noqa: E731
+        tuple(x[c] for c in cols) for x in df.collect())
+
+    res1 = run_job(spark, JobSpec.from_dict(spec))
+    assert res1.status == "COMPLETED", res1.error
+    assert res1.records_read == len(r1)
+    got1 = spark.read.parquet(str(tmp_path / "out"))
+    assert srt(got1) == srt(trend(spark.createDataFrame(r1, schema)))
+
+    # round 2: new files land; the checkpoint makes the re-run
+    # process only them, and the upsert folds them into the table
+    spark.createDataFrame(r2, schema).coalesce(1) \
+         .write.mode("append").parquet(str(tmp_path / "in"))
+    res2 = run_job(spark, JobSpec.from_dict(spec))
+    assert res2.status == "COMPLETED", res2.error
+    assert res2.records_read == len(r2)   # incremental, not a rescan
+    got2 = spark.read.parquet(str(tmp_path / "out"))
+    assert srt(got2) == srt(trend(spark.createDataFrame(r1 + r2, schema)))
+
+
 def test_update_mode_file_sink_without_merge_keys_raises(spark, tmp_path):
     """A raw update-mode aggregate (no rollup stage → no derivable group
     key) must refuse the file materialization loudly, naming

@@ -1093,6 +1093,46 @@ def test_state_heartbeat_hot_split_plan_shape(spark, sf_dir):
     assert counts["hb-aligned"] == counts["hb-generic"] - 1, counts
 
 
+def test_hot_split_null_key_series_keeps_carry(spark):
+    """ADVICE r11 (medium): NULL is a legitimate series key — the plain
+    path's Window.partitionBy groups NULLs into one partition — but the
+    hot_split boundary join used plain column equality, which never
+    matches NULL keys, so a NULL-key series silently lost its
+    cross-slice carry (violating the docstring's 'results are
+    IDENTICAL' contract). The stitch key now rides in a one-field
+    struct (struct equality is null-safe under a plain equi-join, no
+    extra exchange); all four carry-class operators must match the
+    plain path exactly on a fixture whose NULL-key series carries
+    across an empty day (and through a reset, for counter_rate)."""
+    from etl_load_spark.operators.timeseries import (
+        counter_rate, heartbeat_uptime, state_durations,
+        time_weighted_avg,
+    )
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=None, event_type="a",
+            ts=d(1, 12), value=10.0),
+        Row(event_id=2, user_id=None, event_type="b",
+            ts=d(2, 6), value=25.0),
+        # empty day 3 — the carry must cross it; value drop = a reset
+        Row(event_id=3, user_id=None, event_type="b",
+            ts=d(4, 18), value=4.0),
+        Row(event_id=4, user_id=1, event_type="a",
+            ts=d(1, 1), value=7.0),
+    ])
+    # None sorts don't compose with ints — compare stringified rows
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    for op, kw in [(counter_rate, {}),
+                   (time_weighted_avg, {"carry_in": True}),
+                   (state_durations, {"carry_in": True}),
+                   (heartbeat_uptime, {"carry_in": True})]:
+        plain = rows(op(events, **kw))
+        assert any(r[0] == "None" for r in plain), op.__name__
+        for width in ("1 day", "6 hours"):
+            split = rows(op(events, hot_split=width, **kw))
+            assert split == plain, (op.__name__, width)
+
+
 def test_trend_semantics(spark):
     """Hand fixture pinning the OLS slope contract: a rising 3-sample
     bucket (hand-computed num/den → 0.0002 value/s half-up), a falling
@@ -1207,6 +1247,29 @@ def test_instant_rate_semantics(spark):
     assert got[(3, 1)] == (1, None)
     assert got[(4, 1)] == (3, None)          # zero final delta
     assert got[(None, 1)] == (2, 0.01)       # 72 / 7200 s
+
+
+def test_instant_rate_negative_value_raises_both_engines(spark):
+    """ADVICE r11 (low): the non-negative-counter precondition is a
+    GUARD, not prose — a negative value makes the unsigned half-up
+    quotient invalid (Spark's truncating DIV vs DuckDB's flooring //
+    diverge there), so both the operator (raise_error) and the oracle
+    (error()) must fail loudly instead of silently disagreeing."""
+    import duckdb
+    import pytest as _pytest
+    from etl_load_spark.operators.timeseries import (
+        instant_rate, instant_rate_sql,
+    )
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=-3.0),
+    ])
+    with _pytest.raises(Exception, match="negative counter value"):
+        instant_rate(events).collect()
+    con = duckdb.connect()
+    con.register("events", events.toPandas())
+    with _pytest.raises(Exception, match="negative counter value"):
+        con.sql(instant_rate_sql("events")).fetchall()
 
 
 def test_instant_rate_matches_reference_property(spark):
