@@ -808,16 +808,20 @@ def state_durations(events: DataFrame, key_col: str = "user_id",
                             F.col("_c.dt").alias("_dt"),
                             F.col("_c.en").alias("_en"),
                             F.col("_c.smp").alias("_is_sample")))
-    out_key = F.col(key_col) if not hot \
-        else F.col("_k").getField(key_col).alias(key_col)
-    return (contribs
-            .groupBy(kcol, "bucket_ts", F.col("_st").alias(state_col))
-            .agg(F.sum("_dt").alias("held_ms"),
-                 F.sum("_en").alias("n_entries"),
-                 F.sum("_is_sample").alias("n_samples"))
-            .select(out_key, "bucket_ts", state_col, "held_ms",
-                    "n_entries", "n_samples")
-            .orderBy(key_col, "bucket_ts", state_col))
+    agg = (contribs
+           .groupBy(kcol, "bucket_ts", F.col("_st").alias(state_col))
+           .agg(F.sum("_dt").alias("held_ms"),
+                F.sum("_en").alias("n_entries"),
+                F.sum("_is_sample").alias("n_samples")))
+    if not hot:
+        return agg.orderBy(key_col, "bucket_ts", state_col)
+    # unwrap the struct key AFTER the sort (ordering by the struct IS
+    # ordering by its single field); referencing state_col pre-select
+    # keeps the projection unambiguous even when key_col == state_col
+    return (agg.orderBy("_k", "bucket_ts", state_col)
+            .select(F.col("_k").getField(key_col).alias(key_col),
+                    "bucket_ts", state_col, "held_ms", "n_entries",
+                    "n_samples"))
 
 
 def state_durations_sql(table: str = "events", key_col: str = "user_id",
@@ -1027,16 +1031,18 @@ def heartbeat_uptime(events: DataFrame, key_col: str = "user_id",
         # boundary-crossing outage IS downtime here even though it is
         # not an in-bucket gap.
         aggs.append((F.lit(width_ms) - F.sum("_lv")).alias("downtime_ms"))
-    out_key = F.col(key_col) if not hot \
-        else F.col("_k").getField(key_col).alias(key_col)
-    return (s.select(kcol, "bucket_ts", live.alias("_lv"),
-                     gap.alias("_gp"))
-            .groupBy(kcol, "bucket_ts")
-            .agg(*aggs)
-            .select(out_key, "bucket_ts", "n_beats", "uptime_ms",
-                    "n_gaps",
-                    *(["downtime_ms"] if emit_downtime else []))
-            .orderBy(key_col, "bucket_ts"))
+    agg = (s.select(kcol, "bucket_ts", live.alias("_lv"),
+                    gap.alias("_gp"))
+           .groupBy(kcol, "bucket_ts")
+           .agg(*aggs))
+    if not hot:
+        return agg.orderBy(key_col, "bucket_ts")
+    # unwrap the struct key AFTER the sort (ordering by the struct IS
+    # ordering by its single field)
+    return (agg.orderBy("_k", "bucket_ts")
+            .select(F.col("_k").getField(key_col).alias(key_col),
+                    "bucket_ts", "n_beats", "uptime_ms", "n_gaps",
+                    *(["downtime_ms"] if emit_downtime else [])))
 
 
 def heartbeat_uptime_sql(table: str = "events", key_col: str = "user_id",

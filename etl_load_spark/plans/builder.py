@@ -1122,17 +1122,71 @@ def _streaming_value_histogram_twin(df: DataFrame, p: dict) -> DataFrame:
         watermark=p.get("watermark", "30 minutes"))
 
 
-#: pure-aggregate rollup stages whose STREAMING form is the identical
-#: aggregation with a watermark (streaming/windows.py twins; round 11).
-#: On a streaming job these dispatch INSTEAD of the batch transform —
-#: same parameters plus `watermark` ('30 minutes'); the batch output
-#: sort is dropped (streams cannot sort), and a file destination
-#: materializes via the update-mode continuous-aggregate upsert
-#: (sources/writers.write_stream_sink).
+def _streaming_state_durations_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_state_durations
+    if p.get("carryIn"):
+        raise ValueError(
+            "STATE_DURATIONS carryIn=true is batch-only on a stream: the "
+            "carried state is the previous bucket's last sample, which "
+            "the watermark has already evicted when the next bucket "
+            "opens — land the self-contained rollup incrementally, then "
+            "interpolate carries downstream (the batch operator's "
+            "carry_in=True over the landed table)")
+    if p.get("hotSplit"):
+        raise ValueError(
+            "STATE_DURATIONS hotSplit only applies to the batch carry "
+            "form (there is no per-key window to split on a stream — "
+            "the streaming twin is already per-bucket-parallel)")
+    return streaming_state_durations(
+        df, key_col=p.get("keyColumn", "user_id"),
+        ts_col=p.get("tsColumn", "ts"),
+        state_col=p.get("stateColumn", "event_type"),
+        order_col=p.get("orderColumn", "event_id"),
+        bucket=p.get("bucket", "1 day"),
+        watermark=p.get("watermark", "30 minutes"))
+
+
+def _streaming_heartbeat_uptime_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_heartbeat_uptime
+    if p.get("carryIn"):
+        raise ValueError(
+            "HEARTBEAT_UPTIME carryIn=true is batch-only on a stream: "
+            "the carried beat is the previous bucket's last sample, "
+            "which the watermark has already evicted when the next "
+            "bucket opens — land the self-contained rollup "
+            "incrementally, then interpolate carries downstream (the "
+            "batch operator's carry_in=True over the landed table)")
+    if p.get("hotSplit"):
+        raise ValueError(
+            "HEARTBEAT_UPTIME hotSplit only applies to the batch carry "
+            "form (there is no per-key window to split on a stream — "
+            "the streaming twin is already per-bucket-parallel)")
+    return streaming_heartbeat_uptime(
+        df, key_col=p.get("keyColumn", "user_id"),
+        ts_col=p.get("tsColumn", "ts"),
+        order_col=p.get("orderColumn", "event_id"),
+        bucket=p.get("bucket", "1 day"),
+        tolerance=p.get("tolerance", "15 minutes"),
+        emit_downtime=bool(p.get("emitDowntime", False)),
+        watermark=p.get("watermark", "30 minutes"))
+
+
+#: rollup stages with a STREAMING form (streaming/windows.py twins).
+#: OHLC/TREND/VALUE_HISTOGRAM are the identical pure aggregation with a
+#: watermark (round 11); STATE_DURATIONS/HEARTBEAT_UPTIME (round 12,
+#: non-carry only) run as ONE watermarked collect_list aggregation plus
+#: a stateless per-bucket fold — the batch lead/lag replayed inside the
+#: sorted sample array. On a streaming job these dispatch INSTEAD of
+#: the batch transform — same parameters plus `watermark`
+#: ('30 minutes'); the batch output sort is dropped (streams cannot
+#: sort), and a file destination materializes via the update-mode
+#: continuous-aggregate upsert (sources/writers.write_stream_sink).
 _STREAMING_TWINS = {
     "OHLC": _streaming_ohlc_twin,
     "TREND": _streaming_trend_twin,
     "VALUE_HISTOGRAM": _streaming_value_histogram_twin,
+    "STATE_DURATIONS": _streaming_state_durations_twin,
+    "HEARTBEAT_UPTIME": _streaming_heartbeat_uptime_twin,
 }
 
 
@@ -1155,6 +1209,11 @@ def streaming_merge_keys(spec) -> list[str] | None:
         return [p.get("keyColumn", "user_id"), "bucket_ts"]
     if t == "VALUE_HISTOGRAM":
         return [p.get("keyColumn", "user_id"), "bucket_ts", "bin"]
+    if t == "STATE_DURATIONS":
+        return [p.get("keyColumn", "user_id"), "bucket_ts",
+                p.get("stateColumn", "event_type")]
+    if t == "HEARTBEAT_UPTIME":
+        return [p.get("keyColumn", "user_id"), "bucket_ts"]
     return None
 
 #: stages whose plan needs multiple stateful stages — impossible as ONE
@@ -1227,18 +1286,6 @@ _BATCH_ONLY_TRANSFORMS = {
                           "applyInPandasWithState) to emit hold-time "
                           "increments, or land the stream and roll up "
                           "each landed batch downstream"),
-    "STATE_DURATIONS": ("state holds finalize only when the next sample "
-                        "(or the bucket end) is known; keep the open "
-                        "state per series in keyed state "
-                        "(streaming.stateful, applyInPandasWithState) to "
-                        "emit closed holds incrementally, or land the "
-                        "stream and roll up each landed batch downstream"),
-    "HEARTBEAT_UPTIME": ("liveness clips each beat against the NEXT beat "
-                         "and the bucket end; keep the last beat per "
-                         "series in keyed state (streaming.stateful, "
-                         "applyInPandasWithState) to emit live intervals "
-                         "incrementally, or land the stream and roll up "
-                         "each landed batch downstream"),
     "LTTB": ("the largest-triangle selection is sequential over each "
              "series' complete point set; land the stream, then "
              "downsample each landed slice downstream (the per-bucket "

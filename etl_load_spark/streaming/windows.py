@@ -277,6 +277,162 @@ def streaming_value_histogram(events: DataFrame,
                                   bucket, lo, hi, nbins)
 
 
+def streaming_state_durations(events: DataFrame,
+                              key_col: str = "user_id",
+                              ts_col: str = "ts",
+                              state_col: str = "event_type",
+                              order_col: str = "event_id",
+                              bucket: str = "1 day",
+                              watermark: str = "30 minutes") -> DataFrame:
+    """Incremental per-bucket state durations — the streaming twin of
+    operators/timeseries.state_durations (non-carry form; VERDICT r11
+    #3). The batch operator's in-bucket lead/lag windows are not
+    streamable, but the SAME semantics are: ONE watermark-evictable
+    aggregation collects the bucket's samples (sort_array ∘
+    collect_list over the (ts, order) total order — collect_list is a
+    declarative aggregate, so this runs as a plain streaming agg, no
+    transformWithState needed), then a stateless projection folds the
+    sorted array into per-state (held_ms, n_entries, n_samples) and
+    explodes — hold finalization against the NEXT sample happens
+    inside the array, where the future is already visible.
+
+    State bound: the open (key, bucket) groups' sample lists — exactly
+    the rows a bucket must see before it can close, evicted at the
+    watermark. The per-element HOF fold is interpreted (not codegen'd)
+    but touches only each group's own array; for batch backfills use
+    the batch operator (window lag, whole-stage codegen).
+
+    ``carry_in`` is deliberately absent: the carried state is the
+    previous bucket's LAST sample, which the watermark has already
+    evicted when the next bucket opens — interpolate carries on the
+    landed table downstream (the batch operator's carry_in=True).
+
+    Update-mode materialization merge key: (key, bucket_ts, state) —
+    a state's row never disappears as its bucket accumulates samples,
+    so the group-key upsert is complete."""
+    from etl_load_spark.operators.timeseries import (
+        bucket_width_seconds, validate_bucket,
+    )
+    validate_bucket(bucket)
+    if dict(events.dtypes).get(state_col) != "string":
+        raise ValueError(
+            f"streaming_state_durations: state column {state_col!r} must "
+            "be string (the per-bucket fold keys a map on it); cast "
+            "upstream")
+    width_ms = bucket_width_seconds(bucket) * 1000
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    e = src.filter(F.col(ts_col).isNotNull()
+                   & F.col(state_col).isNotNull())
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    agg = (e.groupBy(F.col(key_col),
+                     F.window(ts_col, bucket).start.alias("bucket_ts"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"), F.col(order_col).alias("o"),
+               tms.alias("tm"), F.col(state_col).alias("st"))))
+               .alias("_ss")))
+    end_ms = (f"unix_millis(CAST(bucket_ts AS TIMESTAMP_LTZ)) "
+              f"+ {width_ms}")
+    # durations + transition flags per element (the lead/lag of the
+    # batch form, replayed inside the sorted array; element_at is
+    # 1-based and the CASE guards evaluation order)
+    elems = F.expr(f"""
+        transform(_ss, (x, i) -> named_struct(
+            'st', x.st,
+            'dt', (CASE WHEN i < size(_ss) - 1
+                        THEN element_at(_ss, i + 2).tm
+                        ELSE {end_ms} END) - x.tm,
+            'en', CASE WHEN i = 0 THEN 1
+                       WHEN element_at(_ss, i).st <> x.st THEN 1
+                       ELSE 0 END))""")
+    folded = F.aggregate(
+        elems,
+        F.expr("cast(map() as map<string, "
+               "struct<held: bigint, en: bigint, n: bigint>>)"),
+        lambda acc, x: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != x["st"]),
+            F.create_map(
+                x["st"],
+                F.struct(
+                    (F.coalesce(F.try_element_at(acc, x["st"])["held"],
+                                F.lit(0)) + x["dt"]).alias("held"),
+                    (F.coalesce(F.try_element_at(acc, x["st"])["en"],
+                                F.lit(0)) + x["en"]).alias("en"),
+                    (F.coalesce(F.try_element_at(acc, x["st"])["n"],
+                                F.lit(0)) + F.lit(1)).alias("n")))))
+    return (agg.select(key_col, "bucket_ts", folded.alias("_m"))
+            .select(key_col, "bucket_ts",
+                    F.explode("_m").alias(state_col, "_v"))
+            .select(key_col, "bucket_ts", state_col,
+                    F.col("_v.held").alias("held_ms"),
+                    F.col("_v.en").alias("n_entries"),
+                    F.col("_v.n").alias("n_samples")))
+
+
+def streaming_heartbeat_uptime(events: DataFrame,
+                               key_col: str = "user_id",
+                               ts_col: str = "ts",
+                               order_col: str = "event_id",
+                               bucket: str = "1 day",
+                               tolerance: str = "15 minutes",
+                               emit_downtime: bool = False,
+                               watermark: str = "30 minutes") -> DataFrame:
+    """Incremental per-bucket liveness — the streaming twin of
+    operators/timeseries.heartbeat_uptime (non-carry form; VERDICT r11
+    #3). Same recipe as streaming_state_durations: one watermarked
+    collect_list aggregation over the (ts, order) total order, then a
+    stateless fold clips each beat against its in-array successor (or
+    the bucket end) at the tolerance — the batch form's lead window,
+    replayed where the future is visible. carry_in is deliberately
+    absent (the carried beat is watermark-evicted state; interpolate
+    downstream on the landed table). Update-mode merge key:
+    (key, bucket_ts)."""
+    from etl_load_spark.operators.timeseries import (
+        bucket_width_seconds, validate_bucket,
+    )
+    validate_bucket(bucket)
+    width_ms = bucket_width_seconds(bucket) * 1000
+    tol_us = validate_bucket(tolerance)
+    if tol_us % 1000:
+        raise ValueError(
+            f"tolerance {tolerance!r} is not a whole number of "
+            "milliseconds (liveness is measured in ms)")
+    tol_ms = tol_us // 1000
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    e = src.filter(F.col(ts_col).isNotNull())
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    agg = (e.groupBy(F.col(key_col),
+                     F.window(ts_col, bucket).start.alias("bucket_ts"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"), F.col(order_col).alias("o"),
+               tms.alias("tm")))).alias("_bb")))
+    end_ms = (f"unix_millis(CAST(bucket_ts AS TIMESTAMP_LTZ)) "
+              f"+ {width_ms}")
+    stats = F.expr(f"""
+        aggregate(
+            transform(_bb, (x, i) -> named_struct(
+                'lv', least((CASE WHEN i < size(_bb) - 1
+                                  THEN element_at(_bb, i + 2).tm
+                                  ELSE {end_ms} END) - x.tm,
+                            {tol_ms}L),
+                'gp', CASE WHEN i < size(_bb) - 1
+                            AND element_at(_bb, i + 2).tm - x.tm
+                                > {tol_ms} THEN 1 ELSE 0 END)),
+            named_struct('lv', 0L, 'gp', 0L),
+            (acc, x) -> named_struct('lv', acc.lv + x.lv,
+                                     'gp', acc.gp + x.gp))""")
+    cols = [F.col(key_col), F.col("bucket_ts"),
+            F.size("_bb").cast("bigint").alias("n_beats"),
+            F.col("_s.lv").alias("uptime_ms"),
+            F.col("_s.gp").alias("n_gaps")]
+    if emit_downtime:
+        cols.append((F.lit(width_ms) - F.col("_s.lv"))
+                    .alias("downtime_ms"))
+    return agg.select(key_col, "bucket_ts", stats.alias("_s"), "_bb") \
+              .select(*cols)
+
+
 def materialize_rollup(rollup_stream: DataFrame, path: str,
                        checkpoint: str, partition_col: str = "bucket_start",
                        key_cols: list[str] | None = None):

@@ -211,6 +211,42 @@ def test_interval_join_stream_equals_batch(spark, batch_events, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_state_durations_equals_batch(spark, batch_events,
+                                                stream_events):
+    """The q177 state rollup run INCREMENTALLY (round 12 twin: one
+    watermarked collect_list aggregation + a stateless per-bucket fold
+    — the batch lead/lag replayed inside the sorted sample array) must
+    equal the batch operator exactly."""
+    from etl_load_spark.operators.timeseries import state_durations
+    from etl_load_spark.streaming.windows import (
+        run_available_now, streaming_state_durations,
+    )
+    stream = run_available_now(streaming_state_durations(stream_events))
+    batch = state_durations(batch_events)
+    cols = ["user_id", "bucket_ts", "event_type", "held_ms", "n_entries",
+            "n_samples"]
+    got, want = _rows(stream, cols), _rows(batch, cols)
+    assert got == want and len(got) > 0
+
+
+def test_streaming_heartbeat_uptime_equals_batch(spark, batch_events,
+                                                 stream_events):
+    """The q178 liveness rollup (+ downtime complement) run
+    INCREMENTALLY via the round-12 collect_list twin must equal the
+    batch operator exactly."""
+    from etl_load_spark.operators.timeseries import heartbeat_uptime
+    from etl_load_spark.streaming.windows import (
+        run_available_now, streaming_heartbeat_uptime,
+    )
+    stream = run_available_now(
+        streaming_heartbeat_uptime(stream_events, emit_downtime=True))
+    batch = heartbeat_uptime(batch_events, emit_downtime=True)
+    cols = ["user_id", "bucket_ts", "n_beats", "uptime_ms", "n_gaps",
+            "downtime_ms"]
+    got, want = _rows(stream, cols), _rows(batch, cols)
+    assert got == want and len(got) > 0
+
+
 def test_materialized_rollup_equals_batch(spark, batch_events, sf_dir, tmp_path):
     """foreachBatch dynamic-partition upsert of the streaming 15-min
     rollup == the batch rollup over the same data (the q53 continuous

@@ -178,20 +178,32 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert r.status == "FAILED"
     assert "applyInPandasWithState" in (r.error or "")
 
-    # STATE_DURATIONS' holds close on the NEXT sample: keyed-state pointer
+    # STATE_DURATIONS / HEARTBEAT_UPTIME stream via their round-12
+    # collect_list twins (success path pinned in
+    # test_streaming_state_heartbeat_stages_stream); only the CARRY
+    # form still refuses — the carried sample is watermark-evicted
+    # state (the hotSplit knob rides the carry form and refuses too)
     r = run_job(spark, spec("STATE_DURATIONS",
                             {"keyColumn": "doc_id", "tsColumn": "ts",
                              "stateColumn": "source",
-                             "orderColumn": "doc_id"}, "sd"))
+                             "orderColumn": "doc_id",
+                             "carryIn": True}, "sd"))
     assert r.status == "FAILED"
-    assert "applyInPandasWithState" in (r.error or "")
+    assert "watermark has already evicted" in (r.error or "")
 
-    # HEARTBEAT_UPTIME clips against the NEXT beat: keyed-state pointer
     r = run_job(spark, spec("HEARTBEAT_UPTIME",
                             {"keyColumn": "doc_id", "tsColumn": "ts",
-                             "orderColumn": "doc_id"}, "hb"))
+                             "orderColumn": "doc_id",
+                             "carryIn": True}, "hb"))
     assert r.status == "FAILED"
-    assert "applyInPandasWithState" in (r.error or "")
+    assert "watermark has already evicted" in (r.error or "")
+
+    r = run_job(spark, spec("HEARTBEAT_UPTIME",
+                            {"keyColumn": "doc_id", "tsColumn": "ts",
+                             "orderColumn": "doc_id",
+                             "hotSplit": "6 hours"}, "hb2"))
+    assert r.status == "FAILED"
+    assert "per-bucket-parallel" in (r.error or "")
 
     # LTTB's selection is sequential over the complete series:
     # land-then-downsample pointer
@@ -402,6 +414,57 @@ def test_streaming_rollup_upsert_survives_multiple_micro_batches(
     # both event types present in the shared bucket — the sibling-group
     # deletion regression collapses this to one
     assert got.select("event_type").distinct().count() == 2
+
+
+def test_streaming_state_heartbeat_stages_stream(spark, tmp_path):
+    """Round 12 (VERDICT r11 #3): STATE_DURATIONS and HEARTBEAT_UPTIME
+    run on STREAMING jobs via their collect_list twins (non-carry
+    form) and materialize through the update-mode group-key upsert;
+    the landed tables must equal the batch operators."""
+    import datetime as dt
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    from etl_load_spark.operators.timeseries import (
+        heartbeat_uptime, state_durations,
+    )
+    rows = [(i, "s%d" % (i % 3), 1 + i % 2,
+             dt.datetime(2024, 2, 1 + i % 3, (i * 5) % 24, i % 60),
+             float(i)) for i in range(40)]
+    schema = ("event_id bigint, event_type string, user_id bigint,"
+              " ts timestamp, value double")
+    feed = spark.createDataFrame(rows, schema)
+    feed.write.parquet(str(tmp_path / "in"))
+
+    def spec(tr_type, params, out):
+        return JobSpec.from_dict({
+            "jobId": f"stream-{out}",
+            "source": {"type": "PARQUET",
+                       "details": {"path": str(tmp_path / "in"),
+                                   "schema": schema}},
+            "transformation": {"type": tr_type, "parameters": params},
+            "destination": {"type": "PARQUET",
+                            "details": {"path": str(tmp_path / out),
+                                        "partition_by": ["bucket_ts"]}},
+            "streaming": {"checkpoint": str(tmp_path / f"chk_{out}"),
+                          "output_mode": "update"},
+        })
+
+    cases = [
+        ("STATE_DURATIONS", {}, "sd", state_durations(feed),
+         ["user_id", "bucket_ts", "event_type", "held_ms", "n_entries",
+          "n_samples"]),
+        ("HEARTBEAT_UPTIME", {"emitDowntime": True}, "hb",
+         heartbeat_uptime(feed, emit_downtime=True),
+         ["user_id", "bucket_ts", "n_beats", "uptime_ms", "n_gaps",
+          "downtime_ms"]),
+    ]
+    for tr_type, params, out, batch, cols in cases:
+        r = run_job(spark, spec(tr_type, params, out))
+        assert r.status == "COMPLETED", (tr_type, r.error)
+        got = spark.read.parquet(str(tmp_path / out))
+        srt = lambda df: sorted(  # noqa: E731
+            tuple(x[c] for c in cols) for x in df.collect())
+        assert srt(got) == srt(batch), tr_type
 
 
 def test_continuous_rollup_maintained_across_job_runs(spark, tmp_path):
