@@ -161,3 +161,76 @@ def test_jdbc_incremental_hwm_against_live_source(spark, tmp_path):
     assert r3.status == "COMPLETED", r3.error
     assert r3.records_written == 0
     assert spark.read.parquet(dest).count() == 16
+
+
+def test_jdbc_incremental_feeding_streaming_materialization(spark, tmp_path):
+    """VERDICT r11 #7: the COMPOSED pipeline — HWM-incremental JDBC
+    ingestion landing parquet deltas, a streaming TREND rollup
+    materializing the landed directory through the update-mode
+    group-key upsert — run over TWO insert rounds against a live Derby
+    source. Each streaming re-run processes only the newly landed
+    files (checkpoint), each incremental re-run ships only the source
+    delta (HWM), and after every round the materialized rollup equals
+    the batch rollup over everything inserted so far."""
+    import datetime as dt
+    from etl_load_spark.operators.timeseries import trend
+
+    url = _url("incstream")
+    state = str(tmp_path / "hwm.json")
+    landing = str(tmp_path / "landing")
+    rollup = str(tmp_path / "rollup")
+    day = dt.datetime(2024, 6, 1)
+    schema = "id bigint, user_id bigint, ts timestamp, value double"
+
+    def rows(lo, hi):
+        return [(i, i % 2, day + dt.timedelta(hours=i), float(i * 3 % 40))
+                for i in range(lo, hi)]
+
+    ingest = JobSpec.from_dict({
+        "jobId": "jdbc-inc-land",
+        "source": {"type": "JDBC",
+                   "details": {"url": url, "table": "FEED",
+                               "driver": DRIVER}},
+        "destination": {"type": "PARQUET", "details": {"path": landing}},
+        "incremental": {"column": "id", "state_path": state},
+    })
+    materialize = JobSpec.from_dict({
+        "jobId": "trend-materialize",
+        "source": {"type": "PARQUET",
+                   "details": {"path": landing, "schema": schema}},
+        "transformation": {"type": "TREND",
+                           "parameters": {"keyColumn": "user_id",
+                                          "valueColumn": "value"}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": rollup,
+                                    "partition_by": ["bucket_ts"]}},
+        "streaming": {"checkpoint": str(tmp_path / "chk"),
+                      "output_mode": "update"},
+    })
+    cols = ["user_id", "bucket_ts", "n_samples", "slope_per_sec"]
+    srt = lambda df: sorted(  # noqa: E731
+        tuple(x[c] for c in cols) for x in df.collect())
+
+    write_jdbc(spark.createDataFrame(rows(0, 30), schema),
+               {"url": url, "table": "FEED", "driver": DRIVER})
+    assert run_job(spark, ingest).status == "COMPLETED"
+    s1 = run_job(spark, materialize)
+    assert s1.status == "COMPLETED", s1.error
+    assert s1.records_read == 30
+    assert srt(spark.read.parquet(rollup)) == \
+        srt(trend(spark.createDataFrame(rows(0, 30), schema),
+                  value_col="value"))
+
+    # round 2: more rows in the source — the HWM ships only the delta,
+    # the stream drains only the newly landed files
+    write_jdbc(spark.createDataFrame(rows(30, 42), schema),
+               {"url": url, "table": "FEED", "driver": DRIVER})
+    i2 = run_job(spark, ingest)
+    assert i2.status == "COMPLETED", i2.error
+    assert i2.records_written == 12
+    s2 = run_job(spark, materialize)
+    assert s2.status == "COMPLETED", s2.error
+    assert s2.records_read == 12          # the landed delta only
+    assert srt(spark.read.parquet(rollup)) == \
+        srt(trend(spark.createDataFrame(rows(0, 42), schema),
+                  value_col="value"))
