@@ -1326,6 +1326,231 @@ ORDER BY {key_col} NULLS LAST, bucket_ts, bin
 """
 
 
+def delta_rollup(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 order_col: str = "event_id",
+                 bucket: str = "1 day") -> DataFrame:
+    """Per-(series, bucket) gauge delta — Timescale ``delta()``: the
+    LAST value minus the FIRST value in the bucket, in value units
+    (exact: integer cents difference, one final /100 double cast).
+    Pure min_by/max_by aggregate over the q174 padded ordering key
+    (same non-negative domain guard), so this form runs UNCHANGED as
+    a Structured Streaming incremental rollup — state is one
+    (first, last) pair per open (key, window) group.
+
+    100 TB shape: one map-side-combinable aggregate, one exchange,
+    no window functions. NULL-ts / NULL-value samples are missed
+    scrapes, excluded; a NULL key is a legitimate series. Reference
+    behavior: TimescaleDB counter_agg/stats delta (public semantics).
+    """
+    validate_bucket(bucket)
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    c = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    oc = F.col(order_col).cast("bigint")
+    key = (
+        F.when(oc.isNull() | (ep < 0) | (oc < 0),
+               F.raise_error(F.format_string(
+                   "delta: ordering key out of domain (epoch_micros=%s, "
+                   f"{order_col}=%s): the padded-string first/last key "
+                   "needs non-negative (post-1970) timestamps and "
+                   "non-negative, NON-NULL order ids", ep, oc)))
+        .otherwise(F.format_string("%019d%019d", ep, oc)))
+    return (e.groupBy(key_col,
+                      F.window(ts_col, bucket).start.alias("bucket_ts"))
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 ((F.max_by(c, key) - F.min_by(c, key)).cast("double")
+                  / 100.0).alias("delta")))
+
+
+def delta(events: DataFrame, key_col: str = "user_id",
+          ts_col: str = "ts", value_col: str = "value",
+          order_col: str = "event_id", bucket: str = "1 day") -> DataFrame:
+    """:func:`delta_rollup` plus the deterministic batch output order."""
+    return (delta_rollup(events, key_col, ts_col, value_col, order_col,
+                         bucket)
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts"))
+
+
+def delta_sql(table: str = "events", key_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "value",
+              order_col: str = "event_id", bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`delta` — arg_max − arg_min over the
+    same 19+19-digit padded ordering key (the q174 lpad contract),
+    integral cents difference cast to double once. Week-and-coarser
+    buckets raise (require_sub_week_bucket, ADVICE r10)."""
+    require_sub_week_bucket(bucket, "delta_sql")
+    k = (f"lpad(CAST(epoch_us({ts_col}) AS VARCHAR), 19, '0') || "
+         f"lpad(CAST({order_col} AS VARCHAR), 19, '0')")
+    c = f"CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    return f"""
+SELECT {key_col},
+       time_bucket(INTERVAL '{bucket}', {ts_col}) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(arg_max({c}, {k}) - arg_min({c}, {k}) AS DOUBLE) / 100.0
+         AS delta
+FROM {table}
+WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+GROUP BY 1, 2
+ORDER BY {key_col} NULLS LAST, bucket_ts
+"""
+
+
+def changes(events: DataFrame, key_col: str = "user_id",
+            ts_col: str = "ts", value_col: str = "value",
+            order_col: str = "event_id",
+            bucket: str = "1 day") -> DataFrame:
+    """Per-(series, bucket) change count — Prometheus ``changes()``:
+    how many times the value CHANGED between consecutive in-bucket
+    samples (on exact integer cents; the bucket's first sample is a
+    baseline, not a change — the self-contained q177 convention).
+
+    100 TB shape: the in-bucket lag window partitions by (key,
+    bucket_ts) and the rollup groups by the same keys, so both ride
+    ONE hash exchange (the q175 subset-clustering reuse); the shuffle
+    after the window is rollup-sized. NULL-ts / NULL-value samples
+    excluded; NULL key legitimate. Reference behavior: Prometheus
+    changes() (public semantics)."""
+    validate_bucket(bucket)
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    c = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    s = e.select(F.col(key_col),
+                 F.window(ts_col, bucket).start.alias("bucket_ts"),
+                 c.alias("_c"), F.col(ts_col).alias("_ts"),
+                 F.col(order_col).alias("_o"))
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy("_ts", "_o")
+    ch = F.when(F.lag("_c").over(w).isNotNull()
+                & (F.lag("_c").over(w) != F.col("_c")), 1).otherwise(0)
+    return (s.select(key_col, "bucket_ts", ch.alias("_ch"))
+            .groupBy(key_col, "bucket_ts")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum("_ch").alias("n_changes"))
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts"))
+
+
+def changes_sql(table: str = "events", key_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                order_col: str = "event_id",
+                bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`changes` — same in-bucket lag over the
+    same (ts, order) ordering on the same integral cents, integral SUM
+    cast back to BIGINT (the HUGEINT lesson). Week-and-coarser buckets
+    raise (require_sub_week_bucket, ADVICE r10)."""
+    require_sub_week_bucket(bucket, "changes_sql")
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts,
+         CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         {ts_col} AS t, {order_col} AS o
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+r AS (
+  SELECT {key_col}, bucket_ts, c,
+         lag(c) OVER (PARTITION BY {key_col}, bucket_ts
+                      ORDER BY t, o) AS pc
+  FROM s)
+SELECT {key_col}, bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN pc IS NOT NULL AND pc <> c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changes
+FROM r GROUP BY 1, 2
+ORDER BY {key_col} NULLS LAST, bucket_ts
+"""
+
+
+def value_stats_rollup(events: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       bucket: str = "1 day") -> DataFrame:
+    """Per-(series, bucket) mean and sample variance — Timescale
+    ``stats_agg`` → average/variance: both at exactly 4 decimals from
+    pure integer sums, so both engines bit-agree and the rollup runs
+    UNCHANGED as a Structured Streaming incremental aggregate (state:
+    three integer sums per open group).
+
+    Exactness: on integral cents c, mean = Σc/(100·n) rendered as the
+    sign-split half-up quotient (2·|Σc|·100 + n) DIV (2·n) at scale 4
+    (Spark DIV truncates, DuckDB // floors — they agree only on
+    non-negative magnitudes, the q183 lesson); sample variance uses
+    S = n·Σc² − (Σc)² ≥ 0 (so no sign split) with
+    var4 = (2·S + d) DIV (2·d), d = 10⁴·n·(n−1)/10⁴ · ... = n·(n−1)
+    — variance in value² units at 4 decimals is exactly
+    S/(n·(n−1)) half-up. NULL when n < 2. Sums ride decimal(38,0):
+    exact while n·max(c²) < 10³⁸ (n·|c|max ≤ 10¹⁹ — far past any real
+    bucket; past it Spark raises on overflow rather than drifting,
+    ANSI mode). Reference behavior: TimescaleDB stats_agg (public
+    semantics)."""
+    validate_bucket(bucket)
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    c = ((F.col(value_col).cast("decimal(12,2)") * 100)
+         .cast("decimal(19,0)"))
+    agg = (e.select(F.col(key_col),
+                    F.window(ts_col, bucket).start.alias("bucket_ts"),
+                    c.alias("_c"), (c * c).alias("_cc"))
+           .groupBy(key_col, "bucket_ts")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+                F.sum("_c").cast("decimal(38,0)").alias("_sc"),
+                F.sum("_cc").cast("decimal(38,0)").alias("_scc")))
+    mean_mag = F.expr("(2 * abs(_sc) * 100 + _n) DIV (2 * _n)")
+    mean4 = F.when(F.col("_sc") < 0, -mean_mag).otherwise(mean_mag)
+    var4 = F.expr("(2 * (_n * _scc - _sc * _sc) + (_n * (_n - 1))) "
+                  "DIV (2 * (_n * (_n - 1)))")
+    return (agg.select(key_col, "bucket_ts",
+                       F.col("_n").cast("bigint").alias("n_samples"),
+                       (mean4.cast("double") / 10000.0).alias("mean"),
+                       F.when(F.col("_n") > 1,
+                              var4.cast("double") / 10000.0)
+                       .alias("variance")))
+
+
+def value_stats(events: DataFrame, key_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                bucket: str = "1 day") -> DataFrame:
+    """:func:`value_stats_rollup` plus the deterministic batch output
+    order."""
+    return (value_stats_rollup(events, key_col, ts_col, value_col,
+                               bucket)
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts"))
+
+
+def value_stats_sql(table: str = "events", key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    bucket: str = "1 day") -> str:
+    """DuckDB oracle for :func:`value_stats` — same three integer sums
+    in HUGEINT (exact like the Spark side's decimal(38,0)), same
+    sign-split half-up mean quotient, same non-negative variance
+    quotient, integral count cast back to BIGINT. Week-and-coarser
+    buckets raise (require_sub_week_bucket, ADVICE r10)."""
+    require_sub_week_bucket(bucket, "value_stats_sql")
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts,
+         CAST(CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT)
+              AS HUGEINT) AS c
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+a AS (
+  SELECT {key_col}, bucket_ts, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(c) AS sc, SUM(c * c) AS scc
+  FROM s GROUP BY 1, 2)
+SELECT {key_col}, bucket_ts, CAST(n AS BIGINT) AS n_samples,
+       CAST(CAST(CASE WHEN sc < 0
+            THEN -((2 * (-sc) * 100 + n) // (2 * n))
+            ELSE ((2 * sc * 100 + n) // (2 * n)) END AS BIGINT)
+            AS DOUBLE) / 10000.0 AS mean,
+       CASE WHEN n > 1 THEN
+         CAST(CAST((2 * (n * scc - sc * sc) + (n * (n - 1)))
+              // (2 * (n * (n - 1))) AS BIGINT) AS DOUBLE) / 10000.0
+       END AS variance
+FROM a
+ORDER BY {key_col} NULLS LAST, bucket_ts
+"""
+
+
 def trend(events: DataFrame, key_col: str = "user_id",
           ts_col: str = "ts", value_col: str = "value",
           bucket: str = "1 day") -> DataFrame:

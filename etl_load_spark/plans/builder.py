@@ -998,6 +998,55 @@ def _value_histogram_transform(df: DataFrame, p: dict) -> DataFrame:
                            nbins=int(p.get("nbins", 10)))
 
 
+def _delta_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative per-bucket gauge delta (operators/timeseries.delta —
+    q186, Timescale delta()): last value − first value over the padded
+    (epoch_micros, order) key, exact integer cents. Row shape CHANGES
+    to (key, bucket_ts, n_samples, delta). One map-side-combinable
+    min_by/max_by aggregate. Parameters: keyColumn ('user_id'),
+    tsColumn ('ts'), valueColumn ('value'), orderColumn ('event_id'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import delta
+    return delta(df, key_col=p.get("keyColumn", "user_id"),
+                 ts_col=p.get("tsColumn", "ts"),
+                 value_col=p.get("valueColumn", "value"),
+                 order_col=p.get("orderColumn", "event_id"),
+                 bucket=p.get("bucket", "1 day"))
+
+
+def _value_stats_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative per-bucket exact mean/variance (operators/
+    timeseries.value_stats — q187, Timescale stats_agg): 4-decimal
+    fixed-point mean (sign-split half-up) and sample variance
+    S/(n(n−1)) from three integer sums; variance NULL under two
+    samples. Row shape CHANGES to (key, bucket_ts, n_samples, mean,
+    variance). One map-side-combinable aggregate. Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import value_stats
+    return value_stats(df, key_col=p.get("keyColumn", "user_id"),
+                       ts_col=p.get("tsColumn", "ts"),
+                       value_col=p.get("valueColumn", "value"),
+                       bucket=p.get("bucket", "1 day"))
+
+
+def _changes_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative per-bucket change count (operators/timeseries.
+    changes — q188, Prometheus changes()): consecutive differing cents
+    over the (ts, order) total order; the bucket's first sample is a
+    baseline. Row shape CHANGES to (key, bucket_ts, n_samples,
+    n_changes). The in-bucket lag window and the rollup share one
+    (key, bucket_ts) exchange. Parameters: keyColumn ('user_id'),
+    tsColumn ('ts'), valueColumn ('value'), orderColumn ('event_id'),
+    bucket ('1 day')."""
+    from etl_load_spark.operators.timeseries import changes
+    return changes(df, key_col=p.get("keyColumn", "user_id"),
+                   ts_col=p.get("tsColumn", "ts"),
+                   value_col=p.get("valueColumn", "value"),
+                   order_col=p.get("orderColumn", "event_id"),
+                   bucket=p.get("bucket", "1 day"))
+
+
 def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:
     """Declarative LTTB visual downsampling (operators/timeseries.lttb
     — q179): per series keep exactly ``resolution`` points (first,
@@ -1087,6 +1136,9 @@ _CORPUS_TRANSFORMS = {
     "TREND": _trend_transform,
     "INSTANT_RATE": _instant_rate_transform,
     "VALUE_HISTOGRAM": _value_histogram_transform,
+    "DELTA": _delta_transform,
+    "VALUE_STATS": _value_stats_transform,
+    "CHANGES": _changes_transform,
 }
 
 
@@ -1181,12 +1233,45 @@ def _streaming_heartbeat_uptime_twin(df: DataFrame, p: dict) -> DataFrame:
 #: ('30 minutes'); the batch output sort is dropped (streams cannot
 #: sort), and a file destination materializes via the update-mode
 #: continuous-aggregate upsert (sources/writers.write_stream_sink).
+def _streaming_delta_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_delta
+    return streaming_delta(df, key_col=p.get("keyColumn", "user_id"),
+                           ts_col=p.get("tsColumn", "ts"),
+                           value_col=p.get("valueColumn", "value"),
+                           order_col=p.get("orderColumn", "event_id"),
+                           bucket=p.get("bucket", "1 day"),
+                           watermark=p.get("watermark", "30 minutes"))
+
+
+def _streaming_value_stats_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_value_stats
+    return streaming_value_stats(
+        df, key_col=p.get("keyColumn", "user_id"),
+        ts_col=p.get("tsColumn", "ts"),
+        value_col=p.get("valueColumn", "value"),
+        bucket=p.get("bucket", "1 day"),
+        watermark=p.get("watermark", "30 minutes"))
+
+
+def _streaming_changes_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_changes
+    return streaming_changes(df, key_col=p.get("keyColumn", "user_id"),
+                             ts_col=p.get("tsColumn", "ts"),
+                             value_col=p.get("valueColumn", "value"),
+                             order_col=p.get("orderColumn", "event_id"),
+                             bucket=p.get("bucket", "1 day"),
+                             watermark=p.get("watermark", "30 minutes"))
+
+
 _STREAMING_TWINS = {
     "OHLC": _streaming_ohlc_twin,
     "TREND": _streaming_trend_twin,
     "VALUE_HISTOGRAM": _streaming_value_histogram_twin,
     "STATE_DURATIONS": _streaming_state_durations_twin,
     "HEARTBEAT_UPTIME": _streaming_heartbeat_uptime_twin,
+    "DELTA": _streaming_delta_twin,
+    "VALUE_STATS": _streaming_value_stats_twin,
+    "CHANGES": _streaming_changes_twin,
 }
 
 
@@ -1212,7 +1297,7 @@ def streaming_merge_keys(spec) -> list[str] | None:
     if t == "STATE_DURATIONS":
         return [p.get("keyColumn", "user_id"), "bucket_ts",
                 p.get("stateColumn", "event_type")]
-    if t == "HEARTBEAT_UPTIME":
+    if t in ("HEARTBEAT_UPTIME", "DELTA", "VALUE_STATS", "CHANGES"):
         return [p.get("keyColumn", "user_id"), "bucket_ts"]
     return None
 

@@ -277,6 +277,67 @@ def streaming_value_histogram(events: DataFrame,
                                   bucket, lo, hi, nbins)
 
 
+def streaming_delta(events: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    order_col: str = "event_id", bucket: str = "1 day",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Incremental gauge delta — operators/timeseries.delta_rollup with
+    a watermark: min_by/max_by over the padded ordering key are
+    declarative aggregates, so the batch aggregation runs unchanged as
+    a stream. State: one (first, last) pair per open (key, window)."""
+    from etl_load_spark.operators.timeseries import delta_rollup
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return delta_rollup(src, key_col, ts_col, value_col, order_col,
+                        bucket)
+
+
+def streaming_value_stats(events: DataFrame, key_col: str = "user_id",
+                          ts_col: str = "ts", value_col: str = "value",
+                          bucket: str = "1 day",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Incremental mean/variance — operators/timeseries.
+    value_stats_rollup with a watermark: three integer sums per open
+    (key, window) group, map-side-combinable; the fixed-point
+    mean/variance render per emitted row."""
+    from etl_load_spark.operators.timeseries import value_stats_rollup
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return value_stats_rollup(src, key_col, ts_col, value_col, bucket)
+
+
+def streaming_changes(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      order_col: str = "event_id", bucket: str = "1 day",
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Incremental change count — the streaming twin of
+    operators/timeseries.changes via the round-12 collect_list recipe
+    (see streaming_state_durations): one watermarked aggregation
+    collects the bucket's (ts, order, cents) samples, a stateless fold
+    counts adjacent differing cents in the sorted array. State: the
+    open buckets' sample lists, watermark-evicted."""
+    from etl_load_spark.operators.timeseries import validate_bucket
+    validate_bucket(bucket)
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    e = src.filter(F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+    c = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    agg = (e.groupBy(F.col(key_col),
+                     F.window(ts_col, bucket).start.alias("bucket_ts"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"), F.col(order_col).alias("o"),
+               c.alias("c")))).alias("_vv")))
+    n_changes = F.expr("""
+        aggregate(
+            transform(_vv, (x, i) -> CASE WHEN i > 0
+                 AND element_at(_vv, i).c <> x.c THEN 1L ELSE 0L END),
+            0L, (acc, x) -> acc + x)""")
+    return (agg.select(key_col, "bucket_ts",
+                       F.size("_vv").cast("bigint").alias("n_samples"),
+                       n_changes.alias("n_changes")))
+
+
 def streaming_state_durations(events: DataFrame,
                               key_col: str = "user_id",
                               ts_col: str = "ts",

@@ -1108,6 +1108,12 @@ def _stage_sweep_specs(tmp_path):
         "VALUE_HISTOGRAM": js("VALUE_HISTOGRAM",
                               {"lo": 0.0, "hi": 50.0, "nbins": 5},
                               src=ts_feed, schema=ts_schema),
+        "DELTA": js("DELTA", {"orderColumn": "user_id"},
+                    src=ts_feed, schema=ts_schema),
+        "VALUE_STATS": js("VALUE_STATS", {"bucket": "1 day"},
+                          src=ts_feed, schema=ts_schema),
+        "CHANGES": js("CHANGES", {"orderColumn": "user_id"},
+                      src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},

@@ -91,6 +91,34 @@ def test_value_histogram_stream_equals_batch(batch_events, stream_events):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_delta_stats_changes_stream_equal_batch(batch_events,
+                                                stream_events):
+    """Round-12 operators stream: delta and value_stats are pure
+    aggregates (streaming_delta / streaming_value_stats run the
+    identical rollup under a watermark); changes streams via the
+    collect_list fold twin. Each must equal its batch operator
+    exactly."""
+    from etl_load_spark.operators.timeseries import (
+        changes, delta, value_stats,
+    )
+    from etl_load_spark.streaming.windows import (
+        streaming_changes, streaming_delta, streaming_value_stats,
+    )
+    cases = [
+        (delta, streaming_delta,
+         ["user_id", "bucket_ts", "n_samples", "delta"]),
+        (value_stats, streaming_value_stats,
+         ["user_id", "bucket_ts", "n_samples", "mean", "variance"]),
+        (changes, streaming_changes,
+         ["user_id", "bucket_ts", "n_samples", "n_changes"]),
+    ]
+    for batch_fn, stream_fn, cols in cases:
+        batch = batch_fn(batch_events)
+        stream = run_available_now(stream_fn(stream_events))
+        got, want = _rows(stream, cols), _rows(batch, cols)
+        assert got == want and len(got) > 0, batch_fn.__name__
+
+
 def test_session_matches_gaps_and_islands_sql(spark, batch_events):
     """session_window == classic SQL sessionization (lag + cumulative gap
     count) — the portable formulation a DuckDB oracle can run."""

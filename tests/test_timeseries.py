@@ -1630,6 +1630,73 @@ def test_instant_rate_and_histogram_plan_shapes(spark, sf_dir):
     assert "partial_count" in plan185    # map-side combine
 
 
+def test_delta_stats_changes_plan_shapes(spark, sf_dir):
+    """Round-12 operators: q186 (delta) and q187 (value_stats) are the
+    q174/q183 shape — ONE map-side-combinable hash aggregate, no
+    window at all, plus the output sort; q188 (changes) is the q175
+    one-exchange shape (in-bucket lag window and rollup share (key,
+    bucket) clustering). No joins, no Python."""
+    import re
+    from etl_load_spark.queries import QUERIES
+    for name in ("q186_value_delta", "q187_value_stats",
+                 "q188_value_changes"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange (hash|range)", plan)) == 2, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partial_count" in plan, name     # map-side combine
+        if name != "q188_value_changes":
+            assert "Window" not in plan, name
+
+
+def test_value_stats_semantics(spark):
+    """Hand fixture for the stats_agg contract: exact 4-decimal mean
+    (half-up, sign-split) and sample variance S/(n(n−1)); variance
+    NULL under two samples; NULL-value rows excluded; NULL key
+    legitimate."""
+    from etl_load_spark.operators.timeseries import value_stats
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=20.0),
+        Row(event_id=3, user_id=1, ts=d(1, 3), value=40.0),
+        Row(event_id=4, user_id=2, ts=d(1, 1), value=7.0),
+        Row(event_id=5, user_id=2, ts=d(1, 2), value=None),
+        Row(event_id=6, user_id=None, ts=d(1, 1), value=-3.335),
+    ])
+    got = {(r.user_id, r.bucket_ts.day): (r.n_samples, r.mean, r.variance)
+           for r in value_stats(events).collect()}
+    # mean 70/3 = 23.3333…  → 23.3333; var of (10,20,40) = 233.3333…
+    assert got[(1, 1)] == (3, 23.3333, 233.3333)
+    assert got[(2, 1)] == (1, 7.0, None)
+    # cents quantize -3.335 → -333.5 → -334 half-up-away? decimal(12,2)
+    # HALF_UP rounds -3.335 to -3.34 → mean -3.34 exactly
+    assert got[(None, 1)] == (1, -3.34, None)
+
+
+def test_delta_and_changes_semantics(spark):
+    """delta: last − first over the (ts, order) total order (ties broken
+    by order id, the q174 key); changes: consecutive differing cents,
+    first sample is a baseline."""
+    from etl_load_spark.operators.timeseries import changes, delta
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=10.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=10.0),   # no change
+        Row(event_id=3, user_id=1, ts=d(1, 3), value=4.5),
+        Row(event_id=4, user_id=1, ts=d(1, 3), value=7.0),    # same-ts tie
+        Row(event_id=5, user_id=2, ts=d(1, 5), value=9.0),
+    ])
+    dgot = {(r.user_id, r.bucket_ts.day): (r.n_samples, r.delta)
+            for r in delta(events).collect()}
+    assert dgot[(1, 1)] == (4, -3.0)     # 7.0 − 10.0
+    assert dgot[(2, 1)] == (1, 0.0)
+    cgot = {(r.user_id, r.bucket_ts.day): (r.n_samples, r.n_changes)
+            for r in changes(events).collect()}
+    assert cgot[(1, 1)] == (4, 2)        # 10→4.5, 4.5→7
+    assert cgot[(2, 1)] == (1, 0)
+
+
 def test_time_weighted_avg_plan_shape(spark, sf_dir):
     """ONE hash exchange serves the lead window AND the (key, bucket)
     aggregate (identical partition keys); the only other exchange is
