@@ -1233,6 +1233,43 @@ def _streaming_heartbeat_uptime_twin(df: DataFrame, p: dict) -> DataFrame:
 #: ('30 minutes'); the batch output sort is dropped (streams cannot
 #: sort), and a file destination materializes via the update-mode
 #: continuous-aggregate upsert (sources/writers.write_stream_sink).
+def _streaming_instant_rate_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import streaming_instant_rate
+    return streaming_instant_rate(
+        df, key_col=p.get("keyColumn", "user_id"),
+        ts_col=p.get("tsColumn", "ts"),
+        value_col=p.get("valueColumn", "value"),
+        order_col=p.get("orderColumn", "event_id"),
+        bucket=p.get("bucket", "1 day"),
+        watermark=p.get("watermark", "30 minutes"))
+
+
+def _streaming_twa_twin(df: DataFrame, p: dict) -> DataFrame:
+    from etl_load_spark.streaming.windows import (
+        streaming_time_weighted_avg,
+    )
+    if p.get("carryIn"):
+        raise ValueError(
+            "TIME_WEIGHTED_AVG carryIn=true is batch-only on a stream: "
+            "the carried sample is the previous bucket's last row, "
+            "which the watermark has already evicted when the next "
+            "bucket opens — land the self-contained rollup "
+            "incrementally, then interpolate carries downstream (the "
+            "batch operator's carry_in=True over the landed table)")
+    if p.get("hotSplit"):
+        raise ValueError(
+            "TIME_WEIGHTED_AVG hotSplit only applies to the batch carry "
+            "form (there is no per-key window to split on a stream — "
+            "the streaming twin is already per-bucket-parallel)")
+    return streaming_time_weighted_avg(
+        df, key_col=p.get("keyColumn", "user_id"),
+        ts_col=p.get("tsColumn", "ts"),
+        value_col=p.get("valueColumn", "value"),
+        order_col=p.get("orderColumn", "event_id"),
+        bucket=p.get("bucket", "1 day"),
+        watermark=p.get("watermark", "30 minutes"))
+
+
 def _streaming_delta_twin(df: DataFrame, p: dict) -> DataFrame:
     from etl_load_spark.streaming.windows import streaming_delta
     return streaming_delta(df, key_col=p.get("keyColumn", "user_id"),
@@ -1272,6 +1309,8 @@ _STREAMING_TWINS = {
     "DELTA": _streaming_delta_twin,
     "VALUE_STATS": _streaming_value_stats_twin,
     "CHANGES": _streaming_changes_twin,
+    "INSTANT_RATE": _streaming_instant_rate_twin,
+    "TIME_WEIGHTED_AVG": _streaming_twa_twin,
 }
 
 
@@ -1297,7 +1336,8 @@ def streaming_merge_keys(spec) -> list[str] | None:
     if t == "STATE_DURATIONS":
         return [p.get("keyColumn", "user_id"), "bucket_ts",
                 p.get("stateColumn", "event_type")]
-    if t in ("HEARTBEAT_UPTIME", "DELTA", "VALUE_STATS", "CHANGES"):
+    if t in ("HEARTBEAT_UPTIME", "DELTA", "VALUE_STATS", "CHANGES",
+             "INSTANT_RATE", "TIME_WEIGHTED_AVG"):
         return [p.get("keyColumn", "user_id"), "bucket_ts"]
     return None
 
@@ -1363,23 +1403,9 @@ _BATCH_ONLY_TRANSFORMS = {
                      "applyInPandasWithState) to emit deltas "
                      "incrementally, or land the stream and roll up "
                      "each landed batch downstream"),
-    "TIME_WEIGHTED_AVG": ("hold-time weights need each (series, bucket)'s "
-                          "complete ordered samples — the last sample's "
-                          "weight extends to the bucket end, which only a "
-                          "closed bucket knows; keep the last sample per "
-                          "series in keyed state (streaming.stateful, "
-                          "applyInPandasWithState) to emit hold-time "
-                          "increments, or land the stream and roll up "
-                          "each landed batch downstream"),
     "LTTB": ("the largest-triangle selection is sequential over each "
              "series' complete point set; land the stream, then "
              "downsample each landed slice downstream (the per-bucket "
              "rollups — OHLC, TIME_WEIGHTED_AVG — are the incremental "
              "alternatives)"),
-    "INSTANT_RATE": ("the last-two-samples pick finalizes only when "
-                     "the bucket closes; keep the last two samples per "
-                     "series in keyed state (streaming.stateful, "
-                     "applyInPandasWithState) to emit the running "
-                     "irate, or land the stream and roll up each "
-                     "landed batch downstream"),
 }

@@ -338,6 +338,113 @@ def streaming_changes(events: DataFrame, key_col: str = "user_id",
                        n_changes.alias("n_changes")))
 
 
+def streaming_instant_rate(events: DataFrame, key_col: str = "user_id",
+                           ts_col: str = "ts", value_col: str = "value",
+                           order_col: str = "event_id",
+                           bucket: str = "1 day",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Incremental irate — the streaming twin of operators/timeseries.
+    instant_rate via the round-12 collect_list recipe: the batch form's
+    in-bucket lag is replayed on the sorted array's last two elements
+    (Prometheus reset rule on the final step, the same unsigned
+    half-up fixed-point quotient rendered in SQL so both engines
+    bit-agree). The negative-counter guard raises inside the fold
+    exactly like the batch raise_error. State: the open buckets'
+    sample lists, watermark-evicted."""
+    from etl_load_spark.operators.timeseries import validate_bucket
+    validate_bucket(bucket)
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    e = src.filter(F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+    c = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    cg = F.when(c < 0, F.raise_error(F.format_string(
+        "instant_rate: negative counter value (%s cents): irate's "
+        "unsigned half-up quotient needs non-negative counters",
+        c))).otherwise(c)
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    agg = (e.groupBy(F.col(key_col),
+                     F.window(ts_col, bucket).start.alias("bucket_ts"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"), F.col(order_col).alias("o"),
+               cg.alias("c"), tms.alias("tm")))).alias("_vv")))
+    n = F.size("_vv")
+    rate4 = F.expr("(2 * _inc * 10 * 10000 + _dms) DIV (2 * _dms)")
+    picked = (agg.select(
+        key_col, "bucket_ts", n.cast("bigint").alias("n_samples"),
+        # ANSI element_at(-2) raises on a 1-element array — the when()
+        # guards evaluation (CASE branches are conditional)
+        F.element_at("_vv", -1).alias("_last"),
+        F.when(n >= 2, F.element_at("_vv", -2)).alias("_prev")))
+    last, prev = F.col("_last"), F.col("_prev")
+    inc = F.when(last["c"] >= prev["c"], last["c"] - prev["c"]) \
+        .otherwise(last["c"])
+    return (picked
+            .select(key_col, "bucket_ts", "n_samples",
+                    inc.alias("_inc"),
+                    (last["tm"] - prev["tm"]).alias("_dms"))
+            .select(key_col, "bucket_ts", "n_samples",
+                    F.when(F.col("_dms") > 0,
+                           rate4.cast("double") / 10000.0)
+                    .alias("irate_per_sec")))
+
+
+def streaming_time_weighted_avg(events: DataFrame,
+                                key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                value_col: str = "value",
+                                order_col: str = "event_id",
+                                bucket: str = "1 day",
+                                watermark: str = "30 minutes"
+                                ) -> DataFrame:
+    """Incremental time-weighted average — the streaming twin of
+    operators/timeseries.time_weighted_avg's SELF-CONTAINED form
+    (carry_in=False) via the collect_list recipe: each sample's weight
+    is the gap to its in-array successor (or the bucket end), folded
+    into the same Σ(c·dt)/Σdt fixed-point quotient. The carry form
+    stays batch-only (the carried sample is watermark-evicted state).
+    State: the open buckets' sample lists."""
+    from etl_load_spark.operators.timeseries import (
+        bucket_width_seconds, validate_bucket,
+    )
+    validate_bucket(bucket)
+    width_ms = bucket_width_seconds(bucket) * 1000
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    e = src.filter(F.col(ts_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+    c = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    tms = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    agg = (e.groupBy(F.col(key_col),
+                     F.window(ts_col, bucket).start.alias("bucket_ts"))
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"), F.col(order_col).alias("o"),
+               c.alias("c"), tms.alias("tm")))).alias("_vv")))
+    end_ms = (f"unix_millis(CAST(bucket_ts AS TIMESTAMP_LTZ)) "
+              f"+ {width_ms}")
+    sums = F.expr(f"""
+        aggregate(
+            transform(_vv, (x, i) -> named_struct(
+                'num', x.c * ((CASE WHEN i < size(_vv) - 1
+                                    THEN element_at(_vv, i + 2).tm
+                                    ELSE {end_ms} END) - x.tm),
+                'den', (CASE WHEN i < size(_vv) - 1
+                             THEN element_at(_vv, i + 2).tm
+                             ELSE {end_ms} END) - x.tm)),
+            named_struct('num', 0L, 'den', 0L),
+            (acc, x) -> named_struct('num', acc.num + x.num,
+                                     'den', acc.den + x.den))""")
+    twa4 = F.expr("(200 * _num + _den) DIV (2 * _den)")
+    return (agg.select(key_col, "bucket_ts",
+                       F.size("_vv").cast("bigint").alias("n_samples"),
+                       sums.alias("_s"))
+            .select(key_col, "bucket_ts", "n_samples",
+                    F.col("_s.num").alias("_num"),
+                    F.col("_s.den").alias("_den"))
+            .select(key_col, "bucket_ts", "n_samples",
+                    (twa4.cast("double") / 10000.0).alias("twa")))
+
+
 def streaming_state_durations(events: DataFrame,
                               key_col: str = "user_id",
                               ts_col: str = "ts",

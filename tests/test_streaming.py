@@ -119,6 +119,29 @@ def test_delta_stats_changes_stream_equal_batch(batch_events,
         assert got == want and len(got) > 0, batch_fn.__name__
 
 
+def test_irate_twa_stream_equal_batch(batch_events, stream_events):
+    """instant_rate and the self-contained time_weighted_avg stream via
+    the round-12 collect_list fold twins and must equal their batch
+    operators exactly (the carry TWA stays batch-only by design)."""
+    from etl_load_spark.operators.timeseries import (
+        instant_rate, time_weighted_avg,
+    )
+    from etl_load_spark.streaming.windows import (
+        streaming_instant_rate, streaming_time_weighted_avg,
+    )
+    cases = [
+        (instant_rate, streaming_instant_rate,
+         ["user_id", "bucket_ts", "n_samples", "irate_per_sec"]),
+        (time_weighted_avg, streaming_time_weighted_avg,
+         ["user_id", "bucket_ts", "n_samples", "twa"]),
+    ]
+    for batch_fn, stream_fn, cols in cases:
+        batch = batch_fn(batch_events)
+        stream = run_available_now(stream_fn(stream_events))
+        got, want = _rows(stream, cols), _rows(batch, cols)
+        assert got == want and len(got) > 0, batch_fn.__name__
+
+
 def test_session_matches_gaps_and_islands_sql(spark, batch_events):
     """session_window == classic SQL sessionization (lag + cumulative gap
     count) — the portable formulation a DuckDB oracle can run."""

@@ -169,14 +169,15 @@ def test_streaming_quality_filter_and_mixture_work_passage_dedup_refuses(
     assert "applyInPandasWithState" in (r.error or "")
 
 
-    # TIME_WEIGHTED_AVG's last-sample weight extends to bucket end:
-    # refuses with the keyed-state pointer
+    # TIME_WEIGHTED_AVG streams via the round-12 collect_list twin;
+    # only the carry form refuses (watermark-evicted carry sample)
     r = run_job(spark, spec("TIME_WEIGHTED_AVG",
                             {"keyColumn": "doc_id", "tsColumn": "ts",
-                             "valueColumn": "v", "orderColumn": "doc_id"},
+                             "valueColumn": "v", "orderColumn": "doc_id",
+                             "carryIn": True},
                             "tw"))
     assert r.status == "FAILED"
-    assert "applyInPandasWithState" in (r.error or "")
+    assert "watermark has already evicted" in (r.error or "")
 
     # STATE_DURATIONS / HEARTBEAT_UPTIME stream via their round-12
     # collect_list twins (success path pinned in
