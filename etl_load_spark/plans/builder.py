@@ -171,7 +171,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE, "
                          "OHLC, TIME_WEIGHTED_AVG, STATE_DURATIONS, "
                          "HEARTBEAT_UPTIME, LTTB, TREND, INSTANT_RATE, "
-                         "VALUE_HISTOGRAM)")
+                         "VALUE_HISTOGRAM, DELTA, VALUE_STATS, CHANGES)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
