@@ -129,6 +129,15 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                 "train the histograms offline, then score the stream with "
                 "a broadcast join against the frozen bucket-score table")
         return _importance_resample_transform(df, spark, spec)
+    if tr.type.upper() == "ASOF_JOIN":
+        if df.isStreaming:
+            raise ValueError(
+                "transformation.type=ASOF_JOIN is batch-only (the "
+                "union-window argmax needs each key's ordered history); "
+                "for bounded-lookback stream enrichment use "
+                "streaming.windows.stream_interval_join, or land the "
+                "stream and enrich each landed batch downstream")
+        return _asof_join_transform(df, spark, spec)
     if tr.type.upper() == "HARD_NEGATIVES":
         if df.isStreaming:
             raise ValueError(
@@ -171,7 +180,8 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "WINDOW_MINHASH_DEDUP, GAPFILL, COUNTER_RATE, "
                          "OHLC, TIME_WEIGHTED_AVG, STATE_DURATIONS, "
                          "HEARTBEAT_UPTIME, LTTB, TREND, INSTANT_RATE, "
-                         "VALUE_HISTOGRAM, DELTA, VALUE_STATS, CHANGES)")
+                         "VALUE_HISTOGRAM, DELTA, VALUE_STATS, CHANGES, "
+                         "ASOF_JOIN)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -1103,6 +1113,41 @@ def _hard_negatives_transform(df: DataFrame, spark: SparkSession,
                           vec_col=p.get("vectorColumn", "embedding"),
                           label_col=p.get("labelColumn", "label"),
                           dup_ceiling=float(p.get("dupCeiling", 0.999)))
+
+
+def _asof_join_transform(df: DataFrame, spark: SparkSession,
+                         spec: JobSpec) -> DataFrame:
+    """Declarative backward as-of join (operators/asof_join — q51):
+    attach to each row the most recent ``extraSources.<rightSource>``
+    row at or before its timestamp, per key. Parameters: rightSource
+    ('right' — an extraSources key), on (key column list,
+    ['user_id']), leftTsColumn ('ts'), rightTsColumn (defaults to
+    leftTsColumn), tolerance (optional day-time interval string,
+    validated against the strict grammar — the injection-surface
+    rule), how ('left' | 'inner'). Right payload columns must not
+    collide with left columns (pre-alias in the right source's
+    query/table). 100 TB: the operator unions the two sides and runs
+    ONE window over (key, ts) — a single shuffle, no join operator,
+    no candidate blow-up on hot keys (asof_join module docstring)."""
+    from etl_load_spark.operators.asof_join import asof_join
+    from etl_load_spark.sources.registry import read_source
+    p = spec.transformation.parameters or {}
+    src_key = p.get("rightSource", "right")
+    if src_key not in spec.extra_sources:
+        raise ValueError(
+            f"ASOF_JOIN requires extraSources.{src_key!r} (the right "
+            "side to attach); set parameters.rightSource to pick a "
+            "different extraSources key")
+    right = read_source(spark, spec.extra_sources[src_key])
+    tol = None
+    if p.get("tolerance"):
+        from etl_load_spark.operators.timeseries import validate_bucket
+        validate_bucket(p["tolerance"])
+        tol = F.expr(f"INTERVAL {p['tolerance']}")
+    return asof_join(df, right, on=p.get("on", ["user_id"]),
+                     left_ts=p.get("leftTsColumn", "ts"),
+                     right_ts=p.get("rightTsColumn"),
+                     tolerance=tol, how=p.get("how", "left"))
 
 
 _CORPUS_TRANSFORMS = {

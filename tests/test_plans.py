@@ -1014,6 +1014,11 @@ def _stage_sweep_specs(tmp_path):
          "ts": "2024-01-02T00:00:00", "value": 5.0},
     ]))
     ts_schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    asof_right = tmp_path / "sweep_asof_right.json"
+    asof_right.write_text("\n".join(_json.dumps(r) for r in [
+        {"user_id": 1, "rts": "2024-01-01T00:00:00", "segment": "A"},
+        {"user_id": 2, "rts": "2024-01-01T12:00:00", "segment": "B"},
+    ]))
     df_script = tmp_path / "sweep_df_hook.py"
     df_script.write_text(textwrap.dedent("""
         from pyspark.sql import functions as F
@@ -1108,6 +1113,12 @@ def _stage_sweep_specs(tmp_path):
         "VALUE_HISTOGRAM": js("VALUE_HISTOGRAM",
                               {"lo": 0.0, "hi": 50.0, "nbins": 5},
                               src=ts_feed, schema=ts_schema),
+        "ASOF_JOIN": js("ASOF_JOIN", {"rightTsColumn": "rts"},
+                        src=ts_feed, schema=ts_schema,
+                        extra={"right": {
+                            "path": str(asof_right),
+                            "schema": ("user_id bigint, rts timestamp,"
+                                       " segment string")}}),
         "DELTA": js("DELTA", {"orderColumn": "user_id"},
                     src=ts_feed, schema=ts_schema),
         "VALUE_STATS": js("VALUE_STATS", {"bucket": "1 day"},

@@ -926,6 +926,59 @@ def test_heartbeat_uptime_stage(spark, tmp_path):
     assert (r.n_beats, r.uptime_ms, r.n_gaps) == (3, 150 * m, 1)
 
 
+def test_asof_join_stage(spark, tmp_path):
+    """Declarative ASOF_JOIN (q51 as product surface): each left row is
+    enriched with the most recent extraSources.right row at or before
+    its timestamp per key; tolerance drops too-old matches; a missing
+    right source and a streaming job both refuse by name."""
+    import json as _json
+    left = tmp_path / "asof_left.json"
+    left.write_text("\n".join(_json.dumps(r) for r in [
+        {"eid": 1, "uid": 1, "at": "2024-01-02T00:00:00"},
+        {"eid": 2, "uid": 1, "at": "2024-01-09T00:00:00"},
+        {"eid": 3, "uid": 2, "at": "2024-01-02T00:00:00"},
+    ]))
+    right = tmp_path / "asof_right.json"
+    right.write_text("\n".join(_json.dumps(r) for r in [
+        {"uid": 1, "rts": "2024-01-01T00:00:00", "segment": "A"},
+        {"uid": 1, "rts": "2024-01-05T00:00:00", "segment": "B"},
+    ]))
+
+    def spec(params, extra=True):
+        d = {
+            "jobId": "asof-stage",
+            "source": {"type": "FILE_JSON",
+                       "details": {"path": str(left),
+                                   "schema": "eid bigint, uid bigint,"
+                                             " at timestamp"}},
+            "transformation": {"type": "ASOF_JOIN", "parameters": params},
+        }
+        if extra:
+            d["extraSources"] = {"right": {
+                "type": "FILE_JSON",
+                "details": {"path": str(right),
+                            "schema": "uid bigint, rts timestamp,"
+                                      " segment string"}}}
+        return JobSpec.from_dict(d)
+
+    base = {"on": ["uid"], "leftTsColumn": "at", "rightTsColumn": "rts"}
+    got = {r.eid: r.segment
+           for r in build_plan(spark, spec(base)).collect()}
+    assert got == {1: "A", 2: "B", 3: None}
+    # tolerance: eid=1 is 1 day after 'A' (kept at 2 days), eid=2 is
+    # 4 days after 'B' (dropped)
+    got = {r.eid: r.segment
+           for r in build_plan(spark, spec(dict(
+               base, tolerance="2 days"))).collect()}
+    assert got == {1: "A", 2: None, 3: None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="extraSources"):
+        build_plan(spark, spec(base, extra=False))
+    # tolerance strings are validated (injection surface)
+    with _pytest.raises(ValueError, match="invalid bucket"):
+        build_plan(spark, spec(dict(base, tolerance="2 days; DROP")))
+
+
 def test_lttb_stage(spark, tmp_path):
     """Declarative LTTB (q179 as product surface): the downsample
     routes through the spec path with non-default columns and
@@ -994,7 +1047,8 @@ def test_stage_registry_readme_and_error_in_sync():
     from etl_load_spark.plans import builder
     stages = set(builder._CORPUS_TRANSFORMS) | {
         "SCD2_MERGE", "CDC_SCD2_APPLY", "DECONTAMINATE",
-        "INCREMENTAL_DEDUP", "IMPORTANCE_RESAMPLE", "HARD_NEGATIVES"}
+        "INCREMENTAL_DEDUP", "IMPORTANCE_RESAMPLE", "HARD_NEGATIVES",
+        "ASOF_JOIN"}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     readme = open(os.path.join(root, "README.md")).read()
     err_src = inspect.getsource(builder.apply_transformation)
