@@ -1551,6 +1551,81 @@ ORDER BY {key_col} NULLS LAST, bucket_ts
 """
 
 
+def value_topk(events: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               bucket: str = "1 day", k: int = 3) -> DataFrame:
+    """Per-(series, bucket) top-k most frequent values — the
+    ClickHouse ``topK`` / heavy-hitters rollup in exact relational
+    form: one row per (key, bucket, rank ≤ k) with the value (exact
+    cents → double) and its occurrence count. Deterministic total
+    order: count DESC, then value ASC (ties at the cut resolve to the
+    smaller value — both engines replay it exactly).
+
+    100 TB shape: first a map-side-combinable (key, bucket, cents)
+    count — the shuffle is distinct-values-sized, never row-sized;
+    then a rank window with a LITERAL limit, so
+    InferWindowGroupLimit bounds it (a Partial WindowGroupLimit below
+    the exchange ships ≤ k rows per group per map partition — the
+    round-7 lesson: trust the rule, don't hand-build the pre-cut).
+    NULL-ts / NULL-value samples excluded; NULL key legitimate.
+    Reference behavior: ClickHouse topK (public semantics; exact
+    form — the sketchy variant is approx_count_distinct territory)."""
+    validate_bucket(bucket)
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    e = events.filter(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    c = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    counts = (e.select(F.col(key_col),
+                       F.window(ts_col, bucket).start.alias("bucket_ts"),
+                       c.alias("_c"))
+              .groupBy(key_col, "bucket_ts", "_c")
+              .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    w = Window.partitionBy(key_col, "bucket_ts") \
+        .orderBy(F.col("n_occurrences").desc(), F.col("_c").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key_col, "bucket_ts", "rank",
+                    (F.col("_c").cast("double") / 100.0).alias("value"),
+                    "n_occurrences")
+            .orderBy(F.col(key_col).asc_nulls_last(), "bucket_ts",
+                     "rank"))
+
+
+def value_topk_sql(table: str = "events", key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   bucket: str = "1 day", k: int = 3) -> str:
+    """DuckDB oracle for :func:`value_topk` — same cents counts, same
+    (count DESC, value ASC) total order via row_number(), integral
+    count cast back to BIGINT. Week-and-coarser buckets raise
+    (require_sub_week_bucket, ADVICE r10)."""
+    require_sub_week_bucket(bucket, "value_topk_sql")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    tb = f"time_bucket(INTERVAL '{bucket}', {ts_col})"
+    return f"""
+WITH s AS (
+  SELECT {key_col}, {tb} AS bucket_ts,
+         CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL),
+a AS (
+  SELECT {key_col}, bucket_ts, c,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM s GROUP BY 1, 2, 3),
+r AS (
+  SELECT {key_col}, bucket_ts, c, n_occurrences,
+         CAST(row_number() OVER (PARTITION BY {key_col}, bucket_ts
+                                 ORDER BY n_occurrences DESC, c ASC)
+              AS INTEGER) AS rank
+  FROM a)
+SELECT {key_col}, bucket_ts, rank,
+       CAST(c AS DOUBLE) / 100.0 AS value, n_occurrences
+FROM r WHERE rank <= {k}
+ORDER BY {key_col} NULLS LAST, bucket_ts, rank
+"""
+
+
 def trend(events: DataFrame, key_col: str = "user_id",
           ts_col: str = "ts", value_col: str = "value",
           bucket: str = "1 day") -> DataFrame:

@@ -181,7 +181,7 @@ def apply_transformation(df: DataFrame, spark: SparkSession,
                          "OHLC, TIME_WEIGHTED_AVG, STATE_DURATIONS, "
                          "HEARTBEAT_UPTIME, LTTB, TREND, INSTANT_RATE, "
                          "VALUE_HISTOGRAM, DELTA, VALUE_STATS, CHANGES, "
-                         "ASOF_JOIN)")
+                         "VALUE_TOPK, ASOF_JOIN)")
     if not tr.script_path:
         raise ValueError("transformation.type=PYTHON_SCRIPT requires scriptPath")
     import importlib.util
@@ -1057,6 +1057,22 @@ def _changes_transform(df: DataFrame, p: dict) -> DataFrame:
                    bucket=p.get("bucket", "1 day"))
 
 
+def _value_topk_transform(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative per-bucket top-k frequent values (operators/
+    timeseries.value_topk — q189, ClickHouse topK exact form): one row
+    per (key, bucket, rank ≤ k) with the value and its count,
+    deterministic (count DESC, value ASC) order. Row shape CHANGES to
+    (key, bucket_ts, rank, value, n_occurrences). Parameters:
+    keyColumn ('user_id'), tsColumn ('ts'), valueColumn ('value'),
+    bucket ('1 day'), k (3)."""
+    from etl_load_spark.operators.timeseries import value_topk
+    return value_topk(df, key_col=p.get("keyColumn", "user_id"),
+                      ts_col=p.get("tsColumn", "ts"),
+                      value_col=p.get("valueColumn", "value"),
+                      bucket=p.get("bucket", "1 day"),
+                      k=int(p.get("k", 3)))
+
+
 def _lttb_transform(df: DataFrame, p: dict) -> DataFrame:
     """Declarative LTTB visual downsampling (operators/timeseries.lttb
     — q179): per series keep exactly ``resolution`` points (first,
@@ -1184,6 +1200,7 @@ _CORPUS_TRANSFORMS = {
     "DELTA": _delta_transform,
     "VALUE_STATS": _value_stats_transform,
     "CHANGES": _changes_transform,
+    "VALUE_TOPK": _value_topk_transform,
 }
 
 
@@ -1453,4 +1470,9 @@ _BATCH_ONLY_TRANSFORMS = {
              "downsample each landed slice downstream (the per-bucket "
              "rollups — OHLC, TIME_WEIGHTED_AVG — are the incremental "
              "alternatives)"),
+    "VALUE_TOPK": ("the frequency ranking is two chained aggregations "
+                   "(per-value counts, then the rank cut) — not ONE "
+                   "streaming query; land the stream, then rank each "
+                   "landed batch downstream (VALUE_HISTOGRAM is the "
+                   "stream-safe distribution rollup)"),
 }

@@ -6969,6 +6969,29 @@ def _register_changes_oracle() -> None:
 _register_changes_oracle()
 
 
+# --- q189: per-bucket top-k frequent values --------------------------------------
+
+@query("q189_value_topk")  # oracle attached right below
+def q189_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(series, bucket) top-k most frequent values (ClickHouse topK,
+    exact relational form): a distinct-values-sized count aggregate,
+    then a rank window with a LITERAL limit so InferWindowGroupLimit
+    bounds the shuffle to ≤ k rows per group per map partition (the
+    round-7 plan lesson). Deterministic (count DESC, value ASC) order
+    replayed identically by the oracle's row_number(). See
+    operators/timeseries.value_topk."""
+    from etl_load_spark.operators.timeseries import value_topk
+    return value_topk(t(spark, sf_dir, "events"), k=3)
+
+
+def _register_value_topk_oracle() -> None:
+    from etl_load_spark.operators.timeseries import value_topk_sql
+    QUERIES["q189_value_topk"].oracle = value_topk_sql("events", k=3)
+
+
+_register_value_topk_oracle()
+
+
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness harness checks the FIRST 50 queries in
 # registration order; round 1 registered in file order, so 77 queries —

@@ -1125,6 +1125,8 @@ def _stage_sweep_specs(tmp_path):
                           src=ts_feed, schema=ts_schema),
         "CHANGES": js("CHANGES", {"orderColumn": "user_id"},
                       src=ts_feed, schema=ts_schema),
+        "VALUE_TOPK": js("VALUE_TOPK", {"k": 2},
+                         src=ts_feed, schema=ts_schema),
         "SCD2_MERGE": js("SCD2_MERGE",
                          {"keyColumns": ["k"], "attrColumns": ["attr"],
                           "effectiveDate": "2021-06-01"},

@@ -1697,6 +1697,33 @@ def test_delta_and_changes_semantics(spark):
     assert cgot[(2, 1)] == (1, 0)
 
 
+def test_value_topk_semantics_and_plan(spark, sf_dir):
+    """q189 contract: exact per-value counts, (count DESC, value ASC)
+    deterministic order, rank cut at k with the smaller value winning
+    frequency ties; plan carries a Partial WindowGroupLimit below the
+    exchange (InferWindowGroupLimit on the literal limit — the round-7
+    lesson) and no joins/Python."""
+    from etl_load_spark.operators.timeseries import value_topk
+    events = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=d(1, 1), value=5.0),
+        Row(event_id=2, user_id=1, ts=d(1, 2), value=5.0),
+        Row(event_id=3, user_id=1, ts=d(1, 3), value=9.0),
+        Row(event_id=4, user_id=1, ts=d(1, 4), value=9.0),   # tie w/ 5.0
+        Row(event_id=5, user_id=1, ts=d(1, 5), value=2.0),
+        Row(event_id=6, user_id=None, ts=d(1, 6), value=7.0),
+    ])
+    got = [(r.user_id, r.rank, r.value, r.n_occurrences)
+           for r in value_topk(events, k=2).collect()]
+    assert got == [(1, 1, 5.0, 2), (1, 2, 9.0, 2),   # tie → smaller first
+                   (None, 1, 7.0, 1)]
+    from etl_load_spark.queries import QUERIES
+    plan = (QUERIES["q189_value_topk"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_time_weighted_avg_plan_shape(spark, sf_dir):
     """ONE hash exchange serves the lead window AND the (key, bucket)
     aggregate (identical partition keys); the only other exchange is
