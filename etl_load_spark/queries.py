@@ -7023,11 +7023,14 @@ _register_value_topk_oracle()
 # After this round every declared query is driver-certified and no
 # green row is older than round 8. Everything outside the window
 # keeps the identical-methodology local pytest oracle gate
-# (tests/test_entry.py). Round-13 rotation: any queries registered
-# post-freeze this round first (a new query outranks any re-green),
-# then the 12 deferred r8 rows above, then the oldest remaining rows
-# computed from the CORRECTNESS_r0*.json files (never a hardcoded
-# list).
+# (tests/test_entry.py). Round-13 rotation: first rows for the four
+# round-12 post-freeze queries — q186_value_delta, q187_value_stats,
+# q188_value_changes, q189_value_topk (each oracle-green locally at
+# sf0.01 + sf0.1 + the null-injected events fixture, pinned at
+# registration from converged last-3-of-7 isolated medians — a new
+# query outranks any re-green, the standing precedent), then the 12
+# deferred r8 rows above, then the oldest remaining rows computed
+# from the CORRECTNESS_r0*.json files (never a hardcoded list).
 DRIVER_WINDOW: list[str] = [
     # --- fixed anchors (10) ---
     "q01_pricing_summary",      # flagship aggregate
