@@ -1244,7 +1244,8 @@ FROM r WHERE _rk <= _quota ORDER BY {id_col}
 
 def hashed_feature_relation(df: DataFrame, id_col: str, text_col: str,
                             n_buckets: int,
-                            hasher: str = "portable") -> DataFrame:
+                            hasher: str = "portable",
+                            target_flag: Column | None = None) -> DataFrame:
     """(_id, _b) — one row per hashed n-gram feature occurrence: word
     unigrams AND adjacent bigrams of the normalized token stream, hashed
     into ``n_buckets`` buckets. One posexplode over token positions;
@@ -1259,38 +1260,49 @@ def hashed_feature_relation(df: DataFrame, id_col: str, text_col: str,
     JVM xxhash64 — the 100 TB production setting (the bucket hash is an
     arbitrary projection, so any uniform hash gives statistically
     identical DSIR weights; only cross-engine replayability changes).
-    Measured in SCALE.md."""
+    Measured in SCALE.md.
+
+    ``target_flag`` (a boolean Column over ``df``'s columns, constant
+    per document) adds a ``_t`` output column so one featurizer pass
+    can serve both the raw and the target-slice histograms — the q155
+    single-pass path."""
     from etl_load_spark.operators.dedup import normalize_text, portable_hash64
 
     if hasher not in ("portable", "fast"):
         raise ValueError(f"hasher must be 'portable' or 'fast', got {hasher!r}")
 
     norm = normalize_text(F.col(text_col))
+    carry = [] if target_flag is None else [target_flag.alias("_t")]
     t = (df.filter(F.col(text_col).isNotNull()
                    & F.col(id_col).isNotNull())
-         .select(F.col(id_col).alias("_id"), norm.alias("_nt"))
+         .select(F.col(id_col).alias("_id"), norm.alias("_nt"), *carry)
          .filter(F.length("_nt") > 0)
-         .select("_id", F.split("_nt", " ").alias("_ws")))
+         .select("_id", F.split("_nt", " ").alias("_ws"),
+                 *(["_t"] if carry else [])))
     occ = t.select(
         "_id",
         F.posexplode("_ws").alias("_i", "_w"),
         # try_: the last token has no successor and ANSI element_at throws
-        F.try_element_at("_ws", F.col("_i") + 2).alias("_nx"))
+        F.try_element_at("_ws", F.col("_i") + 2).alias("_nx"),
+        *(["_t"] if carry else []))
     feat = occ.select(
         "_id",
         F.explode(F.when(F.col("_nx").isNull(), F.array("_w"))
                   .otherwise(F.array(
                       F.col("_w"),
-                      F.concat_ws(" ", "_w", "_nx")))).alias("_f"))
+                      F.concat_ws(" ", "_w", "_nx")))).alias("_f"),
+        *(["_t"] if carry else []))
     h = (portable_hash64(F.col("_f")) if hasher == "portable"
          else F.xxhash64(F.col("_f")))
-    return feat.select("_id", F.pmod(h, F.lit(n_buckets)).alias("_b"))
+    return feat.select("_id", F.pmod(h, F.lit(n_buckets)).alias("_b"),
+                       *(["_t"] if carry else []))
 
 
-def importance_weights(df: DataFrame, target_df: DataFrame,
+def importance_weights(df: DataFrame, target_df: DataFrame | None = None,
                        id_col: str = "doc_id", text_col: str = "text",
                        n_buckets: int = 1024,
-                       hasher: str = "portable") -> DataFrame:
+                       hasher: str = "portable",
+                       target_pred: Column | None = None) -> DataFrame:
     """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
     document by how much more likely its hashed n-gram features are
@@ -1321,20 +1333,49 @@ def importance_weights(df: DataFrame, target_df: DataFrame,
     pass over the (small, fixed) target set, the B-row score relation
     broadcasts back, and the per-document reduction ships
     (doc, bucket)-level partial sums. The reference has no selection
-    ops; this extends the curation surface (module docstring)."""
+    ops; this extends the curation surface (module docstring).
+
+    The target set is given EITHER as ``target_df`` (a separate
+    relation — the declarative stage's two-source form, tokenized in
+    its own bounded pass) OR as ``target_pred`` (a boolean Column over
+    ``df``'s own columns, constant per document). The predicate form is
+    the single-pass path: the flag rides the one corpus featurizer
+    pass and the target histogram is SUM(_k) over flagged docs in the
+    already-aggregated (_id,_b,_k) relation — per bucket that equals
+    the occurrence count a second tokenizer pass over the slice would
+    produce, so results are bit-identical while the target slice's
+    tokenize+explode+hash work disappears."""
     from etl_load_spark.operators.text import floor_log2
     from etl_load_spark.session import register_operator_cache
 
+    if (target_df is None) == (target_pred is None):
+        raise ValueError(
+            "exactly one of target_df / target_pred must be given")
     B = int(n_buckets)
-    docb = register_operator_cache(
-        hashed_feature_relation(df, id_col, text_col, B, hasher)
-        .repartition("_b")
-        .groupBy("_id", "_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
-        .persist())
+    if target_pred is not None:
+        docb = register_operator_cache(
+            hashed_feature_relation(df, id_col, text_col, B, hasher,
+                                    target_flag=target_pred)
+            .repartition("_b")
+            .groupBy("_id", "_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_k"),
+                 F.max("_t").alias("_t"))
+            .persist())
+        tgt = (docb.filter("_t").groupBy("_b")
+               .agg(F.sum("_k").cast("bigint").alias("_ct")))
+        docb = docb.drop("_t")
+    else:
+        docb = register_operator_cache(
+            hashed_feature_relation(df, id_col, text_col, B, hasher)
+            .repartition("_b")
+            .groupBy("_id", "_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+            .persist())
+        tgt = (hashed_feature_relation(target_df, id_col, text_col, B,
+                                       hasher)
+               .groupBy("_b")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("_ct")))
     raw = docb.groupBy("_b").agg(F.sum("_k").cast("bigint").alias("_cr"))
-    tgt = (hashed_feature_relation(target_df, id_col, text_col, B, hasher)
-           .groupBy("_b").agg(F.count(F.lit(1)).cast("bigint").alias("_ct")))
     nr = raw.agg(F.sum("_cr").cast("bigint").alias("_nr"))
     nt = tgt.agg(F.sum("_ct").cast("bigint").alias("_nt"))
     scores = (raw.join(tgt, "_b", "left")

@@ -5652,7 +5652,7 @@ def q155_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target slice. See operators/corpus.py::importance_weights."""
     from etl_load_spark.operators.corpus import importance_weights
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    return importance_weights(d, d.filter(F.col("lang") == "en"))
+    return importance_weights(d, target_pred=F.col("lang") == "en")
 
 
 def _register_importance_weights_oracle() -> None:
