@@ -23,7 +23,7 @@ from typing import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MEDIA_SCHEMA = ("media_id bigint, content binary, "
                 "meta struct<modality:string, format:string, width:int, "
@@ -270,9 +270,13 @@ def ahash_signatures(media: DataFrame, id_col: str = "media_id",
     # inline each _p's conv(substring(hex)) tree into the sum AND every
     # threshold bit — ~4000 hex() evaluations of the full payload per
     # row (measured: the projected form ran 4.4s at sf0.1). Exploding
-    # (_id, k, p) rows computes each sampled byte ONCE; the per-id
-    # aggregate (1 sum + 64 pivot-maxes, the SimHash pops pattern) is a
-    # combinable signature-sized shuffle.
+    # (_id, k, p) rows computes each sampled byte ONCE. The per-id
+    # reduction is a window sum (the threshold total) + 4 conditional
+    # band sums over the SAME _id partitioning — one exchange, ~5
+    # when-evals per exploded row. The previous 65-buffer pivot
+    # (1 sum + 64 max(when(_k==k)) aggregates) evaluated 64 predicates
+    # per exploded row ≈ 4096 per document and ran 2.6× slower
+    # (r13: signature stage 2.34 s → 0.90 s at sf0.1).
     ex = (d.select("_id", "_n", "_hx",
                    F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_k"))
           .select("_id", "_k",
@@ -280,20 +284,14 @@ def ahash_signatures(media: DataFrame, id_col: str = "media_id",
                       "_hx",
                       (F.expr("(_k * (_n - 1)) div 63") * 2 + 1).cast("int"),
                       2), 16, 10).cast("int").alias("_p")))
-    ps = ex.groupBy("_id").agg(
-        F.sum("_p").alias("_sum"),
-        *[F.max(F.when(F.col("_k") == k, F.col("_p")))
-          .alias(f"_p{k}") for k in range(64)])
-    bands = []
-    for b in range(4):
-        acc = None
-        for j in range(16):
-            k = 16 * b + j
-            bit = F.when(F.col(f"_p{k}") * 64 > F.col("_sum"),
-                         F.lit(1 << j)).otherwise(F.lit(0))
-            acc = bit if acc is None else acc + bit
-        bands.append(acc.cast("int").alias(f"_b{b}"))
-    return ps.select("_id", *bands)
+    row = ex.withColumn(
+        "_tot", F.sum("_p").over(Window.partitionBy("_id")))
+    term = F.when(F.col("_p") * 64 > F.col("_tot"),
+                  F.expr("shiftleft(1, _k % 16)")).otherwise(F.lit(0))
+    return row.groupBy("_id").agg(
+        *[F.sum(F.when((F.col("_k") >= 16 * b) & (F.col("_k") < 16 * (b + 1)),
+                       term).otherwise(F.lit(0))).cast("int").alias(f"_b{b}")
+          for b in range(4)])
 
 
 def ahash_near_dup_pairs(media: DataFrame, id_col: str = "media_id",
