@@ -3437,13 +3437,21 @@ def q101_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    os_ = (l.groupBy("l_orderkey", "l_suppkey")
+    # ONE exchange for the whole decorrelation: repartition the fact rows
+    # on the order key; the (order, supplier) aggregate rides it (hash on
+    # the key subset satisfies the clustering) and the per-order flag
+    # counts are WINDOW aggregates over the same partitioning instead of
+    # a groupBy + self-join back on l_orderkey (which re-exchanged both
+    # sides) — the span_dedup window-over-join lesson.
+    os_ = (l.select("l_orderkey", "l_suppkey", "l_returnflag")
+           .repartition("l_orderkey")
+           .groupBy("l_orderkey", "l_suppkey")
            .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
                 .alias("has_r")))
-    agg = (os_.groupBy("l_orderkey")
-           .agg(F.count(F.lit(1)).alias("n_supp"),
-                F.sum("has_r").alias("n_ret")))
-    waiting = (os_.join(agg, "l_orderkey")
+    w = W.partitionBy("l_orderkey")
+    waiting = (os_
+               .withColumn("n_supp", F.count(F.lit(1)).over(w))
+               .withColumn("n_ret", F.sum("has_r").over(w))
                .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)
                        & (F.col("has_r") == 1)))
     return (waiting.join(F.broadcast(s),
@@ -6415,10 +6423,14 @@ def q168_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations broadcast back onto the (far smaller) filtered pair
     table."""
     l = t(spark, sf_dir, "lineitem")
+    # repartition BEFORE the dedup: hash(_o) satisfies the (_o,_p)
+    # dedup clustering (subset of the keys), so dropDuplicates rides the
+    # same exchange the self-join needs instead of inserting its own
+    # full (_o,_p) shuffle of the scan (one 600k-row exchange removed)
     op = (l.select(F.col("l_orderkey").alias("_o"),
                    F.col("l_partkey").alias("_p"))
-          .distinct()
-          .repartition("_o"))
+          .repartition("_o")
+          .dropDuplicates(["_o", "_p"]))
     pairs = (op.select(F.col("_o"), F.col("_p").alias("part_a"))
              .join(op.select(F.col("_o"), F.col("_p").alias("part_b")),
                    "_o")
