@@ -782,22 +782,67 @@ def anchor_assign(df: DataFrame, anchors: list[tuple[int, list[float]]],
                   out_col: str = "cluster") -> DataFrame:
     """Assign every vector to its nearest anchor by cosine — MAP-SIDE ONLY.
 
-    The anchors inline as literal double arrays (dozens of anchors ×
-    embedding dim — expression-sized, never a join), so assignment fuses
-    into the scan: no shuffle, no Python, at any corpus size. Determinism:
-    argmax key is (round(sim, 6) desc, anchor asc) via one greatest() over
-    (sim, -anchor) structs; degenerate vectors (zero-norm / NaN → NULL
-    cosine) take a -2.0 sentinel (below the cosine floor of -1), so they
-    deterministically land in the lowest-id anchor rather than tracking
-    engine NULL-ordering rules."""
-    pairs = []
-    for aid, vec in anchors:
-        av = F.array(*[F.lit(float(x)) for x in vec])
-        sim = F.coalesce(F.round(cosine(F.col(vec_col), av), 6), F.lit(-2.0))
-        pairs.append(F.struct(sim.alias("s"), F.lit(-aid).alias("na")))
-    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    The anchors ride inside the serialized kernel closure (dozens of
+    anchors × embedding dim — task-broadcast-sized, never a join), so
+    assignment stays one scan-fused pass: no shuffle at any corpus size.
+    Determinism: argmax key is (round(sim, 6) desc, anchor asc);
+    degenerate rows (zero-norm / NaN / NULL / length-mismatched vectors →
+    NULL cosine in the expression form) take a -2.0 sentinel (below the
+    cosine floor of -1), so they deterministically land in the lowest-id
+    anchor rather than tracking engine NULL-ordering rules.
+
+    Arrow-batched numpy kernel, not per-anchor Column expressions: the
+    expression form built L × (dot + 2 norm) interpreted HOF folds per
+    row (the SKILL.md interpreted-HOF class — measured ~2.5 s/pass on
+    2,000 dim-64 rows × 20 anchors, and q140 pays it twice), where one
+    (batch × dim) @ (dim × L) matmul per Arrow batch is milliseconds.
+    test_cluster_balance pins the argmax/tiebreak/sentinel semantics
+    against an independent numpy recomputation, and the q140 oracle
+    replays the whole assignment in DuckDB."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(range(len(anchors)), key=lambda i: anchors[i][0])
+    aids = np.asarray([anchors[i][0] for i in order], dtype=np.int64)
+    avs_list = [np.asarray(anchors[i][1], dtype=np.float64) for i in order]
+    # anchors grouped by dim: a vector only scores against anchors of its
+    # own length (the zip_with NULL-padding of the expression form made
+    # every length-mismatched pair a NULL cosine → sentinel)
+    dims = sorted({a.shape[0] for a in avs_list})
+    by_dim = {d: np.flatnonzero([a.shape[0] == d for a in avs_list])
+              for d in dims}
+    mats = {d: (np.stack([avs_list[j] for j in by_dim[d]]),
+                np.sqrt(np.stack([(avs_list[j] * avs_list[j]).sum()
+                                  for j in by_dim[d]])))
+            for d in dims}
+
+    @pandas_udf("bigint")
+    def _assign(v):
+        import numpy as np
+        import pandas as pd
+        rows = [None if r is None else np.asarray(r, dtype=np.float64)
+                for r in v.to_numpy()]
+        sims = np.full((len(rows), len(aids)), -2.0)
+        for d, cols in by_dim.items():
+            idx = np.flatnonzero([r is not None and r.shape == (d,)
+                                  for r in rows])
+            if not idx.size:
+                continue
+            am, anorm = mats[d]
+            m = np.stack([rows[i] for i in idx])
+            vn = np.sqrt((m * m).sum(axis=1))
+            den = vn[:, None] * anorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (m @ am.T) / den
+            s = np.where(np.isfinite(s) & (den > 0.0), np.round(s, 6), -2.0)
+            sims[np.ix_(idx, cols)] = s
+        # ties break toward the lowest anchor id: aids ascending + argmax
+        # returns the first maximum
+        return pd.Series(aids[np.argmax(sims, axis=1)])
+
     return df.select(F.col(id_col), F.col(vec_col),
-                     (-best["na"]).cast("bigint").alias(out_col))
+                     _assign(F.col(vec_col).cast("array<double>"))
+                     .alias(out_col))
 
 
 def cluster_balanced_sample(assigned: DataFrame, id_col: str = "vec_id",

@@ -18,12 +18,17 @@ def emb(spark, sf_dir):
 
 
 def test_assignment_is_map_side(spark, emb):
-    """Anchors inline as literals: the assignment plan is a pure
-    projection — no Exchange, no Python."""
+    """Anchors ride in the kernel closure: the assignment plan is one
+    scan-fused Arrow kernel — no Exchange, no row-at-a-time Python.
+    (r13: the per-anchor Column-expression form was replaced by the
+    vectorized kernel — L interpreted HOF folds per row became one
+    matmul per batch; ArrowEvalPython is the documented vectorized
+    path, BatchEvalPython stays banned.)"""
     asg = anchor_assign(emb, min_id_anchors(emb))
     plan = asg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
 
 
 def test_assignment_matches_bruteforce(spark, emb):

@@ -936,7 +936,8 @@ def test_global_plan_sweep_all_queries(spark, sf_dir):
         "q47_sim_topk_ivf", "q64_media_resize", "q100_audio_chunks",
         "q127_sim_topk_pq", "q131_sim_lsh_planted", "q133_semantic_dedup",
         "q136_sim_ivf_planted", "q137_sim_pq_planted",
-        "q139_bloom_decontaminate", "q152_embedding_quantize",
+        "q139_bloom_decontaminate", "q140_cluster_balance",  # anchor argmax
+        "q152_embedding_quantize",
         "q179_lttb_downsample",   # sequential per-series LTTB kernel
     }
     bad = []
@@ -1182,7 +1183,8 @@ def test_global_plan_sweep_all_stages(spark, tmp_path):
     #   hook itself (mapInPandas by design)
     #   LTTB = the sequential per-series selection kernel (q179)
     pandas_ok = {"SEMANTIC_DEDUP", "QUANTIZE_EMBEDDINGS", "DECONTAMINATE",
-                 "PYTHON_SCRIPT:pandas", "LTTB"}
+                 "PYTHON_SCRIPT:pandas", "LTTB",
+                 "CLUSTER_BALANCE"}  # anchor argmax kernel (r13)
     specs = _stage_sweep_specs(tmp_path)
     # completeness: every registry stage AND every spec-dispatched
     # branch of apply_transformation. Discovery is STRUCTURAL (ADVICE
