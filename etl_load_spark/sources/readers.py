@@ -275,10 +275,25 @@ def read_stream_source(spark: SparkSession, type_name: str, d: dict) -> DataFram
         # directory); expose a single-file table through a symlinked temp
         # dir, no data copy (the streaming.windows.open_event_stream
         # pattern — and like there, link the FILE, never a directory:
-        # the source does not recurse into a linked subdirectory)
+        # the source does not recurse into a linked subdirectory).
+        # The dir is DETERMINISTIC (keyed by the resolved source path,
+        # ADVICE r12): the file-stream checkpoint's seen-files log keys
+        # on the LISTED path, so a fresh mkdtemp per run made every
+        # re-run with a retained checkpoint re-ingest the whole file as
+        # new — double-counting rows into retained update-mode state.
+        import hashlib
         import tempfile
-        stream_dir = tempfile.mkdtemp(prefix="etl_stream_src_")
-        os.symlink(path, os.path.join(stream_dir,
-                                      os.path.basename(path)))
+        resolved = os.path.realpath(path)
+        key = hashlib.md5(resolved.encode()).hexdigest()[:16]
+        stream_dir = os.path.join(tempfile.gettempdir(),
+                                  f"etl_stream_src_{key}")
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, os.path.basename(path))
+        if os.path.lexists(link):
+            if not os.path.islink(link) or os.readlink(link) != resolved:
+                os.remove(link)
+                os.symlink(resolved, link)
+        else:
+            os.symlink(resolved, link)
         path = stream_dir
     return reader.load(path)

@@ -357,7 +357,13 @@ def rollup_upsert_writer(path: str, fmt: str, partition_col: str,
         spark = batch_df.sparkSession
         out = batch_df
         try:
-            existing = spark.read.format(fmt).load(path)
+            # read back under the BATCH's schema (ADVICE r12): headerless
+            # CSV would otherwise come back as _c0.. (unionByName fails on
+            # the second micro-batch) and JSON would re-infer types (e.g.
+            # bucket_ts as string), making the anti-join type-unstable;
+            # for self-describing parquet/orc the schema is a no-op.
+            existing = (spark.read.schema(batch_df.schema)
+                        .format(fmt).load(path))
         except AnalysisException:
             existing = None  # first batch: nothing materialized yet
         if existing is not None:
@@ -412,6 +418,16 @@ def write_stream_sink(df: DataFrame, type_name: str, d: dict,
     mode = streaming.get("output_mode",
                          streaming.get("outputMode", "append"))
     fmt = _STREAM_SINK_FORMATS[t]
+    if mode == "update" and fmt in ("csv", "json"):
+        # the upsert merge reads the materialization back each batch;
+        # a non-self-describing format cannot round-trip the rollup
+        # schema (headerless CSV → _c0.., JSON re-infers types) — fail
+        # with the fix named instead of Spark's append-only sink error
+        raise ValueError(
+            f"update-mode file materialization to {t} is not supported: "
+            "the micro-batch merge must read the materialization back "
+            "under a stable schema — use a self-describing format "
+            "(PARQUET or ORC) for update-mode rollups")
     if mode == "update" and fmt in ("parquet", "orc"):
         # File sinks are append-only in Spark; update-mode aggregates
         # (the streaming rollup stages — OHLC/TREND/VALUE_HISTOGRAM)
@@ -432,6 +448,20 @@ def write_stream_sink(df: DataFrame, type_name: str, d: dict,
                 "set destination.details.partition_by to the bucket "
                 "column")
         keys = d.get("merge_keys") or merge_keys
+        if d.get("merge_keys") and merge_keys:
+            # user-declared keys may widen but never NARROW the derived
+            # rollup group key (ADVICE r12): an upsert keyed below the
+            # true group key deletes sibling state rows per micro-batch
+            # — exactly the regression the upsert exists to prevent
+            narrower = [k for k in merge_keys if k not in d["merge_keys"]]
+            if narrower:
+                raise ValueError(
+                    f"destination.details.merge_keys {d['merge_keys']} is "
+                    f"narrower than the rollup's group key {merge_keys} "
+                    f"(missing {narrower}) — an upsert keyed below the "
+                    "full group key deletes sibling rows per micro-batch; "
+                    "drop merge_keys or make it a superset of the derived "
+                    "key")
         if not keys:
             raise ValueError(
                 f"update-mode streaming write to {t} needs the rollup's "

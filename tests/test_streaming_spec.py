@@ -557,3 +557,114 @@ def test_update_mode_file_sink_without_merge_keys_raises(spark, tmp_path):
     }))
     assert r.status == "FAILED"
     assert "merge_keys" in (r.error or "")
+
+
+def test_single_file_stream_source_checkpoint_survives_reruns(spark,
+                                                              tmp_path):
+    """ADVICE r12: a SINGLE-FILE streaming source is exposed through a
+    symlinked directory, and the file-stream checkpoint keys its
+    seen-files log on the LISTED path — so the symlink dir must be
+    deterministic across runs. A re-run with a retained checkpoint and
+    no new data must ingest ZERO rows (the per-run mkdtemp form
+    re-ingested the whole file, double-counting into retained
+    update-mode state)."""
+    import datetime as dt
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    from etl_load_spark.operators.timeseries import trend
+
+    schema = ("event_id bigint, user_id bigint, ts timestamp,"
+              " value double")
+    day = dt.datetime(2024, 5, 1)
+    rows = [(i, i % 3, day + dt.timedelta(hours=i), float(i * 7 % 50))
+            for i in range(24)]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+         .write.parquet(str(tmp_path / "in"))
+    part = next((tmp_path / "in").glob("part-*.parquet"))
+
+    spec = {
+        "jobId": "trend-single-file",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(part), "schema": schema}},
+        "transformation": {"type": "TREND", "parameters": {}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out"),
+                                    "partition_by": ["bucket_ts"]}},
+        "streaming": {"checkpoint": str(tmp_path / "chk"),
+                      "output_mode": "update"},
+    }
+    cols = ["user_id", "bucket_ts", "n_samples", "slope_per_sec"]
+    srt = lambda df: sorted(  # noqa: E731
+        tuple(x[c] for c in cols) for x in df.collect())
+
+    res1 = run_job(spark, JobSpec.from_dict(spec))
+    assert res1.status == "COMPLETED", res1.error
+    assert res1.records_read == len(rows)
+    expected = srt(trend(spark.createDataFrame(rows, schema)))
+    assert srt(spark.read.parquet(str(tmp_path / "out"))) == expected
+
+    # re-run with the RETAINED checkpoint and no new data: nothing new
+    # to ingest, and the materialization must not double-count
+    res2 = run_job(spark, JobSpec.from_dict(spec))
+    assert res2.status == "COMPLETED", res2.error
+    assert res2.records_read == 0
+    assert srt(spark.read.parquet(str(tmp_path / "out"))) == expected
+
+
+def test_update_mode_csv_sink_rejected_loudly(spark, tmp_path):
+    """ADVICE r12: update-mode file materialization to a
+    non-self-describing format must fail naming the fix (parquet/orc)
+    — headerless CSV read-back cannot round-trip the rollup schema for
+    the micro-batch merge."""
+    import datetime as dt
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    schema = ("event_id bigint, user_id bigint, ts timestamp,"
+              " value double")
+    spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)], schema,
+    ).write.parquet(str(tmp_path / "in"))
+    r = run_job(spark, JobSpec.from_dict({
+        "jobId": "stream-update-csv",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(tmp_path / "in"),
+                               "schema": schema}},
+        "transformation": {"type": "TREND", "parameters": {}},
+        "destination": {"type": "CSV",
+                        "details": {"path": str(tmp_path / "out"),
+                                    "partition_by": ["bucket_ts"]}},
+        "streaming": {"checkpoint": str(tmp_path / "chk"),
+                      "output_mode": "update"},
+    }))
+    assert r.status == "FAILED"
+    assert "self-describing" in (r.error or "")
+
+
+def test_update_mode_narrower_merge_keys_rejected(spark, tmp_path):
+    """ADVICE r12: user merge_keys may widen but never NARROW the
+    derived rollup group key — ['bucket_ts'] for TREND (true key
+    [user_id, bucket_ts]) would delete sibling users' rows per
+    micro-batch."""
+    import datetime as dt
+    from etl_load_spark.runner import run_job
+    from etl_load_spark.spec import JobSpec
+    schema = ("event_id bigint, user_id bigint, ts timestamp,"
+              " value double")
+    spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)], schema,
+    ).write.parquet(str(tmp_path / "in"))
+    r = run_job(spark, JobSpec.from_dict({
+        "jobId": "stream-update-narrow-keys",
+        "source": {"type": "PARQUET",
+                   "details": {"path": str(tmp_path / "in"),
+                               "schema": schema}},
+        "transformation": {"type": "TREND", "parameters": {}},
+        "destination": {"type": "PARQUET",
+                        "details": {"path": str(tmp_path / "out"),
+                                    "partition_by": ["bucket_ts"],
+                                    "merge_keys": ["bucket_ts"]}},
+        "streaming": {"checkpoint": str(tmp_path / "chk"),
+                      "output_mode": "update"},
+    }))
+    assert r.status == "FAILED"
+    assert "narrower" in (r.error or "")
