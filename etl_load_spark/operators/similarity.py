@@ -114,7 +114,12 @@ def unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     np.sqrt / np.divide are the same IEEE-754 ops the JVM executes — the
     unit vectors are bit-identical to the expression form's
     (collect-compared at sf0.1; the planted ×2.0-copy oracles certify it
-    every round)."""
+    every round).
+
+    asNondeterministic: the function is pure, but the marker stops the
+    optimizer duplicating the kernel when a downstream filter references
+    its output (guide §4.4 — the pushed isnotnull was planning TWO
+    ArrowEvalPython nodes per consumer)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
@@ -146,7 +151,8 @@ def unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
     return df.select(
         F.col(id_col).alias("_id"),
-        _unit(F.col(vec_col).cast("array<double>")).alias("_u"))
+        _unit.asNondeterministic()(
+            F.col(vec_col).cast("array<double>")).alias("_u"))
 
 
 def _planes_np(dim: int, n_planes: int):
@@ -188,7 +194,9 @@ def rp_signatures(vectors: DataFrame, id_col: str, vec_col: str,
         bits = (m @ planes_t > 0).astype(np.uint64)
         return pd.Series((bits @ weights).view(np.int64))
 
-    sig = pandas_udf(_sig, returnType="long")
+    # asNondeterministic: pure function; the marker only stops optimizer
+    # re-evaluation when downstream filters reference the output (§4.4)
+    sig = pandas_udf(_sig, returnType="long").asNondeterministic()
 
     vectors = valid_embeddings(vectors, vec_col)
     return vectors.select(
@@ -313,7 +321,10 @@ def nearest_cells(vec: Column, centroids: list[list[float]],
     (dim × cells) matmul — centroids ride inside the serialized closure
     (they are O(cells · dim) doubles, broadcast with the task). Ties break
     toward the lower cell id (stable argsort) in both this and any
-    expression formulation."""
+    expression formulation. Marked nondeterministic (pure in reality) so
+    a join-inferred isnotnull on the cell id cannot duplicate the kernel
+    below its own projection (guide §4.4 — q47's corpus side planned the
+    assignment TWICE)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     cent = np.asarray(centroids, dtype=np.float64)        # (cells, dim)
@@ -337,7 +348,8 @@ def nearest_cells(vec: Column, centroids: list[list[float]],
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int32)))
 
-    return pandas_udf(_cells, returnType="array<int>")(vec.cast("array<double>"))
+    return pandas_udf(_cells, returnType="array<int>").asNondeterministic()(
+        vec.cast("array<double>"))
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -371,11 +383,20 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"),
         F.element_at(nearest_cells(F.col(vec_col), cents, 1,
                                    normalize=True), 1).alias("_cell"))
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
-        F.explode(nearest_cells(F.col(vec_col), cents, n_probe,
-                                normalize=True)).alias("_cell"))
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    # two selects, not explode(udf(...)) inline: the Generate then
+    # consumes a plain attribute, which keeps the nondeterministic
+    # kernel in a Project (the only place analysis allows it)
+    q = (queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
+            nearest_cells(F.col(vec_col), cents, n_probe,
+                          normalize=True).alias("_qcells"))
+         .select("q_id", "_qv", F.explode("_qcells").alias("_cell")))
+    # cosine_batch, not the interpreted fold: the fold was evaluated
+    # TWICE per candidate pair (join condition + projection — §4.4) at
+    # ~dim² interpreted ops each; the kernel is bit-identical (see its
+    # docstring) and runs once, post-join
+    sim = _null_if_nan(F.round(cosine_batch(F.col("_qv"), F.col("_cv")),
+                               6))
     w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
     return (c.join(F.broadcast(q), "_cell")
             .filter(F.col("q_id") != F.col("n_id"))
@@ -613,7 +634,59 @@ def dot_batch(a: Column, b: Column) -> Column:
         ym = np.array([np.asarray(r, dtype=np.float64) for r in y.to_numpy()])
         return pd.Series(np.einsum("ij,ij->i", xm, ym))
 
-    return _dot(a, b)
+    # asNondeterministic: pure, but the downstream isnotnull(cosine_sim)
+    # filter was planning the kernel TWICE per candidate pair (§4.4)
+    return _dot.asNondeterministic()(a, b)
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Row-wise cosine as an Arrow-batched numpy kernel, BIT-IDENTICAL to
+    the ``cosine()`` expression: the dot and both norm sums run
+    ``np.add.accumulate`` (strictly left-to-right — the Column fold's
+    summation order), and sqrt/multiply/divide are the same IEEE-754
+    double ops the JVM executes, so every defined value matches the fold
+    to the last ulp. NULL contract mirrored exactly: NULL array, ragged
+    pair (zip_with's NULL padding), empty array, NULL/NaN element and
+    zero-norm all yield NULL (NaN results cross the Arrow boundary as
+    NULL; callers keep the ``_null_if_nan(round(...))`` wrapper, which is
+    then a no-op, for parity with the fold form).
+
+    Why it exists (guide §4): the interpreted fold costs ~dim² per pair
+    AND was being evaluated twice — once in the join condition the pushed
+    isnotnull landed in, once in the projection (q47's before-plan).
+    Marked nondeterministic like ``dot_batch`` so the §4.4 duplication
+    cannot reappear around the kernel itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(x, y):
+        import numpy as np
+        import pandas as pd
+        ra = [None if r is None else np.asarray(r, dtype=np.float64)
+              for r in x.to_numpy()]
+        rb = [None if r is None else np.asarray(r, dtype=np.float64)
+              for r in y.to_numpy()]
+        res = np.full(len(ra), np.nan)
+        by_dim: dict = {}
+        for i, (va, vb) in enumerate(zip(ra, rb)):
+            if va is None or vb is None or va.shape != vb.shape \
+                    or not va.size:
+                continue                      # NULL / ragged / empty → NULL
+            by_dim.setdefault(va.shape[0], []).append(i)
+        for d, idx in by_dim.items():
+            am = np.stack([ra[i] for i in idx])
+            bm = np.stack([rb[i] for i in idx])
+            dots = np.add.accumulate(am * bm, axis=1)[:, -1]
+            na = np.sqrt(np.add.accumulate(am * am, axis=1)[:, -1])
+            nb = np.sqrt(np.add.accumulate(bm * bm, axis=1)[:, -1])
+            den = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(den == 0.0, np.nan, dots / den)
+            res[idx] = s
+        return pd.Series(res)
+
+    return _cos.asNondeterministic()(a.cast("array<double>"),
+                                     b.cast("array<double>"))
 
 
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
@@ -840,8 +913,12 @@ def anchor_assign(df: DataFrame, anchors: list[tuple[int, list[float]]],
         # returns the first maximum
         return pd.Series(aids[np.argmax(sims, axis=1)])
 
+    # asNondeterministic (pure in reality): the join-inferred
+    # isnotnull(cluster) in q140's consumers planned the kernel TWICE per
+    # branch (guide §4.4); the marker keeps one ArrowEvalPython per branch
     return df.select(F.col(id_col), F.col(vec_col),
-                     _assign(F.col(vec_col).cast("array<double>"))
+                     _assign.asNondeterministic()(
+                         F.col(vec_col).cast("array<double>"))
                      .alias(out_col))
 
 
@@ -1077,7 +1154,13 @@ def hard_negatives(vectors: DataFrame, anchors: DataFrame, k: int = 5,
     c = vectors.select(F.col(id_col).alias("n_id"),
                        F.col(vec_col).alias("_cv"),
                        F.col(label_col).alias("_cl"))
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    # cosine_batch (bit-identical Arrow kernel) instead of the
+    # interpreted fold: both consumer branches replay the scoring
+    # cross-join, and within each branch the pushed isnotnull was
+    # duplicating the fold (§4.4) — 4 fold evaluations per pair → 2
+    # kernel batches
+    sim = _null_if_nan(F.round(cosine_batch(F.col("_qv"), F.col("_cv")),
+                               6))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",

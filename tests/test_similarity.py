@@ -253,3 +253,39 @@ def test_hard_negatives_semantics(spark):
     # still mined
     assert got[(10, 1)].pos_sim is None and got[(10, 1)].margin is None
     assert got[(10, 1)].n_id == 11
+
+
+def test_cosine_batch_matches_fold_on_adversarial_inputs(spark):
+    """cosine_batch (the r13 Arrow kernel behind ivf_topk/hard_negatives
+    scoring) is bit-identical to the cosine() expression fold — including
+    every degenerate class: NULL array, ragged pair (zip_with NULL
+    padding), empty array, NULL element, NaN element, ±inf element and
+    zero-norm. NULL results must agree row for row, and defined results
+    must agree to the last ulp (no rounding applied here on purpose)."""
+    from etl_load_spark.operators.similarity import cosine, cosine_batch
+    rows = [
+        (0, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (1, None, [1.0, 0.0]),                       # NULL array
+        (2, [1.0, 2.0], None),
+        (3, [1.0, 2.0, 3.0], [1.0, 2.0]),            # ragged pair
+        (4, [], []),                                  # empty arrays
+        (5, [1.0, None, 3.0], [1.0, 2.0, 3.0]),       # NULL element
+        (6, [1.0, float("nan")], [1.0, 2.0]),         # NaN element
+        (7, [1.0, float("inf")], [1.0, 2.0]),         # inf element
+        (8, [0.0, 0.0], [1.0, 2.0]),                  # zero-norm side
+        (9, [0.0, 0.0], [0.0, 0.0]),                  # both zero-norm
+        (10, [1e-200, 1e-200], [1e-200, 1e-200]),     # denormal-range den
+        (11, [0.1, 0.2, 0.30000000000000004], [0.7, 0.11, 0.13]),
+        (12, [-1.0, 1.0], [1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>")
+    got = (df.select("i", cosine(F.col("a"), F.col("b")).alias("fold"),
+                     cosine_batch(F.col("a"), F.col("b")).alias("kern"))
+           .orderBy("i").collect())
+    for r in got:
+        if r.fold is None:
+            assert r.kern is None, f"row {r.i}: fold NULL, kernel {r.kern}"
+        else:
+            assert r.kern == r.fold, \
+                f"row {r.i}: fold {r.fold!r} != kernel {r.kern!r}"
