@@ -1976,6 +1976,65 @@ def q66_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(100))
 
 
+def _exact_group_percentiles(df: DataFrame, group_col: str, value_col: str,
+                             percentages: tuple[float, ...]) -> DataFrame:
+    """Exact per-group percentiles, BIT-IDENTICAL to Spark's
+    ``percentile(value, p)`` but in codegen'd relational form instead of
+    the single ObjectHashAggregate (r13, guide §1.2/§2.4): the exact
+    ``percentile`` aggregate buffers a per-group value→count map with no
+    whole-stage codegen and sorts it inside the aggregate buffer —
+    measured 1.5 s of q67's 2.0 s at sf0.1. Here the rows sort once in a
+    per-group window (spillable, codegen'd): rank every non-NULL value
+    (row_number − 1 = 0-based index; ties share a value so any order
+    within a tie run yields the same order statistic), keep only the ≤
+    2·|percentages| boundary-rank rows per group, and interpolate with
+    EXACTLY the Percentile aggregate's arithmetic — position =
+    p · (n − 1), and (higher − position) · lower_val + (position −
+    lower) · higher_val with the higher == lower short-circuit.
+    Returns one row per group holding ``_ex`` = array<double> in
+    ``percentages`` order (groups with zero non-NULL values are absent —
+    percentile() returns NULL there; callers LEFT-join).
+
+    Scale honesty (unchanged from the aggregate form): one partition per
+    group — the exact anchor exists at TEST scale to certify the sketch;
+    the aggregate form it replaces held the same per-group state in one
+    ObjectHashAggregate buffer, unspillable."""
+    w_ord = W.partitionBy(group_col).orderBy(value_col)
+    w_all = W.partitionBy(group_col)
+    ranked = (df.filter(F.col(value_col).isNotNull())
+              .select(group_col, value_col)
+              .select(group_col, value_col,
+                      (F.row_number().over(w_ord) - 1).cast("bigint")
+                      .alias("_i"),
+                      F.count(value_col).over(w_all).alias("_n")))
+    pos = [F.lit(p) * (F.col("_n") - 1) for p in percentages]
+    keep = None
+    for pj in pos:
+        cond = (F.col("_i") == F.floor(pj)) | (F.col("_i") == F.ceil(pj))
+        keep = cond if keep is None else (keep | cond)
+    aggs = []
+    for j, pj in enumerate(pos):
+        aggs.append(F.max(F.when(F.col("_i") == F.floor(pj),
+                                 F.col(value_col))).alias(f"_lo{j}"))
+        aggs.append(F.max(F.when(F.col("_i") == F.ceil(pj),
+                                 F.col(value_col))).alias(f"_hi{j}"))
+    picked = (ranked.filter(keep)
+              .groupBy(group_col).agg(F.max("_n").alias("_n"), *aggs))
+    vals = []
+    for j, p in enumerate(percentages):
+        pj = F.lit(p) * (F.col("_n") - 1)
+        lo, hi = F.floor(pj), F.ceil(pj)
+        vals.append(
+            # BOTH Percentile short-circuits: integral position, and
+            # equal boundary VALUES (a tie run spanning the ranks) —
+            # (1−f)·v + f·v re-rounds and can drift an ulp off v
+            F.when(hi == lo, F.col(f"_lo{j}"))
+            .when(F.col(f"_lo{j}") == F.col(f"_hi{j}"), F.col(f"_lo{j}"))
+            .otherwise((hi.cast("double") - pj) * F.col(f"_lo{j}")
+                       + (pj - lo.cast("double")) * F.col(f"_hi{j}")))
+    return picked.select(group_col, F.array(*vals).alias("_ex"))
+
+
 @query("q67_approx_percentile", oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1995,16 +2054,25 @@ def q67_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     group — the driver's hash compare fails iff a sketch drifts out of
     its rank-error contract. The exact percentiles ride along only at
     test scale to anchor the claim (at 100 TB the sketch exists precisely
-    to avoid computing them)."""
+    to avoid computing them); r13 moved them out of the
+    ObjectHashAggregate into ``_exact_group_percentiles`` (bit-identical
+    windowed form, see its docstring — 1.5 s → ~0.4 s of the query), so
+    the remaining aggregate is the sketch alone. The 3-row join back is
+    eqNullSafe (NULL is a legitimate group) and LEFT (a group with zero
+    non-NULL prices has no exact row — there the sketch is NULL too and
+    the claim holds vacuously)."""
     l = t(spark, sf_dir, "lineitem")
     pcts = F.expr(
         "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
-    exact = F.expr(
-        "percentile(l_extendedprice, array(0.49D, 0.51D, 0.94D, 0.96D))")
-    return (l.groupBy("l_returnflag")
-            .agg(pcts.alias("_ap"), exact.alias("_ex"),
-                 F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-            .select("l_returnflag", "n_rows",
+    ap = (l.groupBy("l_returnflag")
+          .agg(pcts.alias("_ap"),
+               F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    ex = _exact_group_percentiles(l, "l_returnflag", "l_extendedprice",
+                                  (0.49, 0.51, 0.94, 0.96))
+    return (ap.join(F.broadcast(ex),
+                    ap["l_returnflag"].eqNullSafe(ex["l_returnflag"]),
+                    "left")
+            .select(ap["l_returnflag"], "n_rows",
                     # all-NULL group: sketch AND exact are NULL — the
                     # claim holds vacuously (oracle asserts TRUE per group)
                     F.when(F.col("_ap").isNull(), F.lit(True))

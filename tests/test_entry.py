@@ -164,3 +164,42 @@ def test_sketch_rollup_accuracy(spark, sf_dir):
     assert set(est) == set(exact) and len(est) > 0
     for k, v in exact.items():
         assert abs(est[k] - v) <= max(1, 0.02 * v), (k, est[k], v)
+
+
+def test_exact_group_percentiles_bit_match_percentile_aggregate(spark,
+                                                                sf_dir):
+    """_exact_group_percentiles (the r13 windowed form behind q67's exact
+    ±1%-rank anchor) is BIT-identical to Spark's percentile() aggregate —
+    on the real lineitem groups and on an edge fixture covering tie runs,
+    single- and two-row groups, NULL values, a NULL group key, an
+    all-NULL group (absent from the windowed output where percentile()
+    yields NULL), and magnitude extremes."""
+    from pyspark.sql import functions as F
+    from etl_load_spark.queries import _exact_group_percentiles
+    from etl_load_spark.session import read_table
+    ps = (0.49, 0.51, 0.94, 0.96)
+    arr = ",".join(f"{p}D" for p in ps)
+
+    def both(df, g, v):
+        old = {r[g]: r["_ex"] for r in df.groupBy(g).agg(
+            F.expr(f"percentile({v}, array({arr}))").alias("_ex")).collect()}
+        new = {r[g]: list(r["_ex"]) for r in
+               _exact_group_percentiles(df, g, v, ps).collect()}
+        return old, new
+
+    l = read_table(spark, sf_dir, "lineitem")
+    old, new = both(l, "l_returnflag", "l_extendedprice")
+    assert old and all(new[k] == list(v) for k, v in old.items())
+    rows = [("a", 1.0), ("a", 1.0), ("a", 1.0), ("b", 5.0),
+            ("c", 1.0), ("c", 2.0),
+            ("d", None), ("d", 3.0), ("d", 7.0), ("d", None),
+            (None, 2.0), (None, 4.0), (None, 8.0), ("e", None),
+            ("f", -1.5), ("f", -0.5), ("f", 0.25), ("f", 1e300),
+            ("f", 1e-300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    old, new = both(df, "g", "v")
+    for k, v in old.items():
+        if v is None:
+            assert k not in new          # all-NULL group: percentile NULL
+        else:
+            assert new[k] == list(v), (k, v, new[k])
