@@ -86,3 +86,33 @@ def test_bench_regress_verify_without_pin(tmp_path):
         [sys.executable, str(tools / "bench_regress.py"), "--verify", "q01"],
         capture_output=True, text=True)
     assert r.returncode == 2 and "nothing compared" in r.stdout
+
+
+def test_shuffled_order_deterministic_permutation():
+    """--shuffle-order's execution order must be a seed-deterministic
+    permutation of the pinned set, independent of input ordering (the
+    r13 stall/regression de-aliasing mode — a reproducible seed is what
+    makes two runs comparable)."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import bench_regress as b
+    names = [f"q{i:03d}" for i in range(50)]
+    o1 = b.shuffled_order(list(names), 13)
+    o2 = b.shuffled_order(list(reversed(names)), 13)
+    assert o1 == o2                       # input order must not matter
+    assert sorted(o1) == sorted(names)    # a permutation, nothing lost
+    assert o1 != sorted(names)            # actually shuffled
+    assert b.shuffled_order(list(names), 7) != o1   # seed matters
+
+
+def test_shuffle_order_mode_without_pin_is_clean(tmp_path):
+    """--shuffle-order on a tree without BENCH_PINNED.json must report
+    'nothing compared' (exit 2), like the other modes — not crash."""
+    import shutil
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    shutil.copy(os.path.join(ROOT, "tools", "bench_regress.py"),
+                tools / "bench_regress.py")
+    r = subprocess.run([sys.executable, str(tools / "bench_regress.py"),
+                        "--shuffle-order"], capture_output=True, text=True)
+    assert r.returncode == 2, (r.stdout, r.stderr)
+    assert "nothing compared" in r.stdout

@@ -30,6 +30,21 @@ Usage:
         ~1.0 control median says look deeper, an inflated one says the
         box drifted and the confirmations are suspect.
 
+    python3 tools/bench_regress.py --shuffle-order [seed]   # r13:
+        one cold + one steady pass of every pinned query in a
+        DETERMINISTIC shuffled execution order (default seed 13),
+        flags reported in REGISTRATION order with execution
+        positions. Breaks the stall/regression aliasing: every noise
+        episode to date flags a CONTIGUOUS registration block (pin
+        book r11/r12/r13) — exactly what a real shared-operator
+        regression would also look like. Shuffled execution makes a
+        box stall hit RANDOM registration positions, so
+        registration-clustered flags become diagnostic of real
+        regressions. --verify controls are INTERLEAVED with the
+        flagged queries (one control per target) as of r13 — the
+        round-12 lesson (after-the-batch controls sample different
+        box conditions) encoded as the default.
+
 New queries (registered after the pin) are listed informationally and
 added to the pin on --repin; they never fail the gate by absence.
 
@@ -106,8 +121,31 @@ def verify(names_arg: str) -> int:
         spark.catalog.clearCache()
         return dt
 
+    # Controls INTERLEAVED with the flagged queries, not after them (the
+    # round-12 lesson, encoded as the default per VERDICT r12 #8): a
+    # control batch that runs after the targets samples DIFFERENT box
+    # conditions — round 12 "confirmed" two flags whose after-the-fact
+    # controls sat at 0.98 because the contention had already drained;
+    # round 13 session 2 saw the mirror image (targets wave-hit, controls
+    # clean). One control (cold + 3 steadies) runs after EVERY target so
+    # the box factor brackets each verdict in time.
+    controls = [n for n in pinned
+                if n not in targets and 0.25 <= pin["steady"][n] <= 4]
+    controls = controls[:: max(1, len(controls) // 6)][:6]
+    control_ratios: list[float] = []
+
+    def run_control(i: int) -> None:
+        if not controls:
+            return
+        name = controls[i % len(controls)]
+        run_once(name)  # cold
+        med = statistics.median(run_once(name) for _ in range(3))
+        control_ratios.append(med / pin["steady"][name])
+        print(f"control {name}: {med:.2f}s vs pin "
+              f"{pin['steady'][name]:.2f}s = {control_ratios[-1]:.2f}x")
+
     confirmed = []
-    for name in targets:
+    for i, name in enumerate(targets):
         cold = run_once(name)
         steadies = [run_once(name) for _ in range(3)]
         base = pin["steady"][name]
@@ -135,38 +173,104 @@ def verify(names_arg: str) -> int:
               f"{'REGRESSION CONFIRMED' if still else 'spike disproved'}")
         if still:
             confirmed.append(name)
+        run_control(i)
     print(f"bench_regress: --verify {len(confirmed)} confirmed / "
           f"{len(targets)} re-measured (threshold {thr}x + {floor}s floor)")
-    if confirmed:
-        # Box-factor control (round 11): before believing a confirmed
-        # flag, measure a CONTROL batch of UNFLAGGED pinned queries of
-        # the same vintage. Controls at ~1.0 with flags confirmed means
-        # the flags deserve a deeper look (convergence runs, plan
-        # diffs); controls inflated alongside the flags means the BOX
-        # drifted and every "confirmation" is suspect. The r10-drift
-        # adjudication ran exactly this and the 0.95 control median was
-        # the decisive evidence.
-        controls = [n for n in pinned
-                    if n not in targets and 0.25 <= pin["steady"][n] <= 4]
-        controls = controls[:: max(1, len(controls) // 6)][:6]
-        ratios = []
-        for name in controls:
-            run_once(name)  # cold
-            med = statistics.median(run_once(name) for _ in range(3))
-            ratios.append(med / pin["steady"][name])
-            print(f"control {name}: {med:.2f}s vs pin "
-                  f"{pin['steady'][name]:.2f}s = {ratios[-1]:.2f}x")
-        if ratios:
-            box = statistics.median(ratios)
-            print(f"bench_regress: control box factor {box:.2f} over "
-                  f"{len(ratios)} unflagged pins — "
-                  + ("controls are inflated too: treat the confirmations "
-                     "as BOX DRIFT, not code regressions"
-                     if box > 1.25 else
-                     "controls are at pin: the confirmations warrant a "
-                     "deeper look (longer convergence run, plan diff "
-                     "vs the pinned round)"))
+    if control_ratios:
+        box = statistics.median(control_ratios)
+        print(f"bench_regress: interleaved control box factor {box:.2f} "
+              f"over {len(control_ratios)} unflagged pins — "
+              + (("controls are inflated too: treat any confirmation "
+                  "as BOX DRIFT, not a code regression"
+                  if box > 1.25 else
+                  "controls are at pin: confirmations warrant a deeper "
+                  "look (longer convergence run, plan diff vs the "
+                  "pinned round)") if confirmed else
+                 "no confirmations; box factor recorded for the log"))
     return 1 if confirmed else 0
+
+
+def shuffle_order(seed: int) -> int:
+    """Run ONE cold + one steady pass of every pinned query in a
+    DETERMINISTIC shuffled execution order and report steady-vs-pin in
+    REGISTRATION order (VERDICT r12 #3).
+
+    Why: every bench noise episode to date presents as a CONTIGUOUS
+    REGISTRATION block of flags (pin book: r11 q146–q159; r12 runs A/B;
+    r13 session 2 flagged the whole q01–q13 block on untouched code) —
+    which is also exactly what a real regression in a shared operator
+    family would look like. Under a shuffled execution order a box
+    stall hits a time-contiguous stretch = RANDOM registration
+    positions, so: flags contiguous in REGISTRATION order → a real
+    family regression; flags contiguous only in EXECUTION order →
+    a stall. The seed is printed so a run is reproducible."""
+    pin = json.load(open(PIN)) if os.path.exists(PIN) else {}
+    if not pin.get("steady"):
+        print("bench_regress: missing BENCH_PINNED.json (or no 'steady' "
+              "key) — nothing compared. Run bench.py then --repin first.")
+        return 2
+    thr, floor = pin.get("threshold", 1.5), pin.get("abs_floor_sec", 0.5)
+
+    sys.path.insert(0, ROOT)
+    from etl_load_spark.queries import QUERIES
+    from etl_load_spark.session import get_spark, release_operator_caches
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = [n for n in pin["steady"] if n in QUERIES]
+    order = shuffled_order(names, seed)
+    print(f"bench_regress: --shuffle-order seed={seed} over "
+          f"{len(order)} pinned queries")
+    spark = get_spark("bench_regress_shuffle")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import statistics
+    import time
+    steady: dict[str, float] = {}
+    exec_pos: dict[str, int] = {}
+    for i, name in enumerate(order):
+        for attempt in range(2):          # cold, then the timed steady
+            t0 = time.monotonic()
+            try:
+                QUERIES[name].fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.monotonic() - t0
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} FAILED: {e}", file=sys.stderr)
+                dt = -1.0
+                break
+            finally:
+                release_operator_caches()
+                try:
+                    spark.catalog.clearCache()
+                except Exception:  # noqa: BLE001
+                    pass
+        steady[name] = round(dt, 3)
+        exec_pos[name] = i
+    flags = {n: t for n, t in steady.items()
+             if t > 0 and t > pin["steady"][n] * thr
+             and t > pin["steady"][n] + floor}
+    reg_order = [n for n in pin["steady"] if n in steady]
+    print("flagged (REGISTRATION order, with execution position):")
+    for n in reg_order:
+        if n in flags:
+            print(f"  reg#{reg_order.index(n):3d} exec#{exec_pos[n]:3d} "
+                  f"{n}: {steady[n]:.2f}s vs pin {pin['steady'][n]:.2f}s")
+    ratios = sorted(steady[n] / pin["steady"][n]
+                    for n in steady if steady[n] > 0)
+    med = statistics.median(ratios) if ratios else float("nan")
+    print(f"bench_regress: --shuffle-order {len(flags)} flagged / "
+          f"{len(steady)} run, median ratio {med:.3f}. Reading: flags "
+          "clustered in REGISTRATION order under a shuffled execution "
+          "= family regression; clustered only in EXECUTION order "
+          "= box stall.")
+    return 1 if flags else 0
+
+
+def shuffled_order(names: list, seed: int) -> list:
+    """Deterministic shuffle of the pinned-query list (pure; tested)."""
+    import random
+    order = sorted(names)
+    random.Random(seed).shuffle(order)
+    return order
 
 
 def main() -> int:
@@ -177,6 +281,12 @@ def main() -> int:
                   "nothing compared.")
             return 2
         return verify(sys.argv[i + 1])
+    if "--shuffle-order" in sys.argv:
+        i = sys.argv.index("--shuffle-order")
+        seed = 13
+        if i + 1 < len(sys.argv) and sys.argv[i + 1].isdigit():
+            seed = int(sys.argv[i + 1])
+        return shuffle_order(seed)
     # BENCH_DETAIL.json is a bench.py artifact, gitignored by design — a
     # fresh clone has the pin but no detail. "Nothing to compare" is a
     # clean state (exit 2, the same code as an SF mismatch), not a crash.
