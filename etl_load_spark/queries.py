@@ -1315,7 +1315,15 @@ def q54_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB `quantile_cont`), rounded to kill last-ulp interpolation drift.
     Scale note: exact percentiles sort within each group; at 100 TB swap
     in approx_percentile (t-digest, mergeable map-side) — declared here as
-    the exact contract so the oracle can check it."""
+    the exact contract so the oracle can check it.
+
+    r13 examined, left as the aggregate: the q67 windowed form
+    (`_exact_group_percentiles`, bit-identical) measured 1.35 → 1.46 s
+    interleaved HERE — orders is 150 k rows × 5 groups × 3 percentiles,
+    small enough that the percentile() map beats an extra exchange +
+    per-group sort; q67 won because FOUR percentiles over 600 k
+    near-unique doubles shared one ObjectHashAggregate with the GK
+    sketch, de-codegening both."""
     o = t(spark, sf_dir, "orders")
     pct = lambda p, a: F.round(  # noqa: E731
         F.percentile(F.col("o_totalprice").cast("double"), F.lit(p)), 4).alias(a)
@@ -1992,26 +2000,33 @@ def _exact_group_percentiles(df: DataFrame, group_col: str, value_col: str,
     p · (n − 1), and (higher − position) · lower_val + (position −
     lower) · higher_val with the higher == lower short-circuit.
     Returns one row per group holding ``_ex`` = array<double> in
-    ``percentages`` order (groups with zero non-NULL values are absent —
-    percentile() returns NULL there; callers LEFT-join).
+    ``percentages`` order. EVERY group of ``df`` keeps its row: NULL
+    values rank AFTER all real values (asc_nulls_last — Spark's default
+    NULLS FIRST would shift every order statistic; the round-9 lesson)
+    and never match a boundary rank, while a group with zero non-NULL
+    values emits all-NULL percentiles — elementwise identical to
+    percentile()'s NULL result there.
 
     Scale honesty (unchanged from the aggregate form): one partition per
     group — the exact anchor exists at TEST scale to certify the sketch;
     the aggregate form it replaces held the same per-group state in one
     ObjectHashAggregate buffer, unspillable."""
-    w_ord = W.partitionBy(group_col).orderBy(value_col)
+    w_ord = W.partitionBy(group_col).orderBy(
+        F.col(value_col).asc_nulls_last())
     w_all = W.partitionBy(group_col)
-    ranked = (df.filter(F.col(value_col).isNotNull())
-              .select(group_col, value_col)
+    ranked = (df.select(group_col, value_col)
               .select(group_col, value_col,
                       (F.row_number().over(w_ord) - 1).cast("bigint")
                       .alias("_i"),
                       F.count(value_col).over(w_all).alias("_n")))
     pos = [F.lit(p) * (F.col("_n") - 1) for p in percentages]
-    keep = None
+    # NULL-value rows have _i >= _n (ranked last) and can never hit a
+    # boundary rank; letting them through the keep filter is what
+    # preserves the GROUP row when every value is NULL
+    keep = F.col("_i") >= F.col("_n")
     for pj in pos:
-        cond = (F.col("_i") == F.floor(pj)) | (F.col("_i") == F.ceil(pj))
-        keep = cond if keep is None else (keep | cond)
+        keep = keep | (F.col("_i") == F.floor(pj)) \
+            | (F.col("_i") == F.ceil(pj))
     aggs = []
     for j, pj in enumerate(pos):
         aggs.append(F.max(F.when(F.col("_i") == F.floor(pj),
@@ -2058,8 +2073,8 @@ def q67_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ObjectHashAggregate into ``_exact_group_percentiles`` (bit-identical
     windowed form, see its docstring — 1.5 s → ~0.4 s of the query), so
     the remaining aggregate is the sketch alone. The 3-row join back is
-    eqNullSafe (NULL is a legitimate group) and LEFT (a group with zero
-    non-NULL prices has no exact row — there the sketch is NULL too and
+    eqNullSafe (NULL is a legitimate group) and LEFT (an all-NULL-price
+    group carries NULL exact bounds — the sketch is NULL there too and
     the claim holds vacuously)."""
     l = t(spark, sf_dir, "lineitem")
     pcts = F.expr(

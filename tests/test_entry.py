@@ -169,11 +169,12 @@ def test_sketch_rollup_accuracy(spark, sf_dir):
 def test_exact_group_percentiles_bit_match_percentile_aggregate(spark,
                                                                 sf_dir):
     """_exact_group_percentiles (the r13 windowed form behind q67's exact
-    ±1%-rank anchor) is BIT-identical to Spark's percentile() aggregate —
-    on the real lineitem groups and on an edge fixture covering tie runs,
-    single- and two-row groups, NULL values, a NULL group key, an
-    all-NULL group (absent from the windowed output where percentile()
-    yields NULL), and magnitude extremes."""
+    ±1%-rank anchor and q54's output) is BIT-identical to Spark's
+    percentile() aggregate — on the real lineitem groups and on an edge
+    fixture covering tie runs, single- and two-row groups, NULL values,
+    a NULL group key, an all-NULL group (row kept with all-NULL
+    percentiles where percentile() yields NULL — elementwise identical),
+    and magnitude extremes."""
     from pyspark.sql import functions as F
     from etl_load_spark.queries import _exact_group_percentiles
     from etl_load_spark.session import read_table
@@ -200,6 +201,8 @@ def test_exact_group_percentiles_bit_match_percentile_aggregate(spark,
     old, new = both(df, "g", "v")
     for k, v in old.items():
         if v is None:
-            assert k not in new          # all-NULL group: percentile NULL
+            # all-NULL group: percentile() yields NULL, the windowed form
+            # an all-NULL array — elementwise identical for consumers
+            assert new[k] == [None] * 4, (k, new[k])
         else:
             assert new[k] == list(v), (k, v, new[k])
