@@ -1155,9 +1155,20 @@ def quota_stratified_sample(df: DataFrame, quotas: dict[str, int],
     if bad:
         raise ValueError(f"quota_stratified_sample: negative quotas {bad}")
     spark = df.sparkSession
-    qdf = F.broadcast(spark.createDataFrame(
-        [(str(s), int(q)) for s, q in quotas.items()],
-        f"{stratum_col} string, _quota bigint"))
+    # VALUES, not createDataFrame: PySpark materializes a driver-local list
+    # as a PYTHON RDD — the broadcast build then runs a defaultParallelism-
+    # task stage that spawns the Python daemon and pays a worker round trip
+    # per task, for THREE rows. Thread dumps of q170's slow runs (r14) sat
+    # in PythonWorkerFactory.startDaemon / PythonRunner reads — the only
+    # Python stage in the query, and the reason the untouched q170 measured
+    # 10-39 s in loaded benches. A VALUES literal is a pure-JVM
+    # LocalRelation: no job, no Python, same rows and types.
+    def _sq(s: str) -> str:
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
+    vals = ", ".join(f"({_sq(s)}, CAST({int(q)} AS BIGINT))"
+                     for s, q in quotas.items())
+    qdf = F.broadcast(spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS _q(`{stratum_col}`, `_quota`)"))
 
     if weight is not None:
         u = (F.pmod(portable_hash64(

@@ -12,6 +12,18 @@ Two paths:
 An IVF variant (k-means coarse quantizer via pyspark.ml, probe nearest
 cells) is the third stage of this ladder; LSH covers the blocked-candidate
 pattern without an iterative fit.
+
+PLACEMENT INVARIANT for the Arrow kernels (_unit/_sig/_cells/_assign/_dot/
+_cos): all five are pure but marked ``asNondeterministic()`` so Catalyst
+does not duplicate them under pushed/join-inferred ``isnotnull`` filters
+(guide §4.4; plan evidence in plans/r13/). The marker has two side
+effects every call site must respect: (1) nondeterministic expressions are
+only legal in Project/Filter — any new call site outside those positions
+(e.g. a join condition or aggregate argument) throws AnalysisException at
+runtime only; (2) predicate pushdown stops at their projections, so a
+caller filtering on ids AFTER applying a kernel loses scan pruning —
+filter/prune BEFORE the kernel projection. Current call sites are all
+Project-positioned with pruning upstream; keep new ones that way.
 """
 
 from __future__ import annotations

@@ -2020,10 +2020,12 @@ def _exact_group_percentiles(df: DataFrame, group_col: str, value_col: str,
                       .alias("_i"),
                       F.count(value_col).over(w_all).alias("_n")))
     pos = [F.lit(p) * (F.col("_n") - 1) for p in percentages]
-    # NULL-value rows have _i >= _n (ranked last) and can never hit a
-    # boundary rank; letting them through the keep filter is what
-    # preserves the GROUP row when every value is NULL
-    keep = F.col("_i") >= F.col("_n")
+    # NULL-value rows rank last (_i in [_n, total)); keeping exactly the
+    # FIRST of them (_i == _n) preserves the GROUP row when every value
+    # is NULL without passing the whole NULL run into the post-window
+    # shuffle/agg (ADVICE r13: `>= _n` degraded toward a full-group pass
+    # on NULL-heavy value columns)
+    keep = F.col("_i") == F.col("_n")
     for pj in pos:
         keep = keep | (F.col("_i") == F.floor(pj)) \
             | (F.col("_i") == F.ceil(pj))

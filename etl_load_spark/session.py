@@ -25,6 +25,16 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     "spark.driver.memory": "16g",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # PySpark 4's DataFrame debugging wraps EVERY DataFrame API call with a
+    # Python stack inspection plus ~3 py4j round trips (conf.get + origin
+    # set/clear) purely to enrich error messages with user call sites.
+    # Measured r14 (guide §1): plan BUILD time across the 189-query surface
+    # was 89 s/pass — a third of the quiet-box bench — and ~half of it is
+    # this wrapper (q24 build 2.1 s → 0.17 s, q28 1.8 → 0.9, q31 1.6 → 0.7
+    # with it off). Results and plans are identical; only error-message
+    # query-context decoration is lost, which a production engine trades
+    # away gladly at this price. Re-enable ad hoc when debugging a query.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -684,7 +684,7 @@ def test_importance_weights_single_corpus_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_hard_negatives_anchors_broadcast_no_python(spark, sf_dir):
+def test_hard_negatives_anchors_broadcast_arrow_kernel(spark, sf_dir):
     """q156: the anchor set broadcasts (the one deliberate
     BroadcastNestedLoopJoin — the cosine_topk brute-force contract);
     the positive max partial-aggregates map-side. VERDICT r6 #3 (the

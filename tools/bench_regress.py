@@ -284,8 +284,16 @@ def main() -> int:
     if "--shuffle-order" in sys.argv:
         i = sys.argv.index("--shuffle-order")
         seed = 13
-        if i + 1 < len(sys.argv) and sys.argv[i + 1].isdigit():
-            seed = int(sys.argv[i + 1])
+        if i + 1 < len(sys.argv) and not sys.argv[i + 1].startswith("-"):
+            tok = sys.argv[i + 1]
+            # A present-but-unparseable seed must ERROR, not silently run
+            # seed 13 — the user would believe they ran a different
+            # permutation (ADVICE r13).
+            if not tok.isdigit():
+                print(f"bench_regress: --shuffle-order seed must be a "
+                      f"non-negative integer, got {tok!r}")
+                return 2
+            seed = int(tok)
         return shuffle_order(seed)
     # BENCH_DETAIL.json is a bench.py artifact, gitignored by design — a
     # fresh clone has the pin but no detail. "Nothing to compare" is a
